@@ -1,0 +1,230 @@
+"""Top-level compress/decompress drivers (analog of sz.c + sz_float.c entry).
+
+Dispatch: dtype x dimensionality x bound mode -> codec kernel, plus the
+whole-stream framing (header, skip/constant/verbatim fallbacks, lossless
+wrap).  Mirrors SZ_compress_args / SZ_decompress_args behavior
+(sz.c:294,486; sz_float.c:2811; szd_float.c:50).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from sz_tpu.config import (
+    SZConfig, DEFAULT_CONFIG, ErrorBoundMode, DataType, SZMode, Lossless,
+    MIN_NUM_OF_ELEMENTS,
+)
+from sz_tpu.format import bytes_util as bu
+from sz_tpu.format import lossless as ll
+from sz_tpu.format import metadata as md
+from sz_tpu.core import float3d
+
+_DTYPE_MAP = {
+    np.dtype(np.float32): DataType.FLOAT,
+    np.dtype(np.float64): DataType.DOUBLE,
+}
+
+
+def _filter_dims(shape) -> tuple:
+    """filterDimension (sz.c:162-282): drop size-1 dims."""
+    dims = [int(d) for d in shape if int(d) > 1]
+    return tuple(dims) if dims else (1,)
+
+
+def _resolve_precision(cfg: SZConfig, value_range: float, n: int):
+    """Bound-mode resolution (sz_float.c:2852-2868, dataCompression.c:311).
+
+    Returns (real_precision double, effective_mode_for_codec).
+    """
+    mode = cfg.error_bound_mode
+    if mode == ErrorBoundMode.PSNR:
+        # computeABSErrBoundFromPSNR (conf.c:54); predThreshold is stored as
+        # float in the reference, so round it through float32 first
+        pt = float(np.float32(cfg.pred_threshold))
+        v1 = cfg.psnr + 10 * math.log10(1 - 2.0 / 3.0 * pt)
+        rp = value_range * (10.0 ** (v1 / -20.0))
+        return rp, ErrorBoundMode.ABS
+    if mode == ErrorBoundMode.NORM:
+        rp = math.sqrt(3.0 / n) * cfg.norm_err
+        return rp, ErrorBoundMode.ABS
+    if mode in (ErrorBoundMode.ABS, ErrorBoundMode.ABS_OR_PW_REL,
+                ErrorBoundMode.ABS_AND_PW_REL):
+        return cfg.abs_err_bound, mode
+    if mode in (ErrorBoundMode.REL, ErrorBoundMode.REL_OR_PW_REL,
+                ErrorBoundMode.REL_AND_PW_REL):
+        return cfg.rel_bound_ratio * value_range, mode
+    if mode == ErrorBoundMode.ABS_AND_REL:
+        return min(cfg.abs_err_bound, cfg.rel_bound_ratio * value_range), mode
+    if mode == ErrorBoundMode.ABS_OR_REL:
+        return max(cfg.abs_err_bound, cfg.rel_bound_ratio * value_range), mode
+    if mode == ErrorBoundMode.PW_REL:
+        return 0.0, mode
+    raise ValueError(f"unsupported bound mode {mode}")
+
+
+def compress(data: np.ndarray, cfg: SZConfig = DEFAULT_CONFIG) -> bytes:
+    """Compress an array into a reference-compatible SZ2 stream."""
+    data = np.asarray(data)
+    dt = _DTYPE_MAP.get(data.dtype)
+    if dt is None:
+        raise TypeError(f"unsupported dtype {data.dtype}")
+    dims = _filter_dims(data.shape)
+    n = int(np.prod(dims))
+
+    if n <= MIN_NUM_OF_ELEMENTS:
+        # SZ_skip_compress_float (sz_float.c:37): raw bytes, no framing
+        return data.tobytes()
+
+    if dt == DataType.FLOAT:
+        return _compress_float(data.reshape(dims), cfg)
+    raise NotImplementedError("double path lands next")
+
+
+def _compress_float(data: np.ndarray, cfg: SZConfig) -> bytes:
+    n = data.size
+    flat = data.reshape(-1)
+    # computeRangeSize_float (dataCompression.c:102): order-independent
+    fmin = np.float32(flat.min())
+    fmax = np.float32(flat.max())
+    value_range = np.float32(fmax - fmin)
+
+    rp, eff_mode = _resolve_precision(cfg, float(value_range), n)
+    hdr_cfg = cfg
+    if cfg.error_bound_mode in (ErrorBoundMode.PSNR, ErrorBoundMode.NORM):
+        # the reference rewrites errorBoundMode=ABS + absErrBound before
+        # serializing params (sz_float.c:2853-2867)
+        import dataclasses
+        hdr_cfg = dataclasses.replace(
+            cfg, error_bound_mode=ErrorBoundMode.ABS, abs_err_bound=rp)
+    elif cfg.error_bound_mode != ErrorBoundMode.PW_REL:
+        import dataclasses
+        hdr_cfg = dataclasses.replace(cfg, abs_err_bound=rp)
+
+    if value_range <= rp:
+        return _constant_stream(hdr_cfg, DataType.FLOAT, fmin, fmax, flat[0],
+                                n)
+
+    dims = data.shape
+    ndim = len(dims)
+    if eff_mode == ErrorBoundMode.PW_REL:
+        raise NotImplementedError("PW_REL lands next")
+
+    if ndim == 3 and cfg.with_regression and not cfg.random_access:
+        res = float3d.compress(
+            data, rp, max_range_radius=cfg.max_range_radius,
+            sample_distance=cfg.sample_distance,
+            pred_threshold=np.float32(cfg.pred_threshold),
+            opt_quant_mode=1 if cfg.quantization_intervals == 0 else 0,
+            fixed_intervals=cfg.quantization_intervals,
+            size_type=cfg.size_type)
+        header = md.make_header(hdr_cfg, DataType.FLOAT, fmin, fmax,
+                                regression=True,
+                                random_access=cfg.random_access)
+        body = (header + bu.size_be(n, cfg.size_type) + res.body)
+    elif ndim == 4 and cfg.with_regression and not cfg.random_access:
+        folded = data.reshape(dims[0] * dims[1], dims[2], dims[3])
+        res = float3d.compress(
+            folded, rp, max_range_radius=cfg.max_range_radius,
+            sample_distance=cfg.sample_distance,
+            pred_threshold=np.float32(cfg.pred_threshold),
+            opt_quant_mode=1 if cfg.quantization_intervals == 0 else 0,
+            fixed_intervals=cfg.quantization_intervals,
+            size_type=cfg.size_type)
+        header = md.make_header(hdr_cfg, DataType.FLOAT, fmin, fmax,
+                                regression=True,
+                                random_access=cfg.random_access)
+        body = (header + bu.size_be(n, cfg.size_type) + res.body)
+    else:
+        raise NotImplementedError(f"{ndim}-D float path lands next")
+
+    # StoreOriData fallback (sz_float.c:526): verbatim big-endian floats
+    if len(body) >= n * 4 + 3 + md.META_DATA_BYTE_LENGTH + cfg.size_type + 1:
+        body = _store_ori_float(hdr_cfg, fmin, fmax, flat, n)
+
+    if cfg.sz_mode == SZMode.BEST_SPEED:
+        return body
+    return ll.compress(body, cfg.lossless, cfg.lossless_level)
+
+
+def _constant_stream(cfg, dt, fmin, fmax, value, n) -> bytes:
+    """SZ_compress_args_float_withinRange (sz_float.c:2728): header with the
+    'same' flag + one big-endian value.  Never lossless-wrapped (the size
+    check in SZ_decompress_args_float:62 relies on the exact length)."""
+    header = md.make_header(cfg, dt, fmin, fmax, same=True)
+    if dt == DataType.FLOAT:
+        return header + bu.size_be(n, cfg.size_type) + bu.f32_be(value)
+    return header + bu.size_be(n, cfg.size_type) + bu.f64_be(value)
+
+
+def _store_ori_float(cfg, fmin, fmax, flat, n) -> bytes:
+    header = md.make_header(cfg, DataType.FLOAT, fmin, fmax, lossless=True)
+    be = flat.astype(">f4").tobytes()
+    return header + bu.size_be(n, cfg.size_type) + be
+
+
+def decompress(blob: bytes, shape, dtype=np.float32) -> np.ndarray:
+    """Decompress a reference-format SZ2 stream."""
+    dims = _filter_dims(shape)
+    n = int(np.prod(dims))
+    dt = _DTYPE_MAP[np.dtype(dtype)]
+    esize = np.dtype(dtype).itemsize
+    if n <= MIN_NUM_OF_ELEMENTS:
+        return np.frombuffer(blob, dtype=dtype, count=n).reshape(shape)
+
+    mlen = md.meta_length(dt)
+    if len(blob) not in (8 + 4 + mlen, 8 + 8 + mlen):
+        inner = ll.decompress(blob, expected_size=n * esize + 4 + mlen + 8)
+    else:
+        inner = blob
+    hdr = md.parse_header(inner, dt)
+    off = hdr.body_offset
+    ds_len = bu.read_size_be(inner, off, hdr.size_type)
+    off += hdr.size_type
+
+    if hdr.lossless:
+        out = np.frombuffer(inner, dtype=">f4" if dt == DataType.FLOAT
+                            else ">f8", count=n, offset=off)
+        return out.astype(dtype).reshape(shape)
+    if hdr.same:
+        v = bu.read_f32_be(inner, off) if dt == DataType.FLOAT \
+            else bu.read_f64_be(inner, off)
+        return np.full(shape, v, dtype=dtype)
+    if hdr.regression:
+        body = inner[off:]
+        if len(dims) == 3:
+            out = float3d.decompress(body, *dims, size_type=hdr.size_type)
+        elif len(dims) == 4:
+            out = float3d.decompress(body, dims[0] * dims[1], dims[2],
+                                     dims[3], size_type=hdr.size_type)
+        else:
+            raise NotImplementedError("1D/2D regression decode lands next")
+        return out.reshape(shape)
+    raise NotImplementedError("classic (SZ1.4) stream decode lands next")
+
+
+def get_metadata(blob: bytes) -> dict:
+    """SZ_getMetadata analog (sz.c:683): introspect a stream header."""
+    inner = ll.decompress(blob)
+    # data type nibble lives in the params block at offset 4+5
+    dt = DataType(inner[4 + 5] & 0x0F)
+    hdr = md.parse_header(inner, dt)
+    off = hdr.body_offset
+    ds_len = bu.read_size_be(inner, off, hdr.size_type)
+    return {
+        "version": hdr.version,
+        "data_type": dt,
+        "is_constant": hdr.same,
+        "is_lossless": hdr.lossless,
+        "regression": hdr.regression,
+        "size_type": hdr.size_type,
+        "num_elements": ds_len,
+        "error_bound_mode": hdr.params.error_bound_mode,
+        "bound1": float(hdr.params.bound1),
+        "bound2": float(hdr.params.bound2),
+        "max_quant_intervals": hdr.params.max_quant_intervals,
+        "fmin": hdr.params.fmin,
+        "fmax": hdr.params.fmax,
+    }

@@ -1,0 +1,66 @@
+"""Final lossless stage: zstd / zlib, with format sniffing.
+
+Mirrors sz_lossless_compress / sz_lossless_decompress /
+is_lossless_compressed_data (utility.c:156-215).  The reference vendors
+zstd 1.3.5; any standard zstd frame is mutually decodable, so we use the
+system zstandard binding (newer encoder, >= compression ratio at equal
+level).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+try:
+    import zstandard as _zstd
+
+    _HAS_ZSTD = True
+except ImportError:  # pragma: no cover
+    _zstd = None
+    _HAS_ZSTD = False
+
+from sz_tpu.config import Lossless
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def compress(data: bytes, backend: Lossless, level: int) -> bytes:
+    if backend == Lossless.ZSTD:
+        if not _HAS_ZSTD:
+            raise RuntimeError("zstandard module unavailable")
+        # write_content_size must be on: the reference's sniffing relies on
+        # ZSTD_getFrameContentSize succeeding (utility.c:158-161)
+        c = _zstd.ZstdCompressor(level=level, write_content_size=True,
+                                 write_checksum=False)
+        return c.compress(data)
+    elif backend == Lossless.GZIP:
+        # zlib_compress5 (callZlib.c:205): plain zlib stream at `level`
+        return zlib.compress(data, level)
+    raise ValueError(f"unknown lossless backend {backend}")
+
+
+def sniff(blob: bytes):
+    """is_lossless_compressed_data (utility.c:156): returns Lossless or None."""
+    if len(blob) >= 4 and blob[:4] == _ZSTD_MAGIC:
+        return Lossless.ZSTD
+    if len(blob) >= 2 and _is_zlib_format(blob[0], blob[1]):
+        return Lossless.GZIP
+    return None
+
+
+def _is_zlib_format(b0: int, b1: int) -> bool:
+    """isZlibFormat (callZlib.c:30): RFC1950 magic pairs."""
+    return (b0, b1) in {
+        (0x78, 0x01), (0x78, 0x5E), (0x78, 0x9C), (0x78, 0xDA),
+        (0x78, 0x20), (0x78, 0x7D), (0x78, 0xBB), (0x78, 0xF9),
+    }
+
+
+def decompress(blob: bytes, expected_size: int | None = None) -> bytes:
+    backend = sniff(blob)
+    if backend is None:
+        return blob  # SZ_BEST_SPEED stream: not lossless-wrapped
+    if backend == Lossless.ZSTD:
+        d = _zstd.ZstdDecompressor()
+        return d.decompress(blob, max_output_size=expected_size or 0)
+    return zlib.decompress(blob)

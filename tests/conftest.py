@@ -1,0 +1,60 @@
+"""Test env: force a virtual 8-device CPU mesh so sharding tests run
+anywhere (the driver separately validates multi-chip via dryrun_multichip)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+GOLDEN = REPO / "tests" / "golden"
+REF_BIN = pathlib.Path("/tmp/szref/build/bin/sz")
+REF_DATA = pathlib.Path("/root/reference/example/testdata/x86")
+
+
+@pytest.fixture(scope="session")
+def testfloat_888128():
+    return np.fromfile(REF_DATA / "testfloat_8_8_128.dat",
+                       dtype="<f4")
+
+
+@pytest.fixture(scope="session")
+def testdouble_888128():
+    return np.fromfile(REF_DATA / "testdouble_8_8_128.dat",
+                       dtype="<f8")
+
+
+@pytest.fixture(scope="session")
+def testdouble_8888128():
+    return np.fromfile(REF_DATA / "testdouble_8_8_8_128.dat",
+                       dtype="<f8")
+
+
+def have_ref() -> bool:
+    return REF_BIN.exists()
+
+
+def ref_compress(datafile, dims, mode_args, out, ftype="-f"):
+    """Run the reference CLI: sz -z ..."""
+    dimflag = {1: "-1", 2: "-2", 3: "-3", 4: "-4"}[len(dims)]
+    cmd = [str(REF_BIN), "-z", str(out), ftype, "-i", str(datafile),
+           *mode_args, dimflag, *[str(d) for d in dims]]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return pathlib.Path(out).read_bytes()
+
+
+def ref_decompress(szfile, dims, out, ftype="-f"):
+    dimflag = {1: "-1", 2: "-2", 3: "-3", 4: "-4"}[len(dims)]
+    cmd = [str(REF_BIN), "-x", str(out), ftype, "-s", str(szfile),
+           dimflag, *[str(d) for d in dims]]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return pathlib.Path(out).read_bytes()
