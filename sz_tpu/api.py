@@ -3,24 +3,24 @@
 Dispatch: dtype x dimensionality x bound mode -> codec kernel, plus the
 whole-stream framing (header, skip/constant/verbatim fallbacks, lossless
 wrap).  Mirrors SZ_compress_args / SZ_decompress_args behavior
-(sz.c:294,486; sz_float.c:2811; szd_float.c:50).
+(sz.c:294,486; sz_float.c:2811; sz_double.c:2531; szd_float.c:50).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import math
-import struct
 
 import numpy as np
 
 from sz_tpu.config import (
-    SZConfig, DEFAULT_CONFIG, ErrorBoundMode, DataType, SZMode, Lossless,
+    SZConfig, DEFAULT_CONFIG, ErrorBoundMode, DataType, SZMode,
     MIN_NUM_OF_ELEMENTS,
 )
 from sz_tpu.format import bytes_util as bu
 from sz_tpu.format import lossless as ll
 from sz_tpu.format import metadata as md
-from sz_tpu.core import float3d
+from sz_tpu.core import regnd
 
 _DTYPE_MAP = {
     np.dtype(np.float32): DataType.FLOAT,
@@ -34,7 +34,8 @@ def _filter_dims(shape) -> tuple:
     return tuple(dims) if dims else (1,)
 
 
-def _resolve_precision(cfg: SZConfig, value_range: float, n: int):
+def _resolve_precision(cfg: SZConfig, value_range: float, n: int,
+                       dt: DataType = DataType.FLOAT):
     """Bound-mode resolution (sz_float.c:2852-2868, dataCompression.c:311).
 
     Returns (real_precision double, effective_mode_for_codec).
@@ -56,10 +57,14 @@ def _resolve_precision(cfg: SZConfig, value_range: float, n: int):
     if mode in (ErrorBoundMode.REL, ErrorBoundMode.REL_OR_PW_REL,
                 ErrorBoundMode.REL_AND_PW_REL):
         return cfg.rel_bound_ratio * value_range, mode
-    if mode == ErrorBoundMode.ABS_AND_REL:
-        return min(cfg.abs_err_bound, cfg.rel_bound_ratio * value_range), mode
-    if mode == ErrorBoundMode.ABS_OR_REL:
-        return max(cfg.abs_err_bound, cfg.rel_bound_ratio * value_range), mode
+    if mode in (ErrorBoundMode.ABS_AND_REL, ErrorBoundMode.ABS_OR_REL):
+        # getRealPrecision_float uses min_f/max_f (float32 compare+result,
+        # dataCompression.c:310-340); the double path stays in float64
+        a, b = cfg.abs_err_bound, cfg.rel_bound_ratio * value_range
+        if dt == DataType.FLOAT:
+            a, b = float(np.float32(a)), float(np.float32(b))
+        pick = min if mode == ErrorBoundMode.ABS_AND_REL else max
+        return pick(a, b), mode
     if mode == ErrorBoundMode.PW_REL:
         return 0.0, mode
     raise ValueError(f"unsupported bound mode {mode}")
@@ -77,72 +82,62 @@ def compress(data: np.ndarray, cfg: SZConfig = DEFAULT_CONFIG) -> bytes:
     if n <= MIN_NUM_OF_ELEMENTS:
         # SZ_skip_compress_float (sz_float.c:37): raw bytes, no framing
         return data.tobytes()
-
-    if dt == DataType.FLOAT:
-        return _compress_float(data.reshape(dims), cfg)
-    raise NotImplementedError("double path lands next")
+    return _compress_fp(data.reshape(dims), cfg, dt)
 
 
-def _compress_float(data: np.ndarray, cfg: SZConfig) -> bytes:
+def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
+    T = np.float32 if dt == DataType.FLOAT else np.float64
     n = data.size
     flat = data.reshape(-1)
-    # computeRangeSize_float (dataCompression.c:102): order-independent
-    fmin = np.float32(flat.min())
-    fmax = np.float32(flat.max())
-    value_range = np.float32(fmax - fmin)
+    # computeRangeSize (dataCompression.c:102/148): order-independent
+    fmin = T(flat.min())
+    value_range = T(T(flat.max()) - fmin)
+    # the reference serializes max as min+range (sz_float.c:2847), which can
+    # differ from the true max by one ulp — replicate the double rounding
+    fmax = T(fmin + value_range)
 
-    rp, eff_mode = _resolve_precision(cfg, float(value_range), n)
+    rp, eff_mode = _resolve_precision(cfg, float(value_range), n, dt)
     hdr_cfg = cfg
     if cfg.error_bound_mode in (ErrorBoundMode.PSNR, ErrorBoundMode.NORM):
         # the reference rewrites errorBoundMode=ABS + absErrBound before
         # serializing params (sz_float.c:2853-2867)
-        import dataclasses
         hdr_cfg = dataclasses.replace(
             cfg, error_bound_mode=ErrorBoundMode.ABS, abs_err_bound=rp)
     elif cfg.error_bound_mode != ErrorBoundMode.PW_REL:
-        import dataclasses
         hdr_cfg = dataclasses.replace(cfg, abs_err_bound=rp)
 
     if value_range <= rp:
-        return _constant_stream(hdr_cfg, DataType.FLOAT, fmin, fmax, flat[0],
-                                n)
+        return _constant_stream(hdr_cfg, dt, fmin, fmax, flat[0], n)
 
-    dims = data.shape
-    ndim = len(dims)
     if eff_mode == ErrorBoundMode.PW_REL:
         raise NotImplementedError("PW_REL lands next")
 
-    if ndim == 3 and cfg.with_regression and not cfg.random_access:
-        res = float3d.compress(
+    dims = data.shape
+    ndim = len(dims)
+    if ndim == 4:
+        # 4D folds to 3D: (r4*r3, r2, r1) (sz_float.c:3010)
+        data = data.reshape(dims[0] * dims[1], dims[2], dims[3])
+        ndim = 3
+
+    if ndim in (2, 3) and cfg.with_regression and not cfg.random_access:
+        res = regnd.compress(
             data, rp, max_range_radius=cfg.max_range_radius,
             sample_distance=cfg.sample_distance,
             pred_threshold=np.float32(cfg.pred_threshold),
             opt_quant_mode=1 if cfg.quantization_intervals == 0 else 0,
             fixed_intervals=cfg.quantization_intervals,
             size_type=cfg.size_type)
-        header = md.make_header(hdr_cfg, DataType.FLOAT, fmin, fmax,
-                                regression=True,
+        header = md.make_header(hdr_cfg, dt, fmin, fmax, regression=True,
                                 random_access=cfg.random_access)
-        body = (header + bu.size_be(n, cfg.size_type) + res.body)
-    elif ndim == 4 and cfg.with_regression and not cfg.random_access:
-        folded = data.reshape(dims[0] * dims[1], dims[2], dims[3])
-        res = float3d.compress(
-            folded, rp, max_range_radius=cfg.max_range_radius,
-            sample_distance=cfg.sample_distance,
-            pred_threshold=np.float32(cfg.pred_threshold),
-            opt_quant_mode=1 if cfg.quantization_intervals == 0 else 0,
-            fixed_intervals=cfg.quantization_intervals,
-            size_type=cfg.size_type)
-        header = md.make_header(hdr_cfg, DataType.FLOAT, fmin, fmax,
-                                regression=True,
-                                random_access=cfg.random_access)
-        body = (header + bu.size_be(n, cfg.size_type) + res.body)
+        body = header + bu.size_be(n, cfg.size_type) + res.body
     else:
-        raise NotImplementedError(f"{ndim}-D float path lands next")
+        raise NotImplementedError(f"{ndim}-D path lands next")
 
-    # StoreOriData fallback (sz_float.c:526): verbatim big-endian floats
-    if len(body) >= n * 4 + 3 + md.META_DATA_BYTE_LENGTH + cfg.size_type + 1:
-        body = _store_ori_float(hdr_cfg, fmin, fmax, flat, n)
+    # StoreOriData fallback (sz_float.c:526): verbatim big-endian values
+    esize = np.dtype(T).itemsize
+    mlen = md.meta_length(dt)
+    if len(body) >= n * esize + 3 + mlen + cfg.size_type + 1:
+        body = _store_ori(hdr_cfg, dt, fmin, fmax, flat, n)
 
     if cfg.sz_mode == SZMode.BEST_SPEED:
         return body
@@ -154,14 +149,13 @@ def _constant_stream(cfg, dt, fmin, fmax, value, n) -> bytes:
     'same' flag + one big-endian value.  Never lossless-wrapped (the size
     check in SZ_decompress_args_float:62 relies on the exact length)."""
     header = md.make_header(cfg, dt, fmin, fmax, same=True)
-    if dt == DataType.FLOAT:
-        return header + bu.size_be(n, cfg.size_type) + bu.f32_be(value)
-    return header + bu.size_be(n, cfg.size_type) + bu.f64_be(value)
+    val = bu.f32_be(value) if dt == DataType.FLOAT else bu.f64_be(value)
+    return header + bu.size_be(n, cfg.size_type) + val
 
 
-def _store_ori_float(cfg, fmin, fmax, flat, n) -> bytes:
-    header = md.make_header(cfg, DataType.FLOAT, fmin, fmax, lossless=True)
-    be = flat.astype(">f4").tobytes()
+def _store_ori(cfg, dt, fmin, fmax, flat, n) -> bytes:
+    header = md.make_header(cfg, dt, fmin, fmax, lossless=True)
+    be = flat.astype(">f4" if dt == DataType.FLOAT else ">f8").tobytes()
     return header + bu.size_be(n, cfg.size_type) + be
 
 
@@ -184,9 +178,9 @@ def decompress(blob: bytes, shape, dtype=np.float32) -> np.ndarray:
     ds_len = bu.read_size_be(inner, off, hdr.size_type)
     off += hdr.size_type
 
+    be_t = ">f4" if dt == DataType.FLOAT else ">f8"
     if hdr.lossless:
-        out = np.frombuffer(inner, dtype=">f4" if dt == DataType.FLOAT
-                            else ">f8", count=n, offset=off)
+        out = np.frombuffer(inner, dtype=be_t, count=n, offset=off)
         return out.astype(dtype).reshape(shape)
     if hdr.same:
         v = bu.read_f32_be(inner, off) if dt == DataType.FLOAT \
@@ -194,13 +188,15 @@ def decompress(blob: bytes, shape, dtype=np.float32) -> np.ndarray:
         return np.full(shape, v, dtype=dtype)
     if hdr.regression:
         body = inner[off:]
-        if len(dims) == 3:
-            out = float3d.decompress(body, *dims, size_type=hdr.size_type)
-        elif len(dims) == 4:
-            out = float3d.decompress(body, dims[0] * dims[1], dims[2],
-                                     dims[3], size_type=hdr.size_type)
+        if len(dims) == 4:
+            dims3 = (dims[0] * dims[1], dims[2], dims[3])
+            out = regnd.decompress(body, dims3, dtype,
+                                   size_type=hdr.size_type)
+        elif len(dims) in (2, 3):
+            out = regnd.decompress(body, dims, dtype,
+                                   size_type=hdr.size_type)
         else:
-            raise NotImplementedError("1D/2D regression decode lands next")
+            raise NotImplementedError("1D regression decode lands next")
         return out.reshape(shape)
     raise NotImplementedError("classic (SZ1.4) stream decode lands next")
 

@@ -1,14 +1,16 @@
 """Quantization-interval optimizer (sampled error histogram).
 
-Replicates optimize_intervals_float_3D_with_freq_and_dense_pos
-(sz_float.c:6396-6523): a strided sampling walk whose index sequence is
-pure integer arithmetic (independent of the data), a histogram of Lorenzo
-prediction errors in units of 2*eb, and a value-frequency histogram that
-locates the densest value ("dense_pos") for the mean-flush optimization.
+Replicates optimize_intervals_{float,double}_{2D,3D}_with_freq_and_dense_pos
+(sz_float.c:6396/5405, sz_double.c:5773/4790): strided sampling walks whose
+index sequences are pure integer arithmetic (independent of the data), a
+histogram of Lorenzo prediction errors in units of 2*eb, and a
+value-frequency histogram that locates the densest value ("dense_pos") for
+the mean-flush optimization.
 
 The walk indices are data-independent, so we precompute them (cached per
-shape) and evaluate the histograms vectorized — on numpy here and on the
-TPU for large arrays (the two histograms are trivially data-parallel).
+shape) and evaluate the histograms vectorized — numpy here, TPU kernels in
+sz_tpu.ops for large arrays (both histograms are trivially data-parallel;
+only the tiny strided mean is an ordered reduction).
 """
 
 from __future__ import annotations
@@ -26,8 +28,8 @@ def round_up_to_power_of_2(v: int) -> int:
 
 
 @functools.lru_cache(maxsize=64)
-def _mean_walk_indices(r1: int, r2: int, r3: int) -> np.ndarray:
-    """First sampling walk of the optimizer (sz_float.c:6399-6419):
+def _mean_walk_indices_3d(r1: int, r2: int, r3: int) -> np.ndarray:
+    """First sampling walk of the 3D optimizer (sz_float.c:6399-6419):
     stride ~sqrt(len) with -1 adjustments at r3 / r2*r3 boundaries."""
     length = r1 * r2 * r3
     mean_distance = int(np.sqrt(length))
@@ -50,10 +52,17 @@ def _mean_walk_indices(r1: int, r2: int, r3: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def _sample_walk_indices(r1: int, r2: int, r3: int,
-                         sample_distance: int) -> np.ndarray:
-    """Second sampling walk (sz_float.c:6442-6485).  The index update
-    depends only on counters, never on data, so it is precomputable."""
+def _mean_walk_indices_2d(r1: int, r2: int) -> np.ndarray:
+    """2D mean walk (sz_float.c:5407-5418): plain sqrt(len) stride."""
+    length = r1 * r2
+    mean_distance = int(np.sqrt(length))
+    return np.arange(0, length, mean_distance, dtype=np.int64)
+
+
+@functools.lru_cache(maxsize=64)
+def _sample_walk_indices_3d(r1: int, r2: int, r3: int,
+                            sample_distance: int) -> np.ndarray:
+    """Second 3D sampling walk (sz_float.c:6442-6485); counter-driven."""
     length = r1 * r2 * r3
     r23 = r2 * r3
     offset_count = sample_distance - 2
@@ -81,40 +90,35 @@ def _sample_walk_indices(r1: int, r2: int, r3: int,
     return np.array(idx, dtype=np.int64)
 
 
-def optimize_intervals_3d_freq_dense(flat: np.ndarray, r1: int, r2: int,
-                                     r3: int, real_precision: float,
-                                     max_range_radius: int,
-                                     sample_distance: int,
-                                     pred_threshold: float):
-    """Returns (quantization_intervals, dense_pos, max_freq, mean_freq).
+@functools.lru_cache(maxsize=64)
+def _sample_walk_indices_2d(r1: int, r2: int,
+                            sample_distance: int) -> np.ndarray:
+    """2D sampling walk (sz_float.c:5438-5473)."""
+    length = r1 * r2
+    offset_count = sample_distance - 1
+    pos = r2 + offset_count
+    n1_count = 1
+    idx = []
+    while pos < length:
+        idx.append(pos)
+        offset_count += sample_distance
+        if offset_count >= r2:
+            n1_count += 1
+            offset_count_2 = n1_count % sample_distance
+            pos += (r2 + sample_distance - offset_count) + \
+                   (sample_distance - offset_count_2)
+            offset_count = sample_distance - offset_count_2
+            if offset_count == 0:
+                offset_count += 1
+        else:
+            pos += sample_distance
+    return np.array(idx, dtype=np.int64)
 
-    ``flat`` is the float32 array flattened row-major; real_precision is the
-    double-precision bound (the optimizer works in double, sz_float.c:6396).
-    """
-    r23 = r2 * r3
-    length = r1 * r2 * r3
-    rp = float(real_precision)
 
-    # -- mean over the sqrt-stride walk: sequential float32 accumulation
-    midx = _mean_walk_indices(r1, r2, r3)
-    mean = _seq_sum_f32(flat[midx])
-    if len(midx) > 0:
-        mean = np.float32(mean / np.float32(len(midx)))
-
-    # -- sampled Lorenzo-error histogram + value-frequency histogram
-    sidx = _sample_walk_indices(r1, r2, r3, sample_distance)
-    sample_count = len(sidx)
-    d = flat
-    cur = d[sidx]
-    # 7-point Lorenzo predictor, exact float32 left-to-right order
-    pred = d[sidx - 1] + d[sidx - r3]
-    pred = pred + d[sidx - r23]
-    pred = pred - d[sidx - 1 - r23]
-    pred = pred - d[sidx - r3 - 1]
-    pred = pred - d[sidx - r3 - r23]
-    pred = pred + d[sidx - r3 - r23 - 1]
-    # C: fabs(pred_value - *data_pos) — float32 subtraction, then the
-    # double-typed fabs; replicate the promotion order exactly
+def _finish(cur, pred, mean, rp, sample_count, max_range_radius,
+            pred_threshold, T):
+    """Common histogram + selection logic shared by 2D/3D."""
+    # C: fabs(pred_value - *data_pos) — subtraction in T, then double fabs
     pred_err = np.abs((pred - cur).astype(np.float64))
     freq_count = int(np.count_nonzero(pred_err < rp))
 
@@ -122,18 +126,21 @@ def optimize_intervals_3d_freq_dense(flat: np.ndarray, r1: int, r2: int,
     np.minimum(radius_index, max_range_radius - 1, out=radius_index)
     intervals = np.bincount(radius_index, minlength=max_range_radius)
 
-    # value-frequency histogram around the sampled mean
     range_ = 8192
     radius = 4096
     mean_diff = (cur - mean).astype(np.float64)
-    trunc = np.trunc(mean_diff / rp).astype(np.int64)
-    freq_index = np.where(mean_diff > 0, trunc + radius, trunc - 1 + radius)
+    with np.errstate(invalid="ignore", over="ignore"):
+        # C casts the double quotient with cvttsd2si: NaN/inf/overflow all
+        # yield INT64_MIN, exactly like numpy's int64 cast on x86; the
+        # subsequent +/- wraps like C in practice — keep both behaviors
+        trunc = np.trunc(mean_diff / rp).astype(np.int64)
+        freq_index = np.where(mean_diff > 0, trunc + radius,
+                              trunc - 1 + radius)
     freq_index = np.clip(freq_index, 0, range_ - 1)
     freq_intervals = np.bincount(freq_index, minlength=range_)
 
-    max_freq = np.float32(freq_count * 1.0 / sample_count)
+    max_freq = T(freq_count * 1.0 / sample_count)
 
-    # pick smallest 2*(i+1) covering predThreshold of samples
     target = int(sample_count * pred_threshold)
     csum = np.cumsum(intervals)
     over = np.flatnonzero(csum > target)
@@ -143,31 +150,76 @@ def optimize_intervals_3d_freq_dense(flat: np.ndarray, r1: int, r2: int,
     if pow2 < 32:
         pow2 = 32
 
-    # densest adjacent pair (sz_float.c:6505-6517): scan i in [1, range-3],
-    # summing freq[i]+freq[i+1]
     pair = freq_intervals[1:range_ - 2] + freq_intervals[2:range_ - 1]
     if len(pair):
         max_index = int(np.argmax(pair)) + 1
         max_sum = int(pair[max_index - 1])
     else:  # pragma: no cover
         max_index, max_sum = 0, 0
-    dense_pos = np.float32(np.float64(mean) + rp * (max_index + 1 - radius))
-    mean_freq = np.float32(max_sum * 1.0 / sample_count)
+    dense_pos = T(np.float64(mean) + rp * (max_index + 1 - radius))
+    mean_freq = T(max_sum * 1.0 / sample_count)
     return int(pow2), dense_pos, max_freq, mean_freq
 
 
-def _seq_sum_f32(vals: np.ndarray) -> np.float32:
-    """Strictly sequential float32 accumulation (C `float mean += ...`).
+def optimize_intervals_3d_freq_dense(flat, r1, r2, r3, real_precision,
+                                     max_range_radius, sample_distance,
+                                     pred_threshold, T=np.float32):
+    """(quantization_intervals, dense_pos, max_freq, mean_freq)."""
+    r23 = r2 * r3
+    rp = float(real_precision)
+
+    midx = _mean_walk_indices_3d(r1, r2, r3)
+    mean = seq_sum(flat[midx], T)
+    if len(midx) > 0:
+        mean = T(mean / T(len(midx)))
+
+    sidx = _sample_walk_indices_3d(r1, r2, r3, sample_distance)
+    d = flat
+    cur = d[sidx]
+    pred = d[sidx - 1] + d[sidx - r3]
+    pred = pred + d[sidx - r23]
+    pred = pred - d[sidx - 1 - r23]
+    pred = pred - d[sidx - r3 - 1]
+    pred = pred - d[sidx - r3 - r23]
+    pred = pred + d[sidx - r3 - r23 - 1]
+    return _finish(cur, pred, mean, rp, len(sidx), max_range_radius,
+                   pred_threshold, T)
+
+
+def optimize_intervals_2d_freq_dense(flat, r1, r2, real_precision,
+                                     max_range_radius, sample_distance,
+                                     pred_threshold, T=np.float32):
+    rp = float(real_precision)
+    midx = _mean_walk_indices_2d(r1, r2)
+    mean = seq_sum(flat[midx], T)
+    if len(midx) > 0:
+        mean = T(mean / T(len(midx)))
+
+    sidx = _sample_walk_indices_2d(r1, r2, sample_distance)
+    d = flat
+    cur = d[sidx]
+    pred = d[sidx - 1] + d[sidx - r2] - d[sidx - r2 - 1]
+    return _finish(cur, pred, mean, rp, len(sidx), max_range_radius,
+                   pred_threshold, T)
+
+
+def seq_sum(vals: np.ndarray, T=np.float32):
+    """Strictly sequential accumulation in dtype T (C `T acc += ...`).
 
     numpy's reduce is pairwise, so emulate the serial order.  Uses the
     native helper when available; pure-python fallback otherwise.
     """
+    vals = np.asarray(vals, dtype=T)
     try:
-        from sz_tpu.native import seq_sum_f32 as _native
+        from sz_tpu import native
 
-        return _native(vals)
+        return native.seq_sum(vals)
     except Exception:
-        acc = np.float32(0.0)
-        for v in np.asarray(vals, dtype=np.float32):
-            acc = np.float32(acc + v)
+        acc = T(0.0)
+        for v in vals:
+            acc = T(acc + v)
         return acc
+
+
+# backward-compat alias used by early tests
+_seq_sum_f32 = seq_sum

@@ -1,0 +1,787 @@
+"""SZ2.1 blocked-regression codec, generic over rank (2D/3D) and dtype.
+
+Host-reference implementation defining the exact numerical contract of
+the reference kernels:
+  float 3D: SZ_compress_float_3D_MDQ_nonblocked_with_blocked_regression
+            (sz_float.c:6527) / decoder (szd_float.c:3483)
+  float 2D: sz_float.c:5516 (block_size=16, 3 coeffs, use_mean forced 0,
+            noise=0.81*eb, and the sampling quirk a*(i-1) at
+            sz_float.c:6023)
+  double:   sz_double.c:5904 / :4900 — same structure in float64 with
+            8-byte precision/mean/unpredictable fields
+
+The TPU engine (sz_tpu.ops/engine) reproduces these semantics with
+vectorized wavefront kernels; this module is the oracle it is tested
+against, and the fallback when JAX is unavailable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+from sz_tpu.core import blocks as B
+from sz_tpu.core import optimizer as opt
+from sz_tpu.format import bytes_util as bu
+from sz_tpu.format import huffman
+
+COEFF_CAPACITY = 65536
+COEFF_RADIUS = COEFF_CAPACITY // 2
+
+
+@dataclasses.dataclass
+class EncodeResult:
+    body: bytes
+    quantization_intervals: int
+    use_mean: bool
+    reg_count: int
+    total_unpred: int
+
+
+@dataclasses.dataclass(frozen=True)
+class _Spec:
+    """Rank/dtype-dependent constants."""
+
+    rank: int
+    T: type  # numpy scalar type
+    block_size: int
+    ncoeff: int
+    noise_factor: float
+    rel_param_err_expr: float  # 0.025 (3D) | 0.15/3 (2D), as C double
+    esize: int  # element byte size
+
+    @property
+    def fmt_le(self):
+        return "<f4" if self.T is np.float32 else "<f8"
+
+
+def _spec(rank: int, dtype) -> _Spec:
+    T = np.float32 if np.dtype(dtype) == np.float32 else np.float64
+    esize = 4 if T is np.float32 else 8
+    if rank == 3:
+        return _Spec(3, T, 6, 4, 1.22, 0.025, esize)
+    elif rank == 2:
+        return _Spec(2, T, 16, 3, 0.81, 0.15 / 3, esize)
+    raise ValueError(f"rank {rank} unsupported by regression codec")
+
+
+def _val_be(spec: _Spec, v) -> bytes:
+    return bu.f32_be(v) if spec.T is np.float32 else bu.f64_be(v)
+
+
+def _val_le(spec: _Spec, v) -> bytes:
+    return bu.f32_le(v) if spec.T is np.float32 else bu.f64_le(v)
+
+
+# ---------------------------------------------------------------------------
+# Regression coefficients
+# ---------------------------------------------------------------------------
+
+def _regions(db: B.DimBlocks):
+    return [(0, db.split, db.early), (db.split, db.num, db.late)]
+
+
+def _iter_regions(dbs):
+    """Yield (ranges, lens) for the cartesian product of early/late regions."""
+    import itertools
+
+    for combo in itertools.product(*[_regions(db) for db in dbs]):
+        ranges = [(c[0], c[1]) for c in combo]
+        lens = [c[2] for c in combo]
+        if all(r0 < r1 for r0, r1 in ranges):
+            yield ranges, lens
+
+
+def _gather_blocks(data, dbs, ranges, lens):
+    """All blocks of one uniform region as [*nblocks, *blocklens]."""
+    starts = [db.start(r0) for db, (r0, r1) in zip(dbs, ranges)]
+    nb = [r1 - r0 for r0, r1 in ranges]
+    ix = tuple(slice(s, s + n * ln) for s, n, ln in zip(starts, nb, lens))
+    sub = data[ix]
+    rank = len(dbs)
+    shape = []
+    for n, ln in zip(nb, lens):
+        shape += [n, ln]
+    sub = sub.reshape(shape)
+    perm = list(range(0, 2 * rank, 2)) + list(range(1, 2 * rank, 2))
+    return np.ascontiguousarray(sub.transpose(perm)), nb
+
+
+def _flat_block_idx(dbs, ranges, nb):
+    grids = np.meshgrid(*[np.arange(r0, r1) for r0, r1 in ranges],
+                        indexing="ij")
+    idx = grids[0]
+    for d in range(1, len(dbs)):
+        idx = idx * dbs[d].num + grids[d]
+    return idx.ravel()
+
+
+def compute_reg_coeffs(data, dbs, spec: _Spec) -> np.ndarray:
+    """float/double[num_blocks, ncoeff], exact accumulation order."""
+    T = spec.T
+    num_blocks = int(np.prod([db.num for db in dbs]))
+    coeffs = np.zeros((num_blocks, spec.ncoeff), dtype=T)
+    with np.errstate(all="ignore"):
+        for ranges, lens in _iter_regions(dbs):
+            sub, nb = _gather_blocks(data, dbs, ranges, lens)
+            nblk = int(np.prod(nb))
+            s = sub.reshape(nblk, *lens)
+            if spec.rank == 3:
+                cbx, cby, cbz = lens
+                fx = np.zeros(nblk, T)
+                fy = np.zeros(nblk, T)
+                fz = np.zeros(nblk, T)
+                f = np.zeros(nblk, T)
+                for ii in range(cbx):
+                    sum_x = np.zeros(nblk, T)
+                    for jj in range(cby):
+                        sum_y = np.zeros(nblk, T)
+                        for kk in range(cbz):
+                            cur = s[:, ii, jj, kk]
+                            sum_y += cur
+                            fz += cur * T(kk)
+                        fy += sum_y * T(jj)
+                        sum_x += sum_y
+                    fx += sum_x * T(ii)
+                    f += sum_x
+                coeff = T(1.0 / (cbx * cby * cbz))
+                a = (2 * fx / T(cbx - 1) - f) * T(6) * coeff / T(cbx + 1)
+                b = (2 * fy / T(cby - 1) - f) * T(6) * coeff / T(cby + 1)
+                c = (2 * fz / T(cbz - 1) - f) * T(6) * coeff / T(cbz + 1)
+                d = (f * coeff - (T(cbx - 1) * a / T(2)
+                                  + T(cby - 1) * b / T(2)
+                                  + T(cbz - 1) * c / T(2)))
+                cols = (a, b, c, d)
+            else:
+                cbx, cby = lens
+                fx = np.zeros(nblk, T)
+                fy = np.zeros(nblk, T)
+                f = np.zeros(nblk, T)
+                for ii in range(cbx):
+                    sum_x = np.zeros(nblk, T)
+                    for jj in range(cby):
+                        cur = s[:, ii, jj]
+                        sum_x += cur
+                        fy += cur * T(jj)
+                    fx += sum_x * T(ii)
+                    f += sum_x
+                coeff = T(1.0 / (cbx * cby))
+                a = (2 * fx / T(cbx - 1) - f) * T(6) * coeff / T(cbx + 1)
+                b = (2 * fy / T(cby - 1) - f) * T(6) * coeff / T(cby + 1)
+                c = (f * coeff - (T(cbx - 1) * a / T(2)
+                                  + T(cby - 1) * b / T(2)))
+                cols = (a, b, c)
+            flat_idx = _flat_block_idx(dbs, ranges, nb)
+            for e, col in enumerate(cols):
+                coeffs[flat_idx, e] = col
+    return coeffs
+
+
+# ---------------------------------------------------------------------------
+# Predictor selection
+# ---------------------------------------------------------------------------
+
+def select_predictor(data, coeffs, dbs, spec: _Spec, noise, use_mean,
+                     mean) -> np.ndarray:
+    T = spec.T
+    num_blocks = int(np.prod([db.num for db in dbs]))
+    use_reg = np.zeros(num_blocks, dtype=bool)
+    for ranges, lens in _iter_regions(dbs):
+        sub, nb = _gather_blocks(data, dbs, ranges, lens)
+        nblk = int(np.prod(nb))
+        s = sub.reshape(nblk, *lens)
+        flat_idx = _flat_block_idx(dbs, ranges, nb)
+        cf = coeffs[flat_idx]
+        err_sz = np.zeros(nblk, T)
+        err_reg = np.zeros(nblk, T)
+        bs = min(lens)
+        for i in range(1, bs):
+            bmi = bs - i
+            if spec.rank == 3:
+                pts = (((i, i, i), (T(i), T(i), T(i))),
+                       ((i, i, bmi), (T(i), T(i), T(bmi))),
+                       ((i, bmi, i), (T(i), T(bmi), T(i))),
+                       ((i, bmi, bmi), (T(i), T(bmi), T(bmi))))
+            else:
+                # 2D second sample uses a*(i-1) (sz_float.c:6023)
+                pts = (((i, i), (T(i), T(i))),
+                       ((i, bmi), (T(i - 1), T(bmi))))
+            for pidx, pcoef in pts:
+                cur = s[(slice(None),) + pidx]
+                if spec.rank == 3:
+                    pi, pj, pk = pidx
+                    p = s[:, pi, pj, pk - 1] + s[:, pi, pj - 1, pk]
+                    p = p + s[:, pi - 1, pj, pk]
+                    p = p - s[:, pi, pj - 1, pk - 1]
+                    p = p - s[:, pi - 1, pj, pk - 1]
+                    p = p - s[:, pi - 1, pj - 1, pk]
+                    p = p + s[:, pi - 1, pj - 1, pk - 1]
+                    pr = (cf[:, 0] * pcoef[0] + cf[:, 1] * pcoef[1]
+                          + cf[:, 2] * pcoef[2] + cf[:, 3])
+                else:
+                    pi, pj = pidx
+                    p = s[:, pi, pj - 1] + s[:, pi - 1, pj] \
+                        - s[:, pi - 1, pj - 1]
+                    pr = cf[:, 0] * pcoef[0] + cf[:, 1] * pcoef[1] + cf[:, 2]
+                e = np.abs(p - cur) + noise
+                if use_mean:
+                    e = np.minimum(e, np.abs(mean - cur))
+                err_sz += e
+                err_reg += np.abs(pr - cur)
+        use_reg[flat_idx] = err_reg < err_sz
+    return use_reg
+
+
+# ---------------------------------------------------------------------------
+# Coefficient chain
+# ---------------------------------------------------------------------------
+
+def quantize_coeff_chain(coeffs, use_reg, real_precision, dbs, spec: _Spec,
+                         use_mean: bool):
+    T = spec.T
+    nc = spec.ncoeff
+    rel = T(spec.rel_param_err_expr)
+    if spec.rank == 3:
+        precision = [T(rel * real_precision / T(dbs[0].late)),
+                     T(rel * real_precision / T(dbs[1].late)),
+                     T(rel * real_precision / T(dbs[2].late)),
+                     T(rel * real_precision)]
+    else:
+        precision = [T(rel * real_precision / T(dbs[0].late)),
+                     T(rel * real_precision / T(dbs[1].late)),
+                     T(rel * real_precision)]
+    precision = np.array(precision, dtype=T)
+    recip = np.array([T(1) / p for p in precision], dtype=T)
+
+    reg_idx = np.flatnonzero(use_reg)
+    reg_count = len(reg_idx)
+    ctypes = np.zeros((nc, reg_count), dtype=np.int32)
+    unpred = [[] for _ in range(nc)]
+    qcoeffs = np.zeros((reg_count, nc), dtype=T)
+    last = [T(0)] * nc
+    cap = T(COEFF_CAPACITY)
+    for n in range(reg_count):
+        bidx = reg_idx[n]
+        for e in range(nc):
+            cur = coeffs[bidx, e]
+            diff = T(cur - last[e])
+            if use_mean:
+                # 3D mean branch multiplies by the reciprocal
+                itv = T(T(abs(diff)) * recip[e] + T(1))
+            else:
+                itv = T(T(abs(diff)) / precision[e] + T(1))
+            if itv < cap:
+                if diff < 0:
+                    itv = -itv
+                t = int(itv / T(2)) + COEFF_RADIUS
+                rec = T(last[e] + T(2 * (t - COEFF_RADIUS)) * precision[e])
+                if T(abs(T(cur - rec))) > precision[e]:
+                    ctypes[e, n] = 0
+                    last[e] = cur
+                    unpred[e].append(cur)
+                else:
+                    ctypes[e, n] = t
+                    last[e] = rec
+            else:
+                ctypes[e, n] = 0
+                last[e] = cur
+                unpred[e].append(cur)
+            qcoeffs[n, e] = last[e]
+    return ctypes, unpred, qcoeffs, precision
+
+
+def _quant_point(cur, pred, rp, recip, capacity, radius, T):
+    diff = T(cur - pred)
+    itv = T(T(abs(diff)) * recip + T(1))
+    if itv < capacity:
+        if diff < 0:
+            itv = -itv
+        t = int(itv / T(2)) + radius
+        rec = T(pred + T(2 * (t - radius)) * rp)
+        if T(abs(T(cur - rec))) > rp:
+            return 0, cur
+        return t, rec
+    return 0, cur
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
+             sample_distance: int, pred_threshold, opt_quant_mode: int = 1,
+             fixed_intervals: int = 0, size_type: int = 8) -> EncodeResult:
+    rank = data.ndim
+    spec = _spec(rank, data.dtype)
+    T = spec.T
+    data = np.ascontiguousarray(data, dtype=T)
+    flat = data.reshape(-1)
+    rp = T(real_precision)
+    recip = T(T(1) / rp)
+
+    dbs = [B.dim_blocks(r, spec.block_size) for r in data.shape]
+    num_blocks = int(np.prod([db.num for db in dbs]))
+
+    coeffs = compute_reg_coeffs(data, dbs, spec)
+
+    use_mean = False
+    mean = T(0)
+    if opt_quant_mode == 1:
+        if rank == 3:
+            intervals, dense_pos, max_freq, mean_freq = \
+                opt.optimize_intervals_3d_freq_dense(
+                    flat, *data.shape, float(real_precision),
+                    max_range_radius, sample_distance, pred_threshold, T=T)
+        else:
+            intervals, dense_pos, max_freq, mean_freq = \
+                opt.optimize_intervals_2d_freq_dense(
+                    flat, *data.shape, float(real_precision),
+                    max_range_radius, sample_distance, pred_threshold, T=T)
+        use_mean = bool(mean_freq > 0.5) or bool(mean_freq > max_freq)
+    else:
+        intervals = fixed_intervals
+    quantization_intervals = intervals
+
+    if rank == 2:
+        use_mean = False  # forced (sz_float.c:5615, sz_double.c:4999)
+
+    if use_mean:
+        mask = np.abs(data - dense_pos) < rp
+        vals = flat[np.flatnonzero(mask.reshape(-1))]
+        if len(vals):
+            s = opt.seq_sum(vals, T)
+            mean = T(s / T(len(vals)))
+
+    noise = T(np.float64(rp) * spec.noise_factor)
+    use_reg = select_predictor(data, coeffs, dbs, spec, noise, use_mean,
+                               mean)
+    ctypes, cunpred, qcoeffs, cprec = quantize_coeff_chain(
+        coeffs, use_reg, rp, dbs, spec, use_mean)
+    reg_count = int(use_reg.sum())
+
+    if rank == 3:
+        result_type, unpred_arr = _encode_points_3d(
+            data, dbs, spec, use_reg, qcoeffs, rp, recip, intervals,
+            use_mean, mean)
+    else:
+        result_type, unpred_arr = _encode_points_2d(
+            data, dbs, spec, use_reg, qcoeffs, rp, recip, intervals,
+            use_mean, mean)
+    total_unpred = len(unpred_arr)
+
+    tables = huffman.build_tables(result_type, 2 * quantization_intervals)
+    encoded = huffman.encode(tables, result_type)
+
+    out = bytearray()
+    out += bu.i32_be(spec.block_size)
+    out += _val_be(spec, rp)
+    out += bu.i32_be(quantization_intervals)
+    out += bu.i32_be(len(tables.tree_bytes))
+    out += bu.i32_be(tables.node_count)
+    out += tables.tree_bytes
+    out += bytes([1 if use_mean else 0])
+    out += _val_le(spec, mean)
+    out += bu.pack_bits_1(~use_reg)
+    if reg_count > 0:
+        for e in range(spec.ncoeff):
+            ct = huffman.build_tables(ctypes[e], 2 * COEFF_CAPACITY)
+            cenc = huffman.encode(ct, ctypes[e])
+            out += _val_be(spec, cprec[e])
+            out += bu.i32_be(COEFF_RADIUS)
+            out += bu.i32_be(len(ct.tree_bytes))
+            out += bu.i32_be(ct.node_count)
+            out += ct.tree_bytes
+            out += bu.size_be(len(cenc), size_type)
+            out += cenc
+            out += bu.i32_be(len(cunpred[e]))
+            out += np.array(cunpred[e], dtype=spec.fmt_le).tobytes()
+    out += struct.pack("<Q", total_unpred)
+    out += unpred_arr.astype(spec.fmt_le).tobytes()
+    out += encoded
+    return EncodeResult(body=bytes(out),
+                        quantization_intervals=quantization_intervals,
+                        use_mean=use_mean, reg_count=reg_count,
+                        total_unpred=total_unpred)
+
+
+def _encode_points_3d(data, dbs, spec, use_reg, qcoeffs, rp, recip,
+                      intervals, use_mean, mean):
+    T = spec.T
+    bx, by, bz = dbs
+    r1, r2, r3 = data.shape
+    cap = intervals
+    radius = intervals // 2
+    cap_sz = cap - 2
+    result_type = np.zeros(r1 * r2 * r3, dtype=np.int32)
+    unpred_chunks = []
+    strip = np.zeros((bx.early + 1, r2 + 1, r3 + 1), dtype=T)
+    next_strip = np.zeros_like(strip)
+    qn = 0
+    for i in range(bx.num):
+        cbx = bx.count(i)
+        ox = bx.start(i)
+        for j in range(by.num):
+            cby = by.count(j)
+            oy = by.start(j)
+            tpos = ox * r2 * r3 + oy * cbx * r3
+            for k in range(bz.num):
+                cbz = bz.count(k)
+                oz = bz.start(k)
+                bidx = (i * by.num + j) * bz.num + k
+                block = data[ox:ox + cbx, oy:oy + cby, oz:oz + cbz]
+                btypes = np.zeros((cbx, cby, cbz), dtype=np.int32)
+                bunpred = []
+                if use_reg[bidx]:
+                    lc = qcoeffs[qn]
+                    qn += 1
+                    for ii in range(cbx):
+                        for jj in range(cby):
+                            for kk in range(cbz):
+                                cur = block[ii, jj, kk]
+                                pred = T(lc[0] * T(ii) + lc[1] * T(jj)
+                                         + lc[2] * T(kk) + lc[3])
+                                t, rec = _quant_point(cur, pred, rp, recip,
+                                                      cap, radius, T)
+                                if t == 0:
+                                    bunpred.append(cur)
+                                btypes[ii, jj, kk] = t
+                                if (jj == cby - 1) or (kk == cbz - 1):
+                                    strip[ii + 1, oy + jj + 1,
+                                          oz + kk + 1] = rec
+                                if ii == cbx - 1:
+                                    next_strip[0, oy + jj + 1,
+                                               oz + kk + 1] = rec
+                else:
+                    for ii in range(cbx):
+                        for jj in range(cby):
+                            for kk in range(cbz):
+                                cur = block[ii, jj, kk]
+                                if use_mean and T(abs(T(cur - mean))) <= rp:
+                                    t = radius
+                                    rec = mean
+                                else:
+                                    sx = ii + 1
+                                    sy = oy + jj + 1
+                                    sz_ = oz + kk + 1
+                                    p = strip[sx, sy, sz_ - 1] \
+                                        + strip[sx, sy - 1, sz_]
+                                    p = p + strip[sx - 1, sy, sz_]
+                                    p = p - strip[sx, sy - 1, sz_ - 1]
+                                    p = p - strip[sx - 1, sy, sz_ - 1]
+                                    p = p - strip[sx - 1, sy - 1, sz_]
+                                    p = p + strip[sx - 1, sy - 1, sz_ - 1]
+                                    t, rec = _quant_point(cur, T(p), rp,
+                                                          recip, cap_sz,
+                                                          radius, T)
+                                    if use_mean and t != 0 and t <= radius:
+                                        t -= 1
+                                if t == 0:
+                                    bunpred.append(cur)
+                                btypes[ii, jj, kk] = t
+                                strip[ii + 1, oy + jj + 1, oz + kk + 1] = rec
+                                if ii == cbx - 1:
+                                    next_strip[0, oy + jj + 1,
+                                               oz + kk + 1] = rec
+                n = cbx * cby * cbz
+                result_type[tpos:tpos + n] = btypes.reshape(-1)
+                tpos += n
+                if bunpred:
+                    unpred_chunks.append(np.array(bunpred, dtype=T))
+        strip, next_strip = next_strip, strip
+    arr = (np.concatenate(unpred_chunks) if unpred_chunks
+           else np.zeros(0, dtype=T))
+    return result_type, arr
+
+
+def _encode_points_2d(data, dbs, spec, use_reg, qcoeffs, rp, recip,
+                      intervals, use_mean, mean):
+    T = spec.T
+    bx, by = dbs
+    r1, r2 = data.shape
+    cap = intervals
+    radius = intervals // 2
+    cap_sz = cap - 2
+    result_type = np.zeros(r1 * r2, dtype=np.int32)
+    unpred_chunks = []
+    strip = np.zeros((bx.early + 1, r2 + 1), dtype=T)
+    next_strip = np.zeros_like(strip)
+    qn = 0
+    for i in range(bx.num):
+        cbx = bx.count(i)
+        ox = bx.start(i)
+        tpos = ox * r2
+        for j in range(by.num):
+            cby = by.count(j)
+            oy = by.start(j)
+            bidx = i * by.num + j
+            block = data[ox:ox + cbx, oy:oy + cby]
+            btypes = np.zeros((cbx, cby), dtype=np.int32)
+            bunpred = []
+            if use_reg[bidx]:
+                lc = qcoeffs[qn]
+                qn += 1
+                for ii in range(cbx):
+                    for jj in range(cby):
+                        cur = block[ii, jj]
+                        pred = T(lc[0] * T(ii) + lc[1] * T(jj) + lc[2])
+                        t, rec = _quant_point(cur, pred, rp, recip, cap,
+                                              radius, T)
+                        if t == 0:
+                            bunpred.append(cur)
+                        btypes[ii, jj] = t
+                        if jj == cby - 1:
+                            strip[ii + 1, oy + jj + 1] = rec
+                        if ii == cbx - 1:
+                            next_strip[0, oy + jj + 1] = rec
+            else:
+                for ii in range(cbx):
+                    for jj in range(cby):
+                        cur = block[ii, jj]
+                        sx, sy = ii + 1, oy + jj + 1
+                        p = strip[sx, sy - 1] + strip[sx - 1, sy] \
+                            - strip[sx - 1, sy - 1]
+                        t, rec = _quant_point(cur, T(p), rp, recip, cap_sz,
+                                              radius, T)
+                        if t == 0:
+                            bunpred.append(cur)
+                        btypes[ii, jj] = t
+                        strip[ii + 1, oy + jj + 1] = rec
+                        if ii == cbx - 1:
+                            next_strip[0, oy + jj + 1] = rec
+            n = cbx * cby
+            result_type[tpos:tpos + n] = btypes.reshape(-1)
+            tpos += n
+            if bunpred:
+                unpred_chunks.append(np.array(bunpred, dtype=T))
+        strip, next_strip = next_strip, strip
+    arr = (np.concatenate(unpred_chunks) if unpred_chunks
+           else np.zeros(0, dtype=T))
+    return result_type, arr
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+def decompress(body: bytes, shape, dtype, size_type: int = 8) -> np.ndarray:
+    rank = len(shape)
+    spec = _spec(rank, dtype)
+    T = spec.T
+    pos = 0
+    block_size = bu.read_i32_be(body, pos)
+    pos += 4
+    if T is np.float32:
+        rp = bu.read_f32_be(body, pos)
+        pos += 4
+    else:
+        rp = bu.read_f64_be(body, pos)
+        pos += 8
+    intervals = bu.read_i32_be(body, pos)
+    pos += 4
+    tree_size = bu.read_i32_be(body, pos)
+    pos += 4
+    node_count = bu.read_i32_be(body, pos)
+    pos += 4
+    L, R, C, Tt = huffman.deserialize_tree(body[pos:pos + tree_size],
+                                           node_count)
+    pos += tree_size
+    use_mean = body[pos]
+    pos += 1
+    if T is np.float32:
+        mean = bu.read_f32_le(body, pos)
+        pos += 4
+    else:
+        mean = bu.read_f64_le(body, pos)
+        pos += 8
+
+    dbs = [B.dim_blocks(r, block_size) for r in shape]
+    num_blocks = int(np.prod([db.num for db in dbs]))
+    ind_len = (num_blocks - 1) // 8 + 1
+    indicator = bu.unpack_bits_1(body[pos:pos + ind_len], num_blocks)
+    pos += ind_len
+    reg_count = int(np.count_nonzero(indicator == 0))
+
+    nc = spec.ncoeff
+    coeff_types = np.zeros((nc, max(reg_count, 1)), dtype=np.int32)
+    coeff_unpred = [np.zeros(0, dtype=T)] * nc
+    cprec = np.zeros(nc, dtype=T)
+    cradius = np.zeros(nc, dtype=np.int64)
+    if reg_count > 0:
+        for e in range(nc):
+            if T is np.float32:
+                cprec[e] = bu.read_f32_be(body, pos)
+                pos += 4
+            else:
+                cprec[e] = bu.read_f64_be(body, pos)
+                pos += 8
+            cradius[e] = bu.read_i32_be(body, pos)
+            pos += 4
+            tsz = bu.read_i32_be(body, pos)
+            pos += 4
+            ncnt = bu.read_i32_be(body, pos)
+            pos += 4
+            cL, cR, cC, cT = huffman.deserialize_tree(body[pos:pos + tsz],
+                                                      ncnt)
+            pos += tsz
+            tasz = bu.read_size_be(body, pos, size_type)
+            pos += size_type
+            coeff_types[e] = huffman.decode(cL, cR, cC, cT,
+                                            body[pos:pos + tasz], reg_count)
+            pos += tasz
+            ucnt = bu.read_i32_be(body, pos)
+            pos += 4
+            coeff_unpred[e] = np.frombuffer(body, dtype=spec.fmt_le,
+                                            count=ucnt, offset=pos).copy()
+            pos += spec.esize * ucnt
+
+    total_unpred = struct.unpack_from("<Q", body, pos)[0]
+    pos += 8
+    unpred = np.frombuffer(body, dtype=spec.fmt_le, count=total_unpred,
+                           offset=pos)
+    pos += spec.esize * total_unpred
+    num_elements = int(np.prod(shape))
+    types = huffman.decode(L, R, C, Tt, body[pos:], num_elements)
+
+    qcoeffs = np.zeros((reg_count, nc), dtype=T)
+    cu_cnt = [0] * nc
+    last = [T(0)] * nc
+    for n in range(reg_count):
+        for e in range(nc):
+            t = int(coeff_types[e, n])
+            if t != 0:
+                last[e] = T(last[e] + T(2 * (t - cradius[e])) * cprec[e])
+            else:
+                last[e] = coeff_unpred[e][cu_cnt[e]]
+                cu_cnt[e] += 1
+            qcoeffs[n, e] = last[e]
+
+    if rank == 3:
+        return _decode_points_3d(shape, T, dbs, indicator, qcoeffs, types,
+                                 unpred, intervals, rp, use_mean, mean)
+    return _decode_points_2d(shape, T, dbs, indicator, qcoeffs, types,
+                             unpred, intervals, rp, use_mean, mean)
+
+
+def _decode_points_3d(shape, T, dbs, indicator, qcoeffs, types, unpred,
+                      intervals, rp, use_mean, mean):
+    r1, r2, r3 = shape
+    bx, by, bz = dbs
+    out = np.zeros((r1, r2, r3), dtype=T)
+    radius = intervals // 2
+    tpos = upos = qn = blk = 0
+    for i in range(bx.num):
+        cbx = bx.count(i)
+        ox = bx.start(i)
+        for j in range(by.num):
+            cby = by.count(j)
+            oy = by.start(j)
+            for k in range(bz.num):
+                cbz = bz.count(k)
+                oz = bz.start(k)
+                n = cbx * cby * cbz
+                btypes = types[tpos:tpos + n].reshape(cbx, cby, cbz)
+                tpos += n
+                if indicator[blk]:
+                    for ii in range(cbx):
+                        for jj in range(cby):
+                            for kk in range(cbz):
+                                t = int(btypes[ii, jj, kk])
+                                x, y, z = ox + ii, oy + jj, oz + kk
+                                if use_mean and t == radius:
+                                    out[x, y, z] = mean
+                                elif t == 0:
+                                    out[x, y, z] = unpred[upos]
+                                    upos += 1
+                                else:
+                                    d110 = out[x, y, z - 1] if z else T(0)
+                                    d101 = out[x, y - 1, z] if y else T(0)
+                                    d011 = out[x - 1, y, z] if x else T(0)
+                                    d100 = out[x, y - 1, z - 1] \
+                                        if (y and z) else T(0)
+                                    d010 = out[x - 1, y, z - 1] \
+                                        if (x and z) else T(0)
+                                    d001 = out[x - 1, y - 1, z] \
+                                        if (x and y) else T(0)
+                                    d000 = out[x - 1, y - 1, z - 1] \
+                                        if (x and y and z) else T(0)
+                                    if use_mean and t < radius:
+                                        t += 1
+                                    p = d110 + d101
+                                    p = p + d011
+                                    p = p - d100
+                                    p = p - d010
+                                    p = p - d001
+                                    p = p + d000
+                                    out[x, y, z] = T(
+                                        p + T(2 * (t - radius)) * rp)
+                else:
+                    lc = qcoeffs[qn]
+                    qn += 1
+                    for ii in range(cbx):
+                        for jj in range(cby):
+                            for kk in range(cbz):
+                                t = int(btypes[ii, jj, kk])
+                                x, y, z = ox + ii, oy + jj, oz + kk
+                                if t != 0:
+                                    pred = T(lc[0] * T(ii) + lc[1] * T(jj)
+                                             + lc[2] * T(kk) + lc[3])
+                                    out[x, y, z] = T(
+                                        pred + T(2 * (t - radius)) * rp)
+                                else:
+                                    out[x, y, z] = unpred[upos]
+                                    upos += 1
+                blk += 1
+    return out
+
+
+def _decode_points_2d(shape, T, dbs, indicator, qcoeffs, types, unpred,
+                      intervals, rp, use_mean, mean):
+    r1, r2 = shape
+    bx, by = dbs
+    out = np.zeros((r1, r2), dtype=T)
+    radius = intervals // 2
+    tpos = upos = qn = blk = 0
+    for i in range(bx.num):
+        cbx = bx.count(i)
+        ox = bx.start(i)
+        for j in range(by.num):
+            cby = by.count(j)
+            oy = by.start(j)
+            n = cbx * cby
+            btypes = types[tpos:tpos + n].reshape(cbx, cby)
+            tpos += n
+            if indicator[blk]:
+                for ii in range(cbx):
+                    for jj in range(cby):
+                        t = int(btypes[ii, jj])
+                        x, y = ox + ii, oy + jj
+                        if use_mean and t == radius:
+                            out[x, y] = mean
+                        elif t == 0:
+                            out[x, y] = unpred[upos]
+                            upos += 1
+                        else:
+                            d10 = out[x, y - 1] if y else T(0)
+                            d01 = out[x - 1, y] if x else T(0)
+                            d00 = out[x - 1, y - 1] if (x and y) else T(0)
+                            if use_mean and t < radius:
+                                t += 1
+                            p = d10 + d01 - d00
+                            out[x, y] = T(p + T(2 * (t - radius)) * rp)
+            else:
+                lc = qcoeffs[qn]
+                qn += 1
+                for ii in range(cbx):
+                    for jj in range(cby):
+                        t = int(btypes[ii, jj])
+                        x, y = ox + ii, oy + jj
+                        if t != 0:
+                            pred = T(lc[0] * T(ii) + lc[1] * T(jj) + lc[2])
+                            out[x, y] = T(pred + T(2 * (t - radius)) * rp)
+                        else:
+                            out[x, y] = unpred[upos]
+                            upos += 1
+            blk += 1
+    return out
