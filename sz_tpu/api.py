@@ -20,7 +20,8 @@ from sz_tpu.config import (
 from sz_tpu.format import bytes_util as bu
 from sz_tpu.format import lossless as ll
 from sz_tpu.format import metadata as md
-from sz_tpu.core import regnd
+from sz_tpu.core import classic, regnd
+from sz_tpu.format import tdps as tdps_mod
 
 _DTYPE_MAP = {
     np.dtype(np.float32): DataType.FLOAT,
@@ -130,6 +131,18 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
         header = md.make_header(hdr_cfg, dt, fmin, fmax, regression=True,
                                 random_access=cfg.random_access)
         body = header + bu.size_be(n, cfg.size_type) + res.body
+    elif ndim == 1:
+        median = T(fmin + value_range / T(2))
+        t = classic.compress_1d(
+            data, rp, value_range, median,
+            max_range_radius=cfg.max_range_radius,
+            sample_distance=cfg.sample_distance,
+            pred_threshold=np.float32(cfg.pred_threshold),
+            opt_quant_mode=1 if cfg.quantization_intervals == 0 else 0,
+            fixed_intervals=cfg.quantization_intervals)
+        header = md.make_header(hdr_cfg, dt, fmin, fmax)
+        body = (header + bu.size_be(n, cfg.size_type)
+                + tdps_mod.to_bytes(t, cfg.size_type))
     else:
         raise NotImplementedError(f"{ndim}-D path lands next")
 
@@ -196,9 +209,19 @@ def decompress(blob: bytes, shape, dtype=np.float32) -> np.ndarray:
             out = regnd.decompress(body, dims, dtype,
                                    size_type=hdr.size_type)
         else:
-            raise NotImplementedError("1D regression decode lands next")
+            # 1-D data inside a regression-flagged stream is still classic
+            t = tdps_mod.from_bytes(body, dt, is_pwr=hdr.pw_rel,
+                                    msst19=hdr.pw_rel and hdr.msst19,
+                                    size_type=hdr.size_type)
+            out = classic.decompress_1d(t, n, dtype)
         return out.reshape(shape)
-    raise NotImplementedError("classic (SZ1.4) stream decode lands next")
+    # classic (SZ1.4) stream
+    t = tdps_mod.from_bytes(inner[off:], dt, is_pwr=hdr.pw_rel,
+                            msst19=hdr.pw_rel and hdr.msst19,
+                            size_type=hdr.size_type)
+    if len(dims) == 1:
+        return classic.decompress_1d(t, n, dtype).reshape(shape)
+    raise NotImplementedError("classic 2D/3D decode lands next")
 
 
 def get_metadata(blob: bytes) -> dict:

@@ -399,7 +399,9 @@ def _fsm_decode(next_state, emit_cnt, emit_syms, data_u8, out):
 def encode_with_tree(type_codes: np.ndarray, state_num: int) -> bytes:
     t = build_tables(type_codes, state_num)
     body = encode(t, type_codes)
-    return (bu.u32_be(t.node_count) + bu.u32_be(state_num)
+    # second field is "the real number of intervals" = stateNum/2
+    # (Huffman.c:806)
+    return (bu.u32_be(t.node_count) + bu.u32_be(state_num // 2)
             + t.tree_bytes + body)
 
 
