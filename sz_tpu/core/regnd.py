@@ -255,6 +255,15 @@ def quantize_coeff_chain(coeffs, use_reg, real_precision, dbs, spec: _Spec,
     precision = np.array(precision, dtype=T)
     recip = np.array([T(1) / p for p in precision], dtype=T)
 
+    try:
+        from sz_tpu import native
+        ct, ulist, qc = native.coeff_chain(
+            np.ascontiguousarray(coeffs[np.flatnonzero(use_reg)], dtype=T),
+            precision, use_mean, COEFF_CAPACITY, COEFF_RADIUS)
+        return ct, [list(u) for u in ulist], qc, precision
+    except ImportError:  # pragma: no cover
+        pass
+
     reg_idx = np.flatnonzero(use_reg)
     reg_count = len(reg_idx)
     ctypes = np.zeros((nc, reg_count), dtype=np.int32)
@@ -369,8 +378,20 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
         result_type, unpred_arr = _encode_points_2d(
             data, dbs, spec, use_reg, qcoeffs, rp, recip, intervals,
             use_mean, mean)
-    total_unpred = len(unpred_arr)
 
+    return assemble_body(
+        spec, rp, quantization_intervals, use_mean, mean, use_reg,
+        ctypes, cunpred, cprec, result_type, unpred_arr, size_type)
+
+
+def assemble_body(spec: _Spec, rp, quantization_intervals: int,
+                  use_mean: bool, mean, use_reg, ctypes, cunpred, cprec,
+                  result_type, unpred_arr, size_type: int) -> EncodeResult:
+    """Serialize the regression-codec body (sz_float.c:7392-7473) from
+    already-computed streams.  Shared by the numpy oracle and the TPU
+    engine (sz_tpu.tpu.engine), which produce identical intermediates."""
+    reg_count = int(np.count_nonzero(use_reg))
+    total_unpred = len(unpred_arr)
     tables = huffman.build_tables(result_type, 2 * quantization_intervals)
     encoded = huffman.encode(tables, result_type)
 
@@ -383,7 +404,7 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
     out += tables.tree_bytes
     out += bytes([1 if use_mean else 0])
     out += _val_le(spec, mean)
-    out += bu.pack_bits_1(~use_reg)
+    out += bu.pack_bits_1(~np.asarray(use_reg, dtype=bool))
     if reg_count > 0:
         for e in range(spec.ncoeff):
             ct = huffman.build_tables(ctypes[e], 2 * COEFF_CAPACITY)
@@ -565,7 +586,36 @@ def _encode_points_2d(data, dbs, spec, use_reg, qcoeffs, rp, recip,
 # Decode
 # ---------------------------------------------------------------------------
 
+@dataclasses.dataclass
+class ParsedBody:
+    """Decoded regression-codec body streams, before point reconstruction.
+    Shared between the numpy decoder below and the TPU decoder
+    (sz_tpu.tpu.engine)."""
+
+    spec: object
+    dbs: list
+    rp: object
+    intervals: int
+    use_mean: int
+    mean: object
+    indicator: np.ndarray  # 1 = Lorenzo, 0 = regression, per block
+    qcoeffs: np.ndarray    # reconstructed coeffs, one row per reg block
+    types: np.ndarray      # Huffman-decoded quantization codes, stream order
+    unpred: np.ndarray     # escape values, stream order
+
+
 def decompress(body: bytes, shape, dtype, size_type: int = 8) -> np.ndarray:
+    p = parse_body(body, shape, dtype, size_type)
+    if p.spec.rank == 3:
+        return _decode_points_3d(shape, p.spec.T, p.dbs, p.indicator,
+                                 p.qcoeffs, p.types, p.unpred, p.intervals,
+                                 p.rp, p.use_mean, p.mean)
+    return _decode_points_2d(shape, p.spec.T, p.dbs, p.indicator,
+                             p.qcoeffs, p.types, p.unpred, p.intervals,
+                             p.rp, p.use_mean, p.mean)
+
+
+def parse_body(body: bytes, shape, dtype, size_type: int = 8) -> ParsedBody:
     rank = len(shape)
     spec = _spec(rank, dtype)
     T = spec.T
@@ -657,11 +707,9 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8) -> np.ndarray:
                 cu_cnt[e] += 1
             qcoeffs[n, e] = last[e]
 
-    if rank == 3:
-        return _decode_points_3d(shape, T, dbs, indicator, qcoeffs, types,
-                                 unpred, intervals, rp, use_mean, mean)
-    return _decode_points_2d(shape, T, dbs, indicator, qcoeffs, types,
-                             unpred, intervals, rp, use_mean, mean)
+    return ParsedBody(spec=spec, dbs=dbs, rp=rp, intervals=intervals,
+                      use_mean=use_mean, mean=mean, indicator=indicator,
+                      qcoeffs=qcoeffs, types=types, unpred=unpred)
 
 
 def _decode_points_3d(shape, T, dbs, indicator, qcoeffs, types, unpred,

@@ -26,6 +26,11 @@ import numpy as np
 
 from sz_tpu.format import bytes_util as bu
 
+try:
+    from sz_tpu import native as _native
+except Exception:  # pragma: no cover - fallback when cc is unavailable
+    _native = None
+
 
 @dataclasses.dataclass
 class HuffmanTables:
@@ -280,6 +285,10 @@ def build_tables(type_codes: np.ndarray, state_num: int) -> HuffmanTables:
 def encode(tables: HuffmanTables, type_codes: np.ndarray) -> bytes:
     """Pack the per-symbol variable-length codes MSB-first, zero-padded to a
     byte boundary.  Equivalent to the reference's encode() output."""
+    if _native is not None:
+        return _native.huff_encode(np.asarray(type_codes, np.int32).ravel(),
+                                   tables.code_hi, tables.code_lo,
+                                   tables.code_len)
     syms = np.asarray(type_codes, dtype=np.int64).ravel()
     lens = tables.code_len[syms].astype(np.int64)
     total_bits = int(lens.sum())
@@ -323,6 +332,17 @@ def decode(tree_L, tree_R, tree_C, tree_T, data: bytes,
 
     n_nodes = len(tree_L)
     out = np.empty(count, dtype=np.int32)
+    if _native is not None:
+        # small stream or big tree: direct bit walk beats FSM build cost
+        if count < 4096 or n_nodes * 256 > 64_000_000:
+            return _native.huff_tree_decode(
+                tree_L, tree_R, tree_C, tree_T,
+                np.frombuffer(data, dtype=np.uint8), count)
+        next_state, emit_cnt, emit_syms = _fsm_tables(
+            tree_L, tree_R, tree_C, tree_T)
+        return _native.huff_fsm_decode(
+            next_state, emit_cnt, emit_syms,
+            np.frombuffer(data, dtype=np.uint8), out)
     if n_nodes * 256 <= 64_000_000:
         next_state, emit_cnt, emit_syms = _fsm_tables(
             tree_L, tree_R, tree_C, tree_T)
@@ -347,7 +367,12 @@ _fsm_cache = {}
 
 
 def _fsm_tables(L, R, C, T):
-    """Build (state, byte) -> (next_state, symbols emitted) tables."""
+    """Build (state, byte) -> (next_state, symbols emitted) tables.
+    Cached per tree (repeated decodes of e.g. temporal streams)."""
+    key = (L.tobytes(), R.tobytes(), C.tobytes())
+    hit = _fsm_cache.get(key)
+    if hit is not None:
+        return hit
     n_nodes = len(L)
     # internal states are node indices with T==0
     next_state = np.zeros((n_nodes, 256), dtype=np.int32)
@@ -372,6 +397,9 @@ def _fsm_tables(L, R, C, T):
                 state[idx] = 0
         next_state[s] = state
         emit_cnt[s] = cnt
+    if len(_fsm_cache) > 16:
+        _fsm_cache.clear()
+    _fsm_cache[key] = (next_state, emit_cnt, emit_syms)
     return next_state, emit_cnt, emit_syms
 
 

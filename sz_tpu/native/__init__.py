@@ -1,0 +1,139 @@
+"""ctypes bindings for the native host runtime (core.c).
+
+Builds the shared library on first import if missing (cc -O3).  Every
+entry point has a pure-Python/numpy fallback elsewhere in the package;
+import failure is therefore non-fatal for callers that guard with
+try/except.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+_HERE = pathlib.Path(__file__).resolve().parent
+_SO = _HERE / "_core.so"
+_SRC = _HERE / "core.c"
+
+
+def _build() -> None:
+    # -ffp-contract=off: gcc at -O3 -march=native would otherwise fuse
+    # a*b+c into FMA, breaking bit-parity with the reference binary
+    # (built without -march, i.e. no FMA) and with the numpy oracle.
+    cmd = ["cc", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+           "-fPIC", str(_SRC), "-o", str(_SO), "-lm"]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+    _build()
+
+_lib = ctypes.CDLL(str(_SO))
+
+_lib.seq_sum_f32.restype = ctypes.c_float
+_lib.seq_sum_f64.restype = ctypes.c_double
+_lib.huff_encode.restype = ctypes.c_int64
+_lib.huff_total_bits.restype = ctypes.c_int64
+_lib.huff_fsm_decode.restype = ctypes.c_int64
+_lib.huff_tree_decode.restype = ctypes.c_int64
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def seq_sum(vals: np.ndarray):
+    """Strictly-ordered accumulation in the array dtype."""
+    vals = np.ascontiguousarray(vals)
+    n = ctypes.c_int64(vals.size)
+    if vals.dtype == np.float32:
+        return np.float32(_lib.seq_sum_f32(_ptr(vals), n))
+    if vals.dtype == np.float64:
+        return np.float64(_lib.seq_sum_f64(_ptr(vals), n))
+    raise TypeError(vals.dtype)
+
+
+def huff_encode(syms: np.ndarray, code_hi: np.ndarray, code_lo: np.ndarray,
+                code_len: np.ndarray) -> bytes:
+    syms = np.ascontiguousarray(syms, dtype=np.int32)
+    code_hi = np.ascontiguousarray(code_hi, dtype=np.uint64)
+    code_lo = np.ascontiguousarray(code_lo, dtype=np.uint64)
+    lens = np.ascontiguousarray(code_len, dtype=np.uint8)
+    total_bits = int(_lib.huff_total_bits(_ptr(syms),
+                                          ctypes.c_int64(syms.size),
+                                          _ptr(lens)))
+    out = np.zeros((total_bits + 7) // 8, dtype=np.uint8)
+    if total_bits:
+        _lib.huff_encode(_ptr(syms), ctypes.c_int64(syms.size),
+                         _ptr(code_hi), _ptr(code_lo), _ptr(lens),
+                         _ptr(out))
+    return out.tobytes()
+
+
+def huff_fsm_decode(next_state: np.ndarray, emit_cnt: np.ndarray,
+                    emit_syms: np.ndarray, data: np.ndarray,
+                    out: np.ndarray) -> np.ndarray:
+    _lib.huff_fsm_decode(
+        _ptr(np.ascontiguousarray(next_state, np.int32)),
+        _ptr(np.ascontiguousarray(emit_cnt, np.int8)),
+        _ptr(np.ascontiguousarray(emit_syms, np.int32)),
+        _ptr(np.ascontiguousarray(data, np.uint8)),
+        ctypes.c_int64(data.size), _ptr(out), ctypes.c_int64(out.size))
+    return out
+
+
+def huff_tree_decode(L, R, C, T, data: np.ndarray,
+                     count: int) -> np.ndarray:
+    out = np.empty(count, dtype=np.int32)
+    _lib.huff_tree_decode(
+        _ptr(np.ascontiguousarray(L, np.int32)),
+        _ptr(np.ascontiguousarray(R, np.int32)),
+        _ptr(np.ascontiguousarray(C, np.int32)),
+        _ptr(np.ascontiguousarray(T, np.uint8)),
+        _ptr(np.ascontiguousarray(data, np.uint8)),
+        ctypes.c_int64(data.size), _ptr(out), ctypes.c_int64(count))
+    return out
+
+
+def coeff_chain(coeffs: np.ndarray, precision: np.ndarray, use_mean: bool,
+                capacity: int, radius: int):
+    """Encode-side coefficient chain.  Returns (ctypes[nc,nreg],
+    unpred list per coeff, qcoeffs[nreg,nc])."""
+    T = coeffs.dtype.type
+    nreg, nc = coeffs.shape
+    ct = np.zeros((nc, max(nreg, 1)), dtype=np.int32)
+    unpred = np.zeros((nc, max(nreg, 1)), dtype=T)
+    ucnt = np.zeros(8, dtype=np.int64)
+    qc = np.zeros((nreg, nc), dtype=T)
+    if nreg:
+        fn = (_lib.coeff_chain_f32 if T is np.float32
+              else _lib.coeff_chain_f64)
+        fn(_ptr(np.ascontiguousarray(coeffs)), ctypes.c_int64(nreg),
+           ctypes.c_int(nc), _ptr(np.ascontiguousarray(precision, T)),
+           ctypes.c_int(1 if use_mean else 0), _ptr(ct), _ptr(unpred),
+           _ptr(ucnt), _ptr(qc), ctypes.c_int(capacity),
+           ctypes.c_int(radius))
+    ulist = [unpred[e, :ucnt[e]].copy() for e in range(nc)]
+    return ct[:, :nreg], ulist, qc
+
+
+def coeff_chain_decode(ctypes_arr: np.ndarray, precision: np.ndarray,
+                       cradius: np.ndarray, unpred_list, T) -> np.ndarray:
+    nc, nreg = ctypes_arr.shape
+    stride = max([len(u) for u in unpred_list] + [1])
+    up = np.zeros((nc, stride), dtype=T)
+    for e, u in enumerate(unpred_list):
+        up[e, :len(u)] = u
+    qc = np.zeros((nreg, nc), dtype=T)
+    fn = (_lib.coeff_chain_decode_f32 if T is np.float32
+          else _lib.coeff_chain_decode_f64)
+    fn(_ptr(np.ascontiguousarray(ctypes_arr, np.int32)),
+       ctypes.c_int64(nreg), ctypes.c_int(nc),
+       _ptr(np.ascontiguousarray(precision, T)),
+       _ptr(np.ascontiguousarray(cradius, np.int32)), _ptr(up),
+       _ptr(np.array([stride], dtype=np.int64)), _ptr(qc))
+    return qc

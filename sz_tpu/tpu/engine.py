@@ -1,0 +1,680 @@
+"""TPU (JAX/XLA) engine for the SZ2.1 blocked-regression codec.
+
+This is the TPU-first re-expression of the reference hot loop
+(SZ_compress_float_3D_MDQ_nonblocked_with_blocked_regression,
+sz_float.c:6527; 2D sz_float.c:5516; double sz_double.c:5904/:4900), not a
+translation.  The reference is a single serial sweep in which every point's
+quantization depends on the *reconstructed* values of its already-processed
+neighbors.  On TPU we split the work by data-dependency structure:
+
+  * per-block regression coefficient sums — embarrassingly parallel
+    reductions, vectorized over all blocks at once (the accumulation order
+    inside a block is preserved exactly, so results are bit-identical);
+  * predictor selection — vectorized sampling over all blocks (reads only
+    original data, sz_float.c:6746-6786);
+  * regression-block quantization — the regression predictor reads only the
+    block's plane coefficients, never neighbors, so every regression point
+    quantizes in parallel in one shot;
+  * Lorenzo-block quantization — the only true recurrence.  We solve it by
+    **fixpoint iteration on the reconstruction lattice**: start from the
+    original data as the estimate of the reconstruction, apply the
+    elementwise predict+quantize map to every point simultaneously, and
+    repeat until the lattice is bit-stable.  Because the reference's
+    dependency graph is acyclic (raster order), each sweep makes at least
+    one more wavefront of points exactly correct, so the iteration provably
+    converges to the *bit-exact* serial result in at most depth(=r1+r2+r3)
+    sweeps — and in practice in a handful, because the quantizer re-centers
+    each estimate to within one bin of the original value.
+
+Escapes ("unpredictable" points), the mean-flush bin and the machine-epsilon
+recheck (sz_float.c:6834) are all folded into the same elementwise map.
+The serial encoder only ever *reads* reconstructed values that it has
+published into its rolling strip buffers (block edge planes,
+sz_float.c:6673-6693); every such read position is published in our full
+reconstruction lattice too, so the lattice formulation is equivalent.
+
+The small strictly-serial chains (coefficient delta-quantization, Huffman
+tree construction, byte assembly) run on the host where they are O(#blocks),
+shared with the numpy oracle in sz_tpu.core.regnd.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from sz_tpu.core import blocks as B  # noqa: E402
+from sz_tpu.core import optimizer as opt  # noqa: E402
+from sz_tpu.core import regnd  # noqa: E402
+from sz_tpu.core.regnd import EncodeResult  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Geometry (host, cached per shape)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _geom(shape: tuple, block_size: int):
+    """Data-independent block geometry for one array shape.
+
+    Returns dict with:
+      dbs        — per-dim DimBlocks
+      loc        — per-dim local (in-block) index of each coordinate
+      cnt        — per-dim block length of each coordinate's block
+      bflat      — lattice of flat block ids (block raster order)
+      pos        — lattice of stream positions: the reference writes the
+                   type array per block (contiguous block raster,
+                   sz_float.c:6719), so stream[pos[x,y,z]] = lattice[x,y,z]
+    """
+    dbs = [B.dim_blocks(r, block_size) for r in shape]
+    rank = len(shape)
+    loc, bid, cnt = [], [], []
+    for db in dbs:
+        counts = db.counts()
+        ids = np.repeat(np.arange(db.num, dtype=np.int64), counts)
+        starts = np.repeat(db.starts(), counts)
+        bid.append(ids)
+        loc.append((np.arange(db.r) - starts).astype(np.int32))
+        cnt.append(np.repeat(counts, counts).astype(np.int64))
+
+    if rank == 3:
+        bflat = ((bid[0][:, None, None] * dbs[1].num + bid[1][None, :, None])
+                 * dbs[2].num + bid[2][None, None, :])
+        bsizes = (dbs[0].counts()[:, None, None]
+                  * dbs[1].counts()[None, :, None]
+                  * dbs[2].counts()[None, None, :]).ravel()
+        intra = ((loc[0].astype(np.int64)[:, None, None]
+                  * cnt[1][None, :, None] + loc[1][None, :, None])
+                 * cnt[2][None, None, :] + loc[2][None, None, :])
+    else:
+        bflat = bid[0][:, None] * dbs[1].num + bid[1][None, :]
+        bsizes = (dbs[0].counts()[:, None]
+                  * dbs[1].counts()[None, :]).ravel()
+        intra = (loc[0].astype(np.int64)[:, None] * cnt[1][None, :]
+                 + loc[1][None, :])
+    offsets = np.concatenate([[0], np.cumsum(bsizes)[:-1]])
+    pos = offsets[bflat] + intra
+    n = int(np.prod(shape))
+    pos_dtype = np.int32 if n < 2**31 else np.int64
+    return {
+        "dbs": dbs,
+        "loc": loc,
+        "bflat": np.ascontiguousarray(bflat.astype(pos_dtype)),
+        "pos": np.ascontiguousarray(pos.astype(pos_dtype)),
+        "nblocks": int(np.prod([db.num for db in dbs])),
+    }
+
+
+@functools.lru_cache(maxsize=16)
+def _dev_geom(shape: tuple, block_size: int):
+    g = _geom(shape, block_size)
+    return {
+        "bflat": jax.device_put(g["bflat"]),
+        "loc": [jax.device_put(l) for l in g["loc"]],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Elementwise quantizer (sz_float.c:6826-6845 / regnd._quant_point)
+# ---------------------------------------------------------------------------
+
+def _quant(cur, pred, rp, recip, capf, radius):
+    """Vectorized predict->quantize with escape + epsilon recheck.
+
+    Every intermediate rounds in the data dtype exactly like the serial C
+    (each jnp op is a separately rounded HLO op; XLA does not contract
+    mul+add into FMA).
+    """
+    T = cur.dtype
+    diff = cur - pred
+    itv = jnp.abs(diff) * recip + jnp.asarray(1, T)
+    within = itv < capf
+    itv = jnp.where(diff < 0, -itv, itv)
+    t = (itv / jnp.asarray(2, T)).astype(jnp.int32) + radius
+    rec = pred + (2 * (t - radius)).astype(T) * rp
+    ok = within & (jnp.abs(cur - rec) <= rp)
+    return jnp.where(ok, t, 0), jnp.where(ok, rec, cur)
+
+
+def _strict_jit(f, backend: str):
+    """jit with bit-strict compilation per backend.
+
+    XLA:CPU contracts mul+add into FMA inside fused loops — no debug flag
+    disables it and lax.optimization_barrier is stripped before fusion —
+    which breaks bit-parity with the serial C (verified: last-ulp coeff
+    differences).  Disabling the `fusion` pass on CPU restores strict
+    per-op rounding (tests / virtual-mesh runs only; small arrays).
+    TPU does not contract (verified on v5e), so full fusion stays on for
+    the performance path.
+    """
+    if backend == "cpu":
+        return jax.jit(f, compiler_options={
+            "xla_disable_hlo_passes": "fusion"})
+    return jax.jit(f)
+
+
+def _same_bits(a, b):
+    """Convergence check: plain value equality is sufficient for bitwise
+    convergence.  Reconstruction outputs depend only on the *numeric*
+    values of their inputs — a zero's sign cannot propagate: escapes and
+    the mean flush copy fixed inputs verbatim, and every computed rec is
+    `pred + q` whose result is +0 whenever it is zero-valued (IEEE
+    round-to-nearest: x + (-x) = +0, and q==+0 forces p + (+0) = +0 even
+    for p = -0).  So once the lattice is value-stable, one more sweep (the
+    one that produced R_new) yields the bit-exact serial result.  No
+    bitcast is used because TPU's f64 emulation cannot bitcast to s64.
+    NaN inputs never converge and fall out via the max_iter bound."""
+    return jnp.all(a == b)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: regression coefficient sums (vectorized over all blocks)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _coeff_sums_fn(shape: tuple, dtype_str: str, block_size: int,
+                   backend: str = 'cpu'):
+    """Build a jitted fn: data -> per-block sums [fx, fy(, fz), f].
+
+    Accumulation order inside a block matches the serial C loops
+    (sz_float.c:6596-6637) so float rounding is identical; blocks
+    vectorize freely because blocks are independent.
+    """
+    dbs = [B.dim_blocks(r, block_size) for r in shape]
+    rank = len(shape)
+    T = jnp.dtype(dtype_str)
+    nblocks = int(np.prod([db.num for db in dbs]))
+    regions = list(regnd._iter_regions(dbs))
+
+    def f(data):
+        out = jnp.zeros((nblocks, rank + 1), dtype=T)
+        for ranges, lens in regions:
+            starts = [db.start(r0) for db, (r0, r1) in zip(dbs, ranges)]
+            nb = [r1 - r0 for r0, r1 in ranges]
+            ix = tuple(slice(s, s + n * ln)
+                       for s, n, ln in zip(starts, nb, lens))
+            sub = data[ix]
+            shp = []
+            for n_, ln in zip(nb, lens):
+                shp += [n_, ln]
+            sub = sub.reshape(shp)
+            perm = list(range(0, 2 * rank, 2)) + list(range(1, 2 * rank, 2))
+            nblk = int(np.prod(nb))
+            s = sub.transpose(perm).reshape(nblk, *lens)
+            z = jnp.zeros((nblk,), T)
+            # nested lax.scan keeps the serial C accumulation order
+            # (bit-identical rounding) with a tiny compiled graph.
+            if rank == 3:
+                cbx, cby, cbz = lens
+                sT = s.transpose(1, 2, 3, 0)  # (cbx, cby, cbz, nblk)
+                kf = jnp.arange(cbz).astype(T)
+                jf = jnp.arange(cby).astype(T)
+                if_ = jnp.arange(cbx).astype(T)
+
+                def kk_body(carry, xs):
+                    sum_y, fz = carry
+                    cur, kkf = xs
+                    return (sum_y + cur, fz + cur * kkf), None
+
+                def jj_body(carry, xs):
+                    sum_x, fy, fz = carry
+                    row, jjf = xs
+                    (sum_y, fz), _ = jax.lax.scan(
+                        kk_body, (z, fz), (row, kf))
+                    return (sum_x + sum_y, fy + sum_y * jjf, fz), None
+
+                def ii_body(carry, xs):
+                    fx, fy, fz, fsum = carry
+                    plane, iif = xs
+                    (sum_x, fy, fz), _ = jax.lax.scan(
+                        jj_body, (z, fy, fz), (plane, jf))
+                    return (fx + sum_x * iif, fy, fz, fsum + sum_x), None
+
+                (fx, fy, fz, fsum), _ = jax.lax.scan(
+                    ii_body, (z, z, z, z), (sT, if_))
+                cols = jnp.stack([fx, fy, fz, fsum], axis=1)
+            else:
+                cbx, cby = lens
+                sT = s.transpose(1, 2, 0)  # (cbx, cby, nblk)
+                jf = jnp.arange(cby).astype(T)
+                if_ = jnp.arange(cbx).astype(T)
+
+                def jj_body(carry, xs):
+                    sum_x, fy = carry
+                    cur, jjf = xs
+                    return (sum_x + cur, fy + cur * jjf), None
+
+                def ii_body(carry, xs):
+                    fx, fy, fsum = carry
+                    row, iif = xs
+                    (sum_x, fy), _ = jax.lax.scan(
+                        jj_body, (z, fy), (row, jf))
+                    return (fx + sum_x * iif, fy, fsum + sum_x), None
+
+                (fx, fy, fsum), _ = jax.lax.scan(
+                    ii_body, (z, z, z), (sT, if_))
+                cols = jnp.stack([fx, fy, fsum], axis=1)
+            flat_idx = regnd._flat_block_idx(dbs, ranges, nb)
+            out = out.at[jnp.asarray(flat_idx)].set(cols)
+        return out
+
+    return _strict_jit(f, backend)
+
+
+def _finalize_coeffs(sums: np.ndarray, shape, block_size, T) -> np.ndarray:
+    """Closed-form plane coefficients from the block sums — host side so
+    the divisions round exactly like C (TPU float division is not
+    guaranteed correctly rounded).  Mirrors sz_float.c:6627-6637."""
+    g = _geom(tuple(shape), block_size)
+    dbs = g["dbs"]
+    rank = len(shape)
+    grids = np.meshgrid(*[db.counts() for db in dbs], indexing="ij")
+    lens = [gr.ravel().astype(np.int64) for gr in grids]
+    with np.errstate(all="ignore"):
+        if rank == 3:
+            fx, fy, fz, f = (sums[:, i].astype(T) for i in range(4))
+            cbx, cby, cbz = lens
+            coeff = (1.0 / (cbx * cby * cbz)).astype(T)
+            a = (2 * fx / (cbx - 1).astype(T) - f) * T(6) * coeff \
+                / (cbx + 1).astype(T)
+            b = (2 * fy / (cby - 1).astype(T) - f) * T(6) * coeff \
+                / (cby + 1).astype(T)
+            c = (2 * fz / (cbz - 1).astype(T) - f) * T(6) * coeff \
+                / (cbz + 1).astype(T)
+            d = (f * coeff - ((cbx - 1).astype(T) * a / T(2)
+                              + (cby - 1).astype(T) * b / T(2)
+                              + (cbz - 1).astype(T) * c / T(2)))
+            return np.stack([a, b, c, d], axis=1)
+        fx, fy, f = (sums[:, i].astype(T) for i in range(3))
+        cbx, cby = lens
+        coeff = (1.0 / (cbx * cby)).astype(T)
+        a = (2 * fx / (cbx - 1).astype(T) - f) * T(6) * coeff \
+            / (cbx + 1).astype(T)
+        b = (2 * fy / (cby - 1).astype(T) - f) * T(6) * coeff \
+            / (cby + 1).astype(T)
+        c = (f * coeff - ((cbx - 1).astype(T) * a / T(2)
+                          + (cby - 1).astype(T) * b / T(2)))
+        return np.stack([a, b, c], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: predictor selection (vectorized, sz_float.c:6746-6786)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _select_fn(shape: tuple, dtype_str: str, block_size: int,
+               use_mean: bool, backend: str = 'cpu'):
+    dbs = [B.dim_blocks(r, block_size) for r in shape]
+    rank = len(shape)
+    T = jnp.dtype(dtype_str)
+    nblocks = int(np.prod([db.num for db in dbs]))
+    regions = list(regnd._iter_regions(dbs))
+
+    # Host-precomputed sample tables per region: flat in-block indices of
+    # the sampled point + its Lorenzo neighbors, and the regression
+    # position coefficients (sz_float.c:6746-6786; 2D quirk a*(i-1) at
+    # sz_float.c:6023).  The scan preserves the serial accumulation order.
+    def _samples(lens):
+        bs = min(lens)
+        idxs, pcs = [], []
+        for i in range(1, bs):
+            bmi = bs - i
+            if rank == 3:
+                pts = (((i, i, i), (i, i, i)),
+                       ((i, i, bmi), (i, i, bmi)),
+                       ((i, bmi, i), (i, bmi, i)),
+                       ((i, bmi, bmi), (i, bmi, bmi)))
+            else:
+                pts = (((i, i), (i, i)),
+                       ((i, bmi), (i - 1, bmi)))
+            for pidx, pcoef in pts:
+                if rank == 3:
+                    pi, pj, pk = pidx
+                    _, cby, cbz = lens
+
+                    def fi(a, b, c):
+                        return (a * cby + b) * cbz + c
+
+                    nb = [fi(pi, pj, pk), fi(pi, pj, pk - 1),
+                          fi(pi, pj - 1, pk), fi(pi - 1, pj, pk),
+                          fi(pi, pj - 1, pk - 1), fi(pi - 1, pj, pk - 1),
+                          fi(pi - 1, pj - 1, pk),
+                          fi(pi - 1, pj - 1, pk - 1)]
+                else:
+                    pi, pj = pidx
+                    cby = lens[1]
+                    nb = [pi * cby + pj, pi * cby + pj - 1,
+                          (pi - 1) * cby + pj, (pi - 1) * cby + pj - 1]
+                idxs.append(nb)
+                pcs.append(list(pcoef))
+        return (np.array(idxs, dtype=np.int32),
+                np.array(pcs, dtype=np.dtype(dtype_str)))
+
+    def f(data, coeffs, noise, mean):
+        use_reg = jnp.zeros((nblocks,), dtype=bool)
+        for ranges, lens in regions:
+            starts = [db.start(r0) for db, (r0, r1) in zip(dbs, ranges)]
+            nb = [r1 - r0 for r0, r1 in ranges]
+            ix = tuple(slice(s, s + n * ln)
+                       for s, n, ln in zip(starts, nb, lens))
+            sub = data[ix]
+            shp = []
+            for n_, ln in zip(nb, lens):
+                shp += [n_, ln]
+            perm = list(range(0, 2 * rank, 2)) + list(range(1, 2 * rank, 2))
+            nblk = int(np.prod(nb))
+            s2 = (sub.reshape(shp).transpose(perm)
+                  .reshape(nblk, int(np.prod(lens))))
+            flat_idx = regnd._flat_block_idx(dbs, ranges, nb)
+            cf = coeffs[jnp.asarray(flat_idx)]
+            sidx, spc = _samples(lens)
+            z = jnp.zeros((nblk,), T)
+
+            def body(carry, xs):
+                err_sz, err_reg = carry
+                nbi, pc = xs
+                cur = s2[:, nbi[0]]
+                if rank == 3:
+                    p = s2[:, nbi[1]] + s2[:, nbi[2]]
+                    p = p + s2[:, nbi[3]]
+                    p = p - s2[:, nbi[4]]
+                    p = p - s2[:, nbi[5]]
+                    p = p - s2[:, nbi[6]]
+                    p = p + s2[:, nbi[7]]
+                    pr = (cf[:, 0] * pc[0] + cf[:, 1] * pc[1]
+                          + cf[:, 2] * pc[2] + cf[:, 3])
+                else:
+                    p = s2[:, nbi[1]] + s2[:, nbi[2]] - s2[:, nbi[3]]
+                    pr = cf[:, 0] * pc[0] + cf[:, 1] * pc[1] + cf[:, 2]
+                e = jnp.abs(p - cur) + noise
+                if use_mean:
+                    e = jnp.minimum(e, jnp.abs(mean - cur))
+                return (err_sz + e, err_reg + jnp.abs(pr - cur)), None
+
+            (err_sz, err_reg), _ = jax.lax.scan(
+                body, (z, z), (jnp.asarray(sidx), jnp.asarray(spc)))
+            use_reg = use_reg.at[jnp.asarray(flat_idx)].set(err_reg < err_sz)
+        return use_reg
+
+    return _strict_jit(f, backend)
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: fixpoint predict+quantize over the full lattice
+# ---------------------------------------------------------------------------
+
+def _lorenzo_pred(R, rank):
+    """Exact-order Lorenzo stencil on the zero-padded reconstruction
+    lattice (szd_float.c replay order; regnd oracle lines)."""
+    if rank == 3:
+        Rp = jnp.pad(R, ((1, 0), (1, 0), (1, 0)))
+        d110 = Rp[1:, 1:, :-1]
+        d101 = Rp[1:, :-1, 1:]
+        d011 = Rp[:-1, 1:, 1:]
+        d100 = Rp[1:, :-1, :-1]
+        d010 = Rp[:-1, 1:, :-1]
+        d001 = Rp[:-1, :-1, 1:]
+        d000 = Rp[:-1, :-1, :-1]
+        p = d110 + d101
+        p = p + d011
+        p = p - d100
+        p = p - d010
+        p = p - d001
+        p = p + d000
+        return p
+    Rp = jnp.pad(R, ((1, 0), (1, 0)))
+    return Rp[1:, :-1] + Rp[:-1, 1:] - Rp[:-1, :-1]
+
+
+@functools.lru_cache(maxsize=32)
+def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
+                 use_mean: bool, backend: str = 'cpu'):
+    rank = len(shape)
+    max_iter = int(sum(shape)) + 4
+
+    def f(data, lc_full, reg_blk, bflat, locs, rp, recip, intervals, mean):
+        T = data.dtype
+        cap = intervals
+        capf = cap.astype(T)
+        cap_szf = (cap - 2).astype(T)
+        radius = cap // 2
+
+        reg_pts = reg_blk[bflat]
+        # regression predictor: position-only, one-shot for all points
+        fl = [l.astype(T) for l in locs]
+        if rank == 3:
+            fii = fl[0][:, None, None]
+            fjj = fl[1][None, :, None]
+            fkk = fl[2][None, None, :]
+            pred_reg = (lc_full[:, 0][bflat] * fii
+                        + lc_full[:, 1][bflat] * fjj
+                        + lc_full[:, 2][bflat] * fkk
+                        + lc_full[:, 3][bflat])
+        else:
+            fii = fl[0][:, None]
+            fjj = fl[1][None, :]
+            pred_reg = (lc_full[:, 0][bflat] * fii
+                        + lc_full[:, 1][bflat] * fjj
+                        + lc_full[:, 2][bflat])
+        t_reg, rec_reg = _quant(data, pred_reg, rp, recip, capf, radius)
+
+        if use_mean:
+            mean_mask = (~reg_pts) & (jnp.abs(data - mean) <= rp)
+        else:
+            mean_mask = None
+
+        def body(carry):
+            R, _, it, _ = carry
+            p = _lorenzo_pred(R, rank)
+            t_l, rec_l = _quant(data, p, rp, recip, cap_szf, radius)
+            if use_mean:
+                t_l = jnp.where((t_l != 0) & (t_l <= radius), t_l - 1, t_l)
+                t_l = jnp.where(mean_mask, radius, t_l)
+                rec_l = jnp.where(mean_mask, mean, rec_l)
+            t = jnp.where(reg_pts, t_reg, t_l)
+            R_new = jnp.where(reg_pts, rec_reg, rec_l)
+            done = _same_bits(R_new, R)
+            return R_new, t, it + 1, done
+
+        def cond(carry):
+            _, _, it, done = carry
+            return (~done) & (it < max_iter)
+
+        init = (data, jnp.zeros(shape, jnp.int32), jnp.asarray(0),
+                jnp.asarray(False))
+        R, t, iters, _ = jax.lax.while_loop(cond, body, init)
+        return t, R, iters
+
+    return _strict_jit(f, backend)
+
+
+# ---------------------------------------------------------------------------
+# Stage 4 (decode): fixpoint reconstruction
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _decode_fn(shape: tuple, dtype_str: str, block_size: int,
+               use_mean: bool, backend: str = 'cpu'):
+    rank = len(shape)
+    max_iter = int(sum(shape)) + 4
+
+    def f(t_lat, lc_full, reg_blk, unpred_lat, bflat, locs, rp, intervals,
+          mean):
+        T = unpred_lat.dtype
+        radius = intervals // 2
+
+        reg_pts = reg_blk[bflat]
+        esc = t_lat == 0
+        fl = [l.astype(T) for l in locs]
+        if rank == 3:
+            pred_reg = (lc_full[:, 0][bflat] * fl[0][:, None, None]
+                        + lc_full[:, 1][bflat] * fl[1][None, :, None]
+                        + lc_full[:, 2][bflat] * fl[2][None, None, :]
+                        + lc_full[:, 3][bflat])
+        else:
+            pred_reg = (lc_full[:, 0][bflat] * fl[0][:, None]
+                        + lc_full[:, 1][bflat] * fl[1][None, :]
+                        + lc_full[:, 2][bflat])
+
+        # per-point correction 2*(t-radius)*rp, with the use_mean index
+        # shift on the Lorenzo side (szd_float.c:3697)
+        t_adj = t_lat
+        if use_mean:
+            t_adj = jnp.where((~reg_pts) & (t_lat < radius), t_lat + 1,
+                              t_lat)
+        q_lor = (2 * (t_adj - radius)).astype(T) * rp
+        q_reg = (2 * (t_lat - radius)).astype(T) * rp
+        reg_val = pred_reg + q_reg
+
+        if use_mean:
+            mean_pts = (~reg_pts) & (t_lat == radius)
+        else:
+            mean_pts = jnp.zeros(shape, bool)
+        known_mask = esc | reg_pts | mean_pts
+        known = jnp.where(esc, unpred_lat,
+                          jnp.where(reg_pts, reg_val,
+                                    jnp.asarray(mean, T)))
+
+        def body(carry):
+            R, it, _ = carry
+            p = _lorenzo_pred(R, rank)
+            val = p + q_lor
+            R_new = jnp.where(known_mask, known, val)
+            done = _same_bits(R_new, R)
+            return R_new, it + 1, done
+
+        def cond(carry):
+            _, it, done = carry
+            return (~done) & (it < max_iter)
+
+        init = (jnp.where(known_mask, known, jnp.zeros(shape, T)),
+                jnp.asarray(0), jnp.asarray(False))
+        R, iters, _ = jax.lax.while_loop(cond, body, init)
+        return R, iters
+
+    return _strict_jit(f, backend)
+
+
+# ---------------------------------------------------------------------------
+# Drivers
+# ---------------------------------------------------------------------------
+
+def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
+             sample_distance: int, pred_threshold, opt_quant_mode: int = 1,
+             fixed_intervals: int = 0, size_type: int = 8) -> EncodeResult:
+    """TPU-engine analog of regnd.compress — identical byte output."""
+    rank = data.ndim
+    spec = regnd._spec(rank, data.dtype)
+    T = spec.T
+    data = np.ascontiguousarray(data, dtype=T)
+    shape = tuple(int(r) for r in data.shape)
+    flat = data.reshape(-1)
+    rp = T(real_precision)
+    recip = T(T(1) / rp)
+    dstr = np.dtype(T).str.lstrip("<>=")
+
+    g = _geom(shape, spec.block_size)
+    dg = _dev_geom(shape, spec.block_size)
+    dbs = g["dbs"]
+
+    dev = jax.device_put(data)
+    sums = np.asarray(_coeff_sums_fn(shape, dstr, spec.block_size,
+                              jax.default_backend())(dev))
+    coeffs = _finalize_coeffs(sums, shape, spec.block_size, T)
+
+    use_mean = False
+    mean = T(0)
+    dense_pos = T(0)
+    if opt_quant_mode == 1:
+        if rank == 3:
+            intervals, dense_pos, max_freq, mean_freq = \
+                opt.optimize_intervals_3d_freq_dense(
+                    flat, *shape, float(real_precision), max_range_radius,
+                    sample_distance, pred_threshold, T=T)
+        else:
+            intervals, dense_pos, max_freq, mean_freq = \
+                opt.optimize_intervals_2d_freq_dense(
+                    flat, *shape, float(real_precision), max_range_radius,
+                    sample_distance, pred_threshold, T=T)
+        use_mean = bool(mean_freq > 0.5) or bool(mean_freq > max_freq)
+    else:
+        intervals = fixed_intervals
+    if rank == 2:
+        use_mean = False  # forced (sz_float.c:5615)
+
+    if use_mean:
+        mask = np.abs(data - dense_pos) < rp
+        vals = flat[np.flatnonzero(mask.reshape(-1))]
+        if len(vals):
+            s = opt.seq_sum(vals, T)
+            mean = T(s / T(len(vals)))
+
+    noise = T(np.float64(rp) * spec.noise_factor)
+    use_reg = np.asarray(
+        _select_fn(shape, dstr, spec.block_size, use_mean,
+                   jax.default_backend())(
+            dev, jax.device_put(coeffs), T(noise), T(mean)))
+
+    ctypes, cunpred, qcoeffs, cprec = regnd.quantize_coeff_chain(
+        coeffs, use_reg, rp, dbs, spec, use_mean)
+
+    lc_full = np.zeros((g["nblocks"], spec.ncoeff), dtype=T)
+    lc_full[np.flatnonzero(use_reg)] = qcoeffs
+
+    t_lat, R, iters = _quantize_fn(shape, dstr, spec.block_size, use_mean,
+                                  jax.default_backend())(
+        dev, jax.device_put(lc_full), jax.device_put(use_reg),
+        dg["bflat"], tuple(dg["loc"]), T(rp), T(recip),
+        jnp.asarray(intervals, jnp.int32), T(mean))
+    t_np = np.asarray(t_lat).ravel()
+
+    # lattice -> reference stream order (block raster, host gather)
+    pos = g["pos"].ravel()
+    result_type = np.empty(t_np.shape, dtype=np.int32)
+    result_type[pos] = t_np
+    esc = t_np == 0
+    esc_pos = pos[esc]
+    unpred_arr = flat[esc][np.argsort(esc_pos)]
+
+    return regnd.assemble_body(
+        spec, rp, intervals, use_mean, mean, use_reg, ctypes, cunpred,
+        cprec, result_type, unpred_arr, size_type)
+
+
+def decompress(body: bytes, shape, dtype, size_type: int = 8) -> np.ndarray:
+    """TPU-engine analog of regnd.decompress — bit-identical output."""
+    shape = tuple(int(r) for r in shape)
+    p = regnd.parse_body(body, shape, dtype, size_type)
+    spec = p.spec
+    T = spec.T
+    dstr = np.dtype(T).str.lstrip("<>=")
+    g = _geom(shape, spec.block_size)
+    dg = _dev_geom(shape, spec.block_size)
+
+    pos = g["pos"].ravel()
+    t_lat = p.types[pos].reshape(shape).astype(np.int32)
+    use_reg = (p.indicator == 0)
+    lc_full = np.zeros((g["nblocks"], spec.ncoeff), dtype=T)
+    lc_full[np.flatnonzero(use_reg)] = p.qcoeffs
+
+    unpred_lat = np.zeros(t_lat.size, dtype=T)
+    esc = t_lat.ravel() == 0
+    esc_idx = np.flatnonzero(esc)
+    order = np.argsort(pos[esc_idx])
+    unpred_lat[esc_idx[order]] = p.unpred
+    unpred_lat = unpred_lat.reshape(shape)
+
+    out, iters = _decode_fn(shape, dstr, spec.block_size, bool(p.use_mean),
+                            jax.default_backend())(
+        jax.device_put(t_lat), jax.device_put(lc_full),
+        jax.device_put(use_reg), jax.device_put(unpred_lat),
+        dg["bflat"], tuple(dg["loc"]), T(p.rp),
+        jnp.asarray(p.intervals, jnp.int32), T(p.mean))
+    return np.asarray(out)

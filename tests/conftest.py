@@ -3,7 +3,19 @@ anywhere (the driver separately validates multi-chip via dryrun_multichip)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU for the whole test process.  The driver env exports
+# JAX_PLATFORMS=axon and a sitecustomize hook preloads jax before
+# conftest runs, so the env var alone is too late — update the live jax
+# config as well.  Bit-exactness on the genuine XLA:CPU backend is
+# handled inside the engine (_strict_jit disables the fusion pass that
+# would FMA-contract mul+add).  SZ_TPU_TEST_PLATFORM overrides for
+# manual real-hardware runs.
+_plat = os.environ.get("SZ_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _plat
+
+import jax
+
+jax.config.update("jax_platforms", _plat)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

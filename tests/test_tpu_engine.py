@@ -1,0 +1,76 @@
+"""TPU (JAX) engine parity: identical bytes to the numpy oracle and to
+reference-produced goldens.
+
+Runs on the virtual CPU mesh in CI (conftest sets JAX_PLATFORMS=cpu);
+verified bit-exact on real TPU v5 hardware as well (the fixpoint
+formulation is backend-independent because every op is a separately
+rounded HLO op).
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from sz_tpu.core import regnd
+
+engine = pytest.importorskip("sz_tpu.tpu.engine")
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+REF_DATA = pathlib.Path("/root/reference/example/testdata/x86")
+
+KW = dict(max_range_radius=32768, sample_distance=100,
+          pred_threshold=np.float32(0.99))
+KW64 = dict(max_range_radius=32768, sample_distance=100,
+            pred_threshold=np.float32(0.99))
+
+
+def _synth64():
+    return np.fromfile(GOLDEN / "synth_f32_64.dat",
+                       dtype="<f4").reshape(64, 64, 64)
+
+
+CASES = [
+    ("f32_3d", lambda: np.fromfile(
+        REF_DATA / "testfloat_8_8_128.dat",
+        dtype="<f4").reshape(128, 8, 8), 1e-4),
+    # synth 64^3 exercises use_mean + many escapes
+    ("f32_3d64_mean", _synth64, 1e-3),
+    ("f32_2d", lambda: np.fromfile(
+        REF_DATA / "testfloat_8_8_128.dat",
+        dtype="<f4").reshape(128, 64), 1e-4),
+    ("f64_3d", lambda: np.fromfile(
+        REF_DATA / "testdouble_8_8_128.dat",
+        dtype="<f8").reshape(128, 8, 8), 1e-4),
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+def test_engine_matches_oracle(case):
+    _, load, eb = case
+    data = load()
+    kw = dict(KW)
+    a = regnd.compress(data, eb, **kw)
+    b = engine.compress(data, eb, **kw)
+    assert a.body == b.body
+    # decode side: bit-identical reconstruction lattice
+    oa = regnd.decompress(a.body, data.shape, data.dtype)
+    ob = engine.decompress(a.body, data.shape, data.dtype)
+    u = np.uint32 if data.dtype == np.float32 else np.uint64
+    np.testing.assert_array_equal(oa.view(u), ob.view(u))
+
+
+def test_engine_decodes_reference_golden():
+    data = _synth64()
+    golden_out = np.fromfile(GOLDEN / "f32_3d64_abs1e-3.out",
+                             dtype="<f4").reshape(64, 64, 64)
+    from sz_tpu.format import lossless as ll
+    from sz_tpu.format import metadata as md
+    from sz_tpu.config import DataType
+    blob = (GOLDEN / "f32_3d64_abs1e-3.sz").read_bytes()
+    inner = ll.decompress(blob, expected_size=data.nbytes * 2 + 64)
+    hdr = md.parse_header(inner, DataType.FLOAT)
+    off = hdr.body_offset + hdr.size_type
+    out = engine.decompress(inner[off:], data.shape, np.float32)
+    np.testing.assert_array_equal(out.view(np.uint32),
+                                  golden_out.view(np.uint32))
