@@ -71,6 +71,26 @@ def _resolve_precision(cfg: SZConfig, value_range: float, n: int,
     raise ValueError(f"unsupported bound mode {mode}")
 
 
+# use the TPU engine automatically above this element count ("auto");
+# below it the numpy oracle's latency wins (no device round-trips)
+_AUTO_JAX_MIN_SIZE = 1 << 18
+
+
+def _regnd_engine(engine: str, n: int):
+    """Pick the regression-codec implementation: numpy oracle or the TPU
+    (JAX) engine — both produce identical bytes (tests/test_tpu_engine)."""
+    if engine == "numpy":
+        return regnd
+    if engine == "jax" or (engine == "auto" and n >= _AUTO_JAX_MIN_SIZE):
+        try:
+            from sz_tpu.tpu import engine as tpu_engine
+            return tpu_engine
+        except Exception:  # pragma: no cover - jax unavailable
+            if engine == "jax":
+                raise
+    return regnd
+
+
 def compress(data: np.ndarray, cfg: SZConfig = DEFAULT_CONFIG) -> bytes:
     """Compress an array into a reference-compatible SZ2 stream."""
     data = np.asarray(data)
@@ -121,7 +141,7 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
         ndim = 3
 
     if ndim in (2, 3) and cfg.with_regression and not cfg.random_access:
-        res = regnd.compress(
+        res = _regnd_engine(cfg.engine, data.size).compress(
             data, rp, max_range_radius=cfg.max_range_radius,
             sample_distance=cfg.sample_distance,
             pred_threshold=np.float32(cfg.pred_threshold),
@@ -172,7 +192,8 @@ def _store_ori(cfg, dt, fmin, fmax, flat, n) -> bytes:
     return header + bu.size_be(n, cfg.size_type) + be
 
 
-def decompress(blob: bytes, shape, dtype=np.float32) -> np.ndarray:
+def decompress(blob: bytes, shape, dtype=np.float32,
+               engine: str = "auto") -> np.ndarray:
     """Decompress a reference-format SZ2 stream."""
     dims = _filter_dims(shape)
     n = int(np.prod(dims))
@@ -201,13 +222,14 @@ def decompress(blob: bytes, shape, dtype=np.float32) -> np.ndarray:
         return np.full(shape, v, dtype=dtype)
     if hdr.regression:
         body = inner[off:]
+        eng = _regnd_engine(engine, n)
         if len(dims) == 4:
             dims3 = (dims[0] * dims[1], dims[2], dims[3])
-            out = regnd.decompress(body, dims3, dtype,
-                                   size_type=hdr.size_type)
+            out = eng.decompress(body, dims3, dtype,
+                                 size_type=hdr.size_type)
         elif len(dims) in (2, 3):
-            out = regnd.decompress(body, dims, dtype,
-                                   size_type=hdr.size_type)
+            out = eng.decompress(body, dims, dtype,
+                                 size_type=hdr.size_type)
         else:
             # 1-D data inside a regression-flagged stream is still classic
             t = tdps_mod.from_bytes(body, dt, is_pwr=hdr.pw_rel,

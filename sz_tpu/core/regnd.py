@@ -386,13 +386,17 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
 
 def assemble_body(spec: _Spec, rp, quantization_intervals: int,
                   use_mean: bool, mean, use_reg, ctypes, cunpred, cprec,
-                  result_type, unpred_arr, size_type: int) -> EncodeResult:
+                  result_type, unpred_arr, size_type: int,
+                  freq=None) -> EncodeResult:
     """Serialize the regression-codec body (sz_float.c:7392-7473) from
     already-computed streams.  Shared by the numpy oracle and the TPU
-    engine (sz_tpu.tpu.engine), which produce identical intermediates."""
+    engine (sz_tpu.tpu.engine), which produce identical intermediates.
+    `freq` optionally supplies a precomputed type histogram (the TPU
+    engine computes it on device)."""
     reg_count = int(np.count_nonzero(use_reg))
     total_unpred = len(unpred_arr)
-    tables = huffman.build_tables(result_type, 2 * quantization_intervals)
+    tables = huffman.build_tables(result_type, 2 * quantization_intervals,
+                                  freq=freq)
     encoded = huffman.encode(tables, result_type)
 
     out = bytearray()

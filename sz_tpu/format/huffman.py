@@ -264,9 +264,14 @@ def tree_bytes_size(node_count: int) -> int:
         return 1 + 3 * 4 * node_count + node_count
 
 
-def build_tables(type_codes: np.ndarray, state_num: int) -> HuffmanTables:
+def build_tables(type_codes: np.ndarray, state_num: int,
+                 freq=None) -> HuffmanTables:
     """Histogram + tree + codes + serialized tree for one stream."""
-    freq = np.bincount(type_codes.ravel(), minlength=2 * state_num)
+    if freq is None:
+        freq = np.bincount(type_codes.ravel(), minlength=2 * state_num)
+    elif len(freq) < 2 * state_num:
+        freq = np.concatenate(
+            [freq, np.zeros(2 * state_num - len(freq), freq.dtype)])
     root, left, right, sym, leaf = _build_tree(freq)
     code_hi, code_lo, code_len = _assign_codes(
         root, left, right, sym, leaf, state_num)

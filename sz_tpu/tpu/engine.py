@@ -54,6 +54,7 @@ from sz_tpu.core import blocks as B  # noqa: E402
 from sz_tpu.core import optimizer as opt  # noqa: E402
 from sz_tpu.core import regnd  # noqa: E402
 from sz_tpu.core.regnd import EncodeResult  # noqa: E402
+from sz_tpu.utils import trace as _tr  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -61,62 +62,69 @@ from sz_tpu.core.regnd import EncodeResult  # noqa: E402
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=16)
-def _geom(shape: tuple, block_size: int):
-    """Data-independent block geometry for one array shape.
-
-    Returns dict with:
-      dbs        — per-dim DimBlocks
-      loc        — per-dim local (in-block) index of each coordinate
-      cnt        — per-dim block length of each coordinate's block
-      bflat      — lattice of flat block ids (block raster order)
-      pos        — lattice of stream positions: the reference writes the
-                   type array per block (contiguous block raster,
-                   sz_float.c:6719), so stream[pos[x,y,z]] = lattice[x,y,z]
-    """
+def _geom_small(shape: tuple, block_size: int):
+    """Per-dimension geometry vectors only — O(r) host work (the full
+    lattices are built on device by _dev_geom: the host on TPU pods can
+    be slow and the lattices are tens of MB)."""
     dbs = [B.dim_blocks(r, block_size) for r in shape]
-    rank = len(shape)
     loc, bid, cnt = [], [], []
     for db in dbs:
         counts = db.counts()
-        ids = np.repeat(np.arange(db.num, dtype=np.int64), counts)
-        starts = np.repeat(db.starts(), counts)
-        bid.append(ids)
-        loc.append((np.arange(db.r) - starts).astype(np.int32))
-        cnt.append(np.repeat(counts, counts).astype(np.int64))
-
-    if rank == 3:
-        bflat = ((bid[0][:, None, None] * dbs[1].num + bid[1][None, :, None])
-                 * dbs[2].num + bid[2][None, None, :])
+        bid.append(np.repeat(np.arange(db.num, dtype=np.int32), counts))
+        loc.append((np.arange(db.r)
+                    - np.repeat(db.starts(), counts)).astype(np.int32))
+        cnt.append(np.repeat(counts, counts).astype(np.int32))
+    if len(shape) == 3:
         bsizes = (dbs[0].counts()[:, None, None]
                   * dbs[1].counts()[None, :, None]
                   * dbs[2].counts()[None, None, :]).ravel()
-        intra = ((loc[0].astype(np.int64)[:, None, None]
-                  * cnt[1][None, :, None] + loc[1][None, :, None])
-                 * cnt[2][None, None, :] + loc[2][None, None, :])
     else:
-        bflat = bid[0][:, None] * dbs[1].num + bid[1][None, :]
         bsizes = (dbs[0].counts()[:, None]
                   * dbs[1].counts()[None, :]).ravel()
-        intra = (loc[0].astype(np.int64)[:, None] * cnt[1][None, :]
-                 + loc[1][None, :])
-    offsets = np.concatenate([[0], np.cumsum(bsizes)[:-1]])
-    pos = offsets[bflat] + intra
+    offsets = np.concatenate([[0], np.cumsum(bsizes)[:-1]]).astype(np.int32)
+    return {"dbs": dbs, "loc": loc, "bid": bid, "cnt": cnt,
+            "offsets": offsets,
+            "nblocks": int(np.prod([db.num for db in dbs]))}
+
+
+def lattices(shape: tuple, block_size: int):
+    """Traceable jnp builder of the geometry lattices from the per-dim
+    vectors (embedded as small constants): bflat (block id per point),
+    pos (stream position per point), iperm (lattice index per stream
+    position).  Usable inside any jit/shard_map (parallel/slab)."""
+    g = _geom_small(shape, block_size)
+    rank = len(shape)
     n = int(np.prod(shape))
-    pos_dtype = np.int32 if n < 2**31 else np.int64
-    return {
-        "dbs": dbs,
-        "loc": loc,
-        "bflat": np.ascontiguousarray(bflat.astype(pos_dtype)),
-        "pos": np.ascontiguousarray(pos.astype(pos_dtype)),
-        "nblocks": int(np.prod([db.num for db in dbs])),
-    }
+    bid = [jnp.asarray(b) for b in g["bid"]]
+    loc = [jnp.asarray(l) for l in g["loc"]]
+    cnt = [jnp.asarray(c) for c in g["cnt"]]
+    offsets = jnp.asarray(g["offsets"])
+    if rank == 3:
+        bflat = ((bid[0][:, None, None] * g["dbs"][1].num
+                  + bid[1][None, :, None]) * g["dbs"][2].num
+                 + bid[2][None, None, :])
+        intra = ((loc[0][:, None, None] * cnt[1][None, :, None]
+                  + loc[1][None, :, None]) * cnt[2][None, None, :]
+                 + loc[2][None, None, :])
+    else:
+        bflat = bid[0][:, None] * g["dbs"][1].num + bid[1][None, :]
+        intra = loc[0][:, None] * cnt[1][None, :] + loc[1][None, :]
+    pos = offsets[bflat] + intra
+    iperm = jnp.zeros((n,), jnp.int32).at[pos.reshape(-1)].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return bflat, pos, iperm
 
 
 @functools.lru_cache(maxsize=16)
-def _dev_geom(shape: tuple, block_size: int):
-    g = _geom(shape, block_size)
+def _dev_geom(shape: tuple, block_size: int, backend: str = "cpu"):
+    """Device-resident geometry lattices (cached jit of `lattices`)."""
+    g = _geom_small(shape, block_size)
+    bflat, pos, iperm = _strict_jit(
+        lambda: lattices(shape, block_size), backend)()
     return {
-        "bflat": jax.device_put(g["bflat"]),
+        "bflat": bflat,
+        "pos": pos,
+        "iperm": iperm,
         "loc": [jax.device_put(l) for l in g["loc"]],
     }
 
@@ -154,6 +162,8 @@ def _strict_jit(f, backend: str):
     TPU does not contract (verified on v5e), so full fusion stays on for
     the performance path.
     """
+    if backend == "raw":
+        return f  # for callers embedding in an outer jit (parallel/slab)
     if backend == "cpu":
         return jax.jit(f, compiler_options={
             "xla_disable_hlo_passes": "fusion"})
@@ -272,7 +282,7 @@ def _finalize_coeffs(sums: np.ndarray, shape, block_size, T) -> np.ndarray:
     """Closed-form plane coefficients from the block sums — host side so
     the divisions round exactly like C (TPU float division is not
     guaranteed correctly rounded).  Mirrors sz_float.c:6627-6637."""
-    g = _geom(tuple(shape), block_size)
+    g = _geom_small(tuple(shape), block_size)
     dbs = g["dbs"]
     rank = len(shape)
     grids = np.meshgrid(*[db.counts() for db in dbs], indexing="ij")
@@ -495,6 +505,33 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
     return _strict_jit(f, backend)
 
 
+@functools.lru_cache(maxsize=32)
+def _stream_fn(shape: tuple, backend: str = "cpu"):
+    """lattice types -> (stream-ordered uint16 types, 65536-bin histogram).
+    Keeps the big arrays on device; the host only ever sees the compact
+    uint16 stream (type codes are < intvCapacity <= 65536)."""
+
+    def f(t, iperm):
+        t_stream = jnp.take(t.reshape(-1), iperm).astype(jnp.uint16)
+        hist = jnp.zeros((65536,), jnp.int32).at[t.reshape(-1)].add(1)
+        return t_stream, hist
+
+    return _strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=32)
+def _escapes_fn(shape: tuple, dtype_str: str, k: int, backend: str = "cpu"):
+    """Escape values (type==0) in stream order, padded to static size k."""
+
+    def f(data, t_stream, iperm):
+        n = t_stream.shape[0]
+        idx = jnp.nonzero(t_stream == 0, size=k, fill_value=n)[0]
+        data_stream = jnp.take(data.reshape(-1), iperm)
+        return jnp.take(data_stream, idx, mode="fill", fill_value=0.0)
+
+    return _strict_jit(f, backend)
+
+
 # ---------------------------------------------------------------------------
 # Stage 4 (decode): fixpoint reconstruction
 # ---------------------------------------------------------------------------
@@ -566,10 +603,41 @@ def _decode_fn(shape: tuple, dtype_str: str, block_size: int,
 # Drivers
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=32)
+def _delattice_fn(shape: tuple, dtype_str: str, k: int,
+                  backend: str = "cpu"):
+    """Decode-side device staging: stream-ordered uint16 types + padded
+    unpred values -> (int32 type lattice, unpred lattice)."""
+    T = jnp.dtype(dtype_str)
+    n = int(np.prod(shape))
+
+    def f(t_stream, unpred_pad, pos, iperm):
+        t_lat = jnp.take(t_stream.astype(jnp.int32),
+                         pos.reshape(-1)).reshape(shape)
+        esc_stream = jnp.nonzero(t_stream == 0, size=k, fill_value=n)[0]
+        lat_idx = jnp.take(iperm, esc_stream, mode="fill", fill_value=n)
+        unpred_lat = jnp.zeros((n,), T).at[lat_idx].set(
+            unpred_pad, mode="drop").reshape(shape)
+        return t_lat, unpred_lat
+
+    return _strict_jit(f, backend)
+
+
+def _pad_pow2(n: int) -> int:
+    return 1 << max(int(n - 1).bit_length(), 4)
+
+
 def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
              sample_distance: int, pred_threshold, opt_quant_mode: int = 1,
              fixed_intervals: int = 0, size_type: int = 8) -> EncodeResult:
-    """TPU-engine analog of regnd.compress — identical byte output."""
+    """TPU-engine analog of regnd.compress — identical byte output.
+
+    Device/host split is chosen for slow host links: all lattice-sized
+    work (quantize, stream reorder, histogram, escape gather) stays on
+    device; the host only receives the uint16 type stream, the 65536-bin
+    histogram and the escape values, then runs the serial byte stages
+    (Huffman tree, native bitstream pack, assembly).
+    """
     rank = data.ndim
     spec = regnd._spec(rank, data.dtype)
     T = spec.T
@@ -579,20 +647,26 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
     rp = T(real_precision)
     recip = T(T(1) / rp)
     dstr = np.dtype(T).str.lstrip("<>=")
+    be = jax.default_backend()
 
-    g = _geom(shape, spec.block_size)
-    dg = _dev_geom(shape, spec.block_size)
+    g = _geom_small(shape, spec.block_size)
+    dg = _dev_geom(shape, spec.block_size, be)
     dbs = g["dbs"]
 
-    dev = jax.device_put(data)
-    sums = np.asarray(_coeff_sums_fn(shape, dstr, spec.block_size,
-                              jax.default_backend())(dev))
-    coeffs = _finalize_coeffs(sums, shape, spec.block_size, T)
+    with _tr.trace("upload"):
+        dev = jax.device_put(data)
+        dev.block_until_ready()
+    with _tr.trace("coeff_sums"):
+        sums = np.asarray(_coeff_sums_fn(shape, dstr, spec.block_size,
+                                         be)(dev))
+    with _tr.trace("coeff_finalize"):
+        coeffs = _finalize_coeffs(sums, shape, spec.block_size, T)
 
     use_mean = False
     mean = T(0)
     dense_pos = T(0)
     if opt_quant_mode == 1:
+        _t_opt = _tr.trace("optimizer"); _t_opt.__enter__()
         if rank == 3:
             intervals, dense_pos, max_freq, mean_freq = \
                 opt.optimize_intervals_3d_freq_dense(
@@ -604,6 +678,7 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
                     flat, *shape, float(real_precision), max_range_radius,
                     sample_distance, pred_threshold, T=T)
         use_mean = bool(mean_freq > 0.5) or bool(mean_freq > max_freq)
+        _t_opt.__exit__(None, None, None)
     else:
         intervals = fixed_intervals
     if rank == 2:
@@ -617,35 +692,47 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
             mean = T(s / T(len(vals)))
 
     noise = T(np.float64(rp) * spec.noise_factor)
-    use_reg = np.asarray(
-        _select_fn(shape, dstr, spec.block_size, use_mean,
-                   jax.default_backend())(
-            dev, jax.device_put(coeffs), T(noise), T(mean)))
+    with _tr.trace("select"):
+        use_reg = np.asarray(
+            _select_fn(shape, dstr, spec.block_size, use_mean, be)(
+                dev, jax.device_put(coeffs), T(noise), T(mean)))
 
-    ctypes, cunpred, qcoeffs, cprec = regnd.quantize_coeff_chain(
-        coeffs, use_reg, rp, dbs, spec, use_mean)
+    with _tr.trace("coeff_chain"):
+        ctypes, cunpred, qcoeffs, cprec = regnd.quantize_coeff_chain(
+            coeffs, use_reg, rp, dbs, spec, use_mean)
 
     lc_full = np.zeros((g["nblocks"], spec.ncoeff), dtype=T)
     lc_full[np.flatnonzero(use_reg)] = qcoeffs
 
-    t_lat, R, iters = _quantize_fn(shape, dstr, spec.block_size, use_mean,
-                                  jax.default_backend())(
-        dev, jax.device_put(lc_full), jax.device_put(use_reg),
-        dg["bflat"], tuple(dg["loc"]), T(rp), T(recip),
-        jnp.asarray(intervals, jnp.int32), T(mean))
-    t_np = np.asarray(t_lat).ravel()
+    with _tr.trace("quantize"):
+        t_lat, R, iters = _quantize_fn(shape, dstr, spec.block_size,
+                                       use_mean, be)(
+            dev, jax.device_put(lc_full), jax.device_put(use_reg),
+            dg["bflat"], tuple(dg["loc"]), T(rp), T(recip),
+            jnp.asarray(intervals, jnp.int32), T(mean))
+        t_lat.block_until_ready()
+    with _tr.trace("stream+hist"):
+        t_stream_d, hist_d = _stream_fn(shape, be)(t_lat, dg["iperm"])
+        hist = np.asarray(hist_d)
+    n_esc = int(hist[0])
+    with _tr.trace("escapes"):
+        if n_esc:
+            k = _pad_pow2(n_esc)
+            unpred_arr = np.asarray(
+                _escapes_fn(shape, dstr, k, be)(dev, t_stream_d,
+                                                dg["iperm"]))[:n_esc]
+        else:
+            unpred_arr = np.zeros(0, dtype=T)
+    with _tr.trace("types_download"):
+        result_type = np.asarray(t_stream_d)
 
-    # lattice -> reference stream order (block raster, host gather)
-    pos = g["pos"].ravel()
-    result_type = np.empty(t_np.shape, dtype=np.int32)
-    result_type[pos] = t_np
-    esc = t_np == 0
-    esc_pos = pos[esc]
-    unpred_arr = flat[esc][np.argsort(esc_pos)]
-
-    return regnd.assemble_body(
-        spec, rp, intervals, use_mean, mean, use_reg, ctypes, cunpred,
-        cprec, result_type, unpred_arr, size_type)
+    state_num = 2 * intervals
+    freq = np.zeros(2 * state_num, np.int64)
+    freq[:min(65536, 2 * state_num)] = hist[:min(65536, 2 * state_num)]
+    with _tr.trace("assemble"):
+        return regnd.assemble_body(
+            spec, rp, intervals, use_mean, mean, use_reg, ctypes, cunpred,
+            cprec, result_type, unpred_arr, size_type, freq=freq)
 
 
 def decompress(body: bytes, shape, dtype, size_type: int = 8) -> np.ndarray:
@@ -655,26 +742,25 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8) -> np.ndarray:
     spec = p.spec
     T = spec.T
     dstr = np.dtype(T).str.lstrip("<>=")
-    g = _geom(shape, spec.block_size)
-    dg = _dev_geom(shape, spec.block_size)
+    be = jax.default_backend()
+    g = _geom_small(shape, spec.block_size)
+    dg = _dev_geom(shape, spec.block_size, be)
 
-    pos = g["pos"].ravel()
-    t_lat = p.types[pos].reshape(shape).astype(np.int32)
     use_reg = (p.indicator == 0)
     lc_full = np.zeros((g["nblocks"], spec.ncoeff), dtype=T)
     lc_full[np.flatnonzero(use_reg)] = p.qcoeffs
 
-    unpred_lat = np.zeros(t_lat.size, dtype=T)
-    esc = t_lat.ravel() == 0
-    esc_idx = np.flatnonzero(esc)
-    order = np.argsort(pos[esc_idx])
-    unpred_lat[esc_idx[order]] = p.unpred
-    unpred_lat = unpred_lat.reshape(shape)
+    n_esc = len(p.unpred)
+    k = _pad_pow2(max(n_esc, 1))
+    unpred_pad = np.zeros(k, dtype=T)
+    unpred_pad[:n_esc] = p.unpred
+    t_lat, unpred_lat = _delattice_fn(shape, dstr, k, be)(
+        jax.device_put(p.types.astype(np.uint16)),
+        jax.device_put(unpred_pad), dg["pos"], dg["iperm"])
 
     out, iters = _decode_fn(shape, dstr, spec.block_size, bool(p.use_mean),
-                            jax.default_backend())(
-        jax.device_put(t_lat), jax.device_put(lc_full),
-        jax.device_put(use_reg), jax.device_put(unpred_lat),
-        dg["bflat"], tuple(dg["loc"]), T(p.rp),
+                            be)(
+        t_lat, jax.device_put(lc_full), jax.device_put(use_reg),
+        unpred_lat, dg["bflat"], tuple(dg["loc"]), T(p.rp),
         jnp.asarray(p.intervals, jnp.int32), T(p.mean))
     return np.asarray(out)
