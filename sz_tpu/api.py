@@ -20,7 +20,7 @@ from sz_tpu.config import (
 from sz_tpu.format import bytes_util as bu
 from sz_tpu.format import lossless as ll
 from sz_tpu.format import metadata as md
-from sz_tpu.core import classic, regnd
+from sz_tpu.core import classic, classic_nd, pwr, regnd
 from sz_tpu.format import tdps as tdps_mod
 
 _DTYPE_MAP = {
@@ -110,9 +110,19 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
     T = np.float32 if dt == DataType.FLOAT else np.float64
     n = data.size
     flat = data.reshape(-1)
-    # computeRangeSize (dataCompression.c:102/148): order-independent
-    fmin = T(flat.min())
-    value_range = T(T(flat.max()) - fmin)
+    # PW_REL accelerated path needs its own range scan that also collects
+    # signs/nearZero (sz_float.c:2838-2843)
+    is_pwrel = cfg.error_bound_mode == ErrorBoundMode.PW_REL
+    accelerate = (cfg.accelerate_pw_rel
+                  and not (cfg.pw_rel_bound_ratio < 0.000009999))
+    range_info = None
+    if is_pwrel and accelerate:
+        range_info = pwr.range_size_msst19(data.astype(T, copy=False))
+        fmin, value_range = range_info[0], range_info[1]
+    else:
+        # computeRangeSize (dataCompression.c:102/148): order-independent
+        fmin = T(flat.min())
+        value_range = T(T(flat.max()) - fmin)
     # the reference serializes max as min+range (sz_float.c:2847), which can
     # differ from the true max by one ulp — replicate the double rounding
     fmax = T(fmin + value_range)
@@ -131,7 +141,30 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
         return _constant_stream(hdr_cfg, dt, fmin, fmax, flat[0], n)
 
     if eff_mode == ErrorBoundMode.PW_REL:
-        raise NotImplementedError("PW_REL lands next")
+        if data.ndim > 3:
+            raise NotImplementedError("4D PW_REL")
+        if range_info is None:
+            range_info = (fmin, fmax)
+        t = pwr.compress_pwrel(
+            data, cfg.pw_rel_bound_ratio, accelerate=accelerate,
+            range_info=range_info, max_range_radius=cfg.max_range_radius,
+            sample_distance=cfg.sample_distance,
+            pred_threshold=np.float32(cfg.pred_threshold),
+            plus_bits=cfg.plus_bits,
+            opt_quant_mode=1 if cfg.quantization_intervals == 0 else 0,
+            fixed_intervals=cfg.quantization_intervals)
+        t.segment_size = cfg.segment_size
+        header = md.make_header(hdr_cfg, dt, fmin, fmax, pw_rel=True,
+                                msst19=bool(t.msst19))
+        body = header + bu.size_be(n, cfg.size_type) \
+            + tdps_mod.to_bytes(t, cfg.size_type)
+        esize = np.dtype(T).itemsize
+        mlen = md.meta_length(dt)
+        if len(body) >= n * esize + 3 + mlen + cfg.size_type + 1:
+            body = _store_ori(hdr_cfg, dt, fmin, fmax, flat, n)
+        if cfg.sz_mode == SZMode.BEST_SPEED:
+            return body
+        return ll.compress(body, cfg.lossless, cfg.lossless_level)
 
     dims = data.shape
     ndim = len(dims)
@@ -154,6 +187,19 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
     elif ndim == 1:
         median = T(fmin + value_range / T(2))
         t = classic.compress_1d(
+            data, rp, value_range, median,
+            max_range_radius=cfg.max_range_radius,
+            sample_distance=cfg.sample_distance,
+            pred_threshold=np.float32(cfg.pred_threshold),
+            opt_quant_mode=1 if cfg.quantization_intervals == 0 else 0,
+            fixed_intervals=cfg.quantization_intervals)
+        header = md.make_header(hdr_cfg, dt, fmin, fmax)
+        body = (header + bu.size_be(n, cfg.size_type)
+                + tdps_mod.to_bytes(t, cfg.size_type))
+    elif ndim in (2, 3):
+        # classic SZ1.4 path (withRegression=NO, conf.c:256)
+        median = T(fmin + value_range / T(2))
+        t = classic_nd.compress_nd(
             data, rp, value_range, median,
             max_range_radius=cfg.max_range_radius,
             sample_distance=cfg.sample_distance,
@@ -241,9 +287,14 @@ def decompress(blob: bytes, shape, dtype=np.float32,
     t = tdps_mod.from_bytes(inner[off:], dt, is_pwr=hdr.pw_rel,
                             msst19=hdr.pw_rel and hdr.msst19,
                             size_type=hdr.size_type)
+    if hdr.pw_rel:
+        t.msst19 = hdr.msst19
+        return pwr.decompress_pwrel(t, dims, dtype).reshape(shape)
     if len(dims) == 1:
         return classic.decompress_1d(t, n, dtype).reshape(shape)
-    raise NotImplementedError("classic 2D/3D decode lands next")
+    if len(dims) in (2, 3):
+        return classic_nd.decompress_nd(t, dims, dtype).reshape(shape)
+    raise NotImplementedError("classic 4D decode lands next")
 
 
 def get_metadata(blob: bytes) -> dict:

@@ -61,8 +61,9 @@ class ExactEncoder:
     """Escape-value stream builder (addExactData dataCompression.c:575,
     updateLossyCompElement CompressElement.c:230)."""
 
-    def __init__(self, req_length: int, median, T):
+    def __init__(self, req_length: int, median, T, raw: bool = False):
         self.T = T
+        self.raw = raw  # MSST19 variant: no median offset
         self.esize = 4 if T is np.float32 else 8
         self.req_bytes = req_length // 8
         self.resi_bits_len = req_length % 8
@@ -80,17 +81,21 @@ class ExactEncoder:
     def add(self, value):
         """Returns the reconstructed (truncated) value."""
         T = self.T
-        norm = T(value - self.median)
+        norm = T(value) if self.raw else T(value - self.median)
         if T is np.float32:
             ival = int(np.float32(norm).view(np.uint32))
             cur = ival.to_bytes(4, "big")
             recon_bits = ival & self._mask
-            recon = T(np.uint32(recon_bits).view(np.float32) + self.median)
+            recon = T(np.uint32(recon_bits).view(np.float32))
+            if not self.raw:
+                recon = T(recon + self.median)
         else:
             ival = int(np.float64(norm).view(np.uint64))
             cur = ival.to_bytes(8, "big")
             recon_bits = ival & self._mask
-            recon = T(np.uint64(recon_bits).view(np.float64) + self.median)
+            recon = T(np.uint64(recon_bits).view(np.float64))
+            if not self.raw:
+                recon = T(recon + self.median)
         lead = 0
         for a, b in zip(cur, self.prev):
             if a == b and lead < 3:
@@ -125,8 +130,9 @@ class ExactEncoder:
 class ExactDecoder:
     """Inverse of ExactEncoder, streaming."""
 
-    def __init__(self, tdps: TDPS, T):
+    def __init__(self, tdps: TDPS, T, raw: bool = False):
         self.T = T
+        self.raw = raw
         self.esize = 4 if T is np.float32 else 8
         self.req_bytes = tdps.req_length // 8
         self.resi_bits_len = tdps.req_length % 8
@@ -165,6 +171,8 @@ class ExactDecoder:
             val = np.frombuffer(bytes(cur), dtype=">f4")[0]
         else:
             val = np.frombuffer(bytes(cur), dtype=">f8")[0]
+        if self.raw:
+            return T(val)
         return T(T(val) + self.median)
 
 

@@ -1,0 +1,259 @@
+"""Classic SZ1.4 MDQ codec for 2D/3D grids (float + double).
+
+Host-reference (oracle) implementation of:
+  SZ_compress_float_2D_MDQ   (sz_float.c:610)   / decompress (szd_float.c:284)
+  SZ_compress_float_3D_MDQ   (sz_float.c:946)   / decompress (szd_float.c:600)
+  SZ_compress_double_2D_MDQ  (sz_double.c:494)  / decompress
+  SZ_compress_double_3D_MDQ  (sz_double.c:784)
+
+Used directly when regression is disabled (withRegression=NO) and as the
+core of the PW_REL pre-log path (sz_float_pwr.c:1853/1915).
+
+Predictor layout (encode predicts from *reconstructed* values, rolling
+row/layer buffers P0/P1):
+  2D: [0,0] escape; [0,1] pred=P[0]; row0 j>=2: 2*P[j-1]-P[j-2];
+      [i,0]: P1[0]; interior: P0[j-1]+P1[j]-P1[j-1] (2D Lorenzo).
+  3D: layer0 = the 2D scheme; [k,0,0]: P1[0] (below);
+      layer rows j=0, k>=1: P0[k-1]+P1... (2D Lorenzo in the i-k plane);
+      interior: 7-point 3D Lorenzo.
+
+Arithmetic notes (float kernels): realPrecision and recip are float;
+`itvNum = fabs(diff)*recip + 1` evaluates in double and is assigned to a
+float variable (round), and the reconstruction arithmetic is float.
+Double kernels stay in double throughout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sz_tpu.config import DataType
+from sz_tpu.core import classic
+from sz_tpu.format import huffman
+from sz_tpu.format.tdps import TDPS
+
+
+def _optimize_intervals_nd(data: np.ndarray, real_precision: float,
+                           max_range_radius: int, sample_distance: int,
+                           pred_threshold: float) -> int:
+    """optimize_intervals_float_{2D,3D}_opt (sz_float.c:5015/4644):
+    same sampling walks as the freq_dense variants, histogram only."""
+    from sz_tpu.core import optimizer as opt
+
+    flat = data.reshape(-1)
+    rp = float(real_precision)
+    if data.ndim == 2:
+        r1, r2 = data.shape
+        sidx = opt._sample_walk_indices_2d(r1, r2, sample_distance)
+        pred = flat[sidx - 1] + flat[sidx - r2] - flat[sidx - r2 - 1]
+    else:
+        r1, r2, r3 = data.shape
+        r23 = r2 * r3
+        sidx = opt._sample_walk_indices_3d(r1, r2, r3, sample_distance)
+        d = flat
+        pred = d[sidx - 1] + d[sidx - r3]
+        pred = pred + d[sidx - r23]
+        pred = pred - d[sidx - 1 - r23]
+        pred = pred - d[sidx - r3 - 1]
+        pred = pred - d[sidx - r3 - r23]
+        pred = pred + d[sidx - r3 - r23 - 1]
+    pred_err = np.abs((pred - flat[sidx]).astype(np.float64))
+    radius_index = ((pred_err / rp + 1.0) / 2.0).astype(np.int64)
+    np.minimum(radius_index, max_range_radius - 1, out=radius_index)
+    intervals = np.bincount(radius_index, minlength=max_range_radius)
+    target = int(len(sidx) * pred_threshold)
+    csum = np.cumsum(intervals)
+    over = np.flatnonzero(csum > target)
+    i = int(over[0]) if len(over) else max_range_radius - 1
+    pow2 = opt.round_up_to_power_of_2(2 * (i + 1))
+    return max(pow2, 32)
+
+
+def compress_nd(data: np.ndarray, real_precision: float, value_range,
+                median, *, max_range_radius: int, sample_distance: int,
+                pred_threshold: float, opt_quant_mode: int = 1,
+                fixed_intervals: int = 0) -> TDPS:
+    """Classic 2D/3D MDQ encode -> TDPS."""
+    T = np.float32 if data.dtype == np.float32 else np.float64
+    dt = DataType.FLOAT if T is np.float32 else DataType.DOUBLE
+    data = np.ascontiguousarray(data, dtype=T)
+    n = data.size
+
+    # float kernels receive realPrecision already narrowed to float
+    rp = T(real_precision)
+    recip = T(T(1) / rp)
+
+    if opt_quant_mode == 1:
+        intervals = _optimize_intervals_nd(
+            data, float(real_precision), max_range_radius,
+            sample_distance, pred_threshold)
+    else:
+        intervals = fixed_intervals
+    radius = intervals // 2
+
+    median = T(median)
+    rad_expo = classic.get_exponent(T(value_range) / T(2), T)
+    req_length, median_zeroed = classic.compute_req_length(
+        float(rp), rad_expo, T)
+    if median_zeroed:
+        median = T(0)
+
+    enc = classic.ExactEncoder(req_length, median, T)
+    types = np.zeros(n, dtype=np.int32)
+    flat = data.reshape(-1)
+
+    def quant(idx, cur, pred):
+        """One predict+quantize step; returns the reconstructed value."""
+        diff = T(cur - pred)
+        # float kernel: double expression rounded into a float itvNum
+        itv = T(np.float64(abs(np.float64(diff))) * np.float64(recip) + 1.0)
+        if itv < intervals:
+            if diff < 0:
+                itv = -itv
+            t = int(itv / T(2)) + radius
+            rec = T(pred + T(2 * (t - radius)) * rp)
+            if np.float64(abs(np.float64(T(cur - rec)))) > rp:
+                types[idx] = 0
+                return enc.add(cur)
+            types[idx] = t
+            return rec
+        types[idx] = 0
+        return enc.add(cur)
+
+    if data.ndim == 2:
+        r1, r2 = data.shape
+        P1 = np.zeros(r2, dtype=T)
+        P0 = np.zeros(r2, dtype=T)
+        types[0] = 0
+        P1[0] = enc.add(flat[0])
+        P1[1] = quant(1, flat[1], P1[0])
+        for j in range(2, r2):
+            pred = T(T(2) * P1[j - 1] - P1[j - 2])
+            P1[j] = quant(j, flat[j], pred)
+        for i in range(1, r1):
+            base = i * r2
+            P0[0] = quant(base, flat[base], P1[0])
+            for j in range(1, r2):
+                pred = T(P0[j - 1] + P1[j] - P1[j - 1])
+                P0[j] = quant(base + j, flat[base + j], pred)
+            P1, P0 = P0, P1
+    else:
+        r1, r2, r3 = data.shape
+        r23 = r2 * r3
+        P1 = np.zeros(r23, dtype=T)
+        P0 = np.zeros(r23, dtype=T)
+        # layer 0
+        types[0] = 0
+        P1[0] = enc.add(flat[0])
+        P1[1] = quant(1, flat[1], P1[0])
+        for j in range(2, r3):
+            pred = T(T(2) * P1[j - 1] - P1[j - 2])
+            P1[j] = quant(j, flat[j], pred)
+        for i in range(1, r2):
+            idx = i * r3
+            P1[idx] = quant(idx, flat[idx], P1[idx - r3])
+            for j in range(1, r3):
+                ix = idx + j
+                pred = T(P1[ix - 1] + P1[ix - r3] - P1[ix - r3 - 1])
+                P1[ix] = quant(ix, flat[ix], pred)
+        # layers 1..r1-1
+        for k in range(1, r1):
+            index = k * r23
+            P0[0] = quant(index, flat[index], P1[0])
+            for j in range(1, r3):
+                index += 1
+                pred = T(P0[j - 1] + P1[j] - P1[j - 1])
+                P0[j] = quant(index, flat[index], pred)
+            for i in range(1, r2):
+                index = k * r23 + i * r3
+                i2 = i * r3
+                pred = T(P0[i2 - r3] + P1[i2] - P1[i2 - r3])
+                P0[i2] = quant(index, flat[index], pred)
+                for j in range(1, r3):
+                    index += 1
+                    i2 = i * r3 + j
+                    pred = P0[i2 - 1] + P0[i2 - r3]
+                    pred = T(pred + P1[i2])
+                    pred = T(pred - P0[i2 - r3 - 1])
+                    pred = T(pred - P1[i2 - r3])
+                    pred = T(pred - P1[i2 - 1])
+                    pred = T(pred + P1[i2 - r3 - 1])
+                    P0[i2] = quant(index, flat[index], pred)
+            P1, P0 = P0, P1
+
+    type_array = huffman.encode_with_tree(types, 2 * intervals)
+    return TDPS(
+        data_type=dt, ds_length=n, intervals=intervals,
+        median_value=float(median), req_length=req_length,
+        real_precision=float(rp), type_array=type_array,
+        lead_num=enc.lead_packed(), exact_mid_bytes=bytes(enc.mid_bytes),
+        residual_mid_bits=enc.resi_packed(),
+        exact_data_num=len(enc.lead_nums),
+        max_quant_intervals=max_range_radius * 2)
+
+
+def decompress_nd(tdps: TDPS, shape, dtype) -> np.ndarray:
+    """Classic 2D/3D MDQ decode (szd_float.c:284/600 and double analogs)."""
+    T = np.float32 if np.dtype(dtype) == np.float32 else np.float64
+    n = int(np.prod(shape))
+    types = huffman.decode_with_tree(tdps.type_array, n)
+    dec = classic.ExactDecoder(tdps, T)
+    out = np.zeros(n, dtype=T)
+    radius = tdps.intervals // 2
+    rp = T(tdps.real_precision)
+
+    def rec(idx, pred):
+        t = int(types[idx])
+        if t == 0:
+            v = dec.next()
+        else:
+            v = T(pred + T(2 * (t - radius)) * rp)
+        out[idx] = v
+        return v
+
+    if len(shape) == 2:
+        r1, r2 = shape
+        rec(0, T(0))
+        if r2 > 1:
+            rec(1, out[0])
+        for j in range(2, r2):
+            rec(j, T(T(2) * out[j - 1] - out[j - 2]))
+        for i in range(1, r1):
+            base = i * r2
+            rec(base, out[base - r2])
+            for j in range(1, r2):
+                ix = base + j
+                rec(ix, T(out[ix - 1] + out[ix - r2] - out[ix - r2 - 1]))
+    else:
+        r1, r2, r3 = shape
+        r23 = r2 * r3
+        rec(0, T(0))
+        if r3 > 1:
+            rec(1, out[0])
+        for j in range(2, r3):
+            rec(j, T(T(2) * out[j - 1] - out[j - 2]))
+        for i in range(1, r2):
+            idx = i * r3
+            rec(idx, out[idx - r3])
+            for j in range(1, r3):
+                ix = idx + j
+                rec(ix, T(out[ix - 1] + out[ix - r3] - out[ix - r3 - 1]))
+        for k in range(1, r1):
+            index = k * r23
+            rec(index, out[index - r23])
+            for j in range(1, r3):
+                ix = index + j
+                rec(ix, T(out[ix - 1] + out[ix - r23] - out[ix - r23 - 1]))
+            for i in range(1, r2):
+                ix = index + i * r3
+                rec(ix, T(out[ix - r3] + out[ix - r23] - out[ix - r23 - r3]))
+                for j in range(1, r3):
+                    ixj = ix + j
+                    pred = out[ixj - 1] + out[ixj - r3]
+                    pred = T(pred + out[ixj - r23])
+                    pred = T(pred - out[ixj - r3 - 1])
+                    pred = T(pred - out[ixj - r23 - r3])
+                    pred = T(pred - out[ixj - r23 - 1])
+                    pred = T(pred + out[ixj - r23 - r3 - 1])
+                    rec(ixj, pred)
+    return out.reshape(shape)

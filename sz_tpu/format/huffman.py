@@ -438,6 +438,18 @@ def encode_with_tree(type_codes: np.ndarray, state_num: int) -> bytes:
             + t.tree_bytes + body)
 
 
+def encode_with_tree_max_bits(type_codes: np.ndarray,
+                              state_num: int) -> tuple:
+    """encode_withTree_MSST19 (Huffman.c:818): same frame, also returns
+    the maximum code length (serialized as tdps.max_bits)."""
+    t = build_tables(type_codes, state_num)
+    body = encode(t, type_codes)
+    max_bits = int(t.code_len.max()) if t.code_len.size else 0
+    blob = (bu.u32_be(t.node_count) + bu.u32_be(state_num // 2)
+            + t.tree_bytes + body)
+    return blob, max_bits
+
+
 def decode_with_tree(blob: bytes, count: int) -> tuple:
     """Returns (symbols, bytes consumed is unknowable without count walk —
     the reference also relies on the caller to know sizes)."""
