@@ -2,7 +2,7 @@
 """Driver benchmark: end-to-end SZ2-compatible compression on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N, ...}
 
 Workload: 256^3 float32 smooth synthetic field (the CESM/Hurricane-like
 regime), ABS 1e-3, full reference-compatible pipeline (predict+quantize
@@ -12,6 +12,11 @@ vs_baseline: measured against the reference C binary (sz -z) on the same
 field.  If the binary is present it is timed live; otherwise the recorded
 measurement from this machine is used (best of 3: 1.06 s compress for
 67.1 MB = 63.2 MB/s, 2026-08-17, see BASELINE.md).
+
+Each attempt runs in a subprocess with a hard timeout: the TPU tunnel in
+this environment can wedge inside native calls, and the driver must get
+its JSON line regardless.  Fallbacks step down to a smaller field and
+finally to the numpy host engine.
 """
 
 import json
@@ -42,6 +47,7 @@ def time_reference(data: np.ndarray) -> float:
     if not REF_BIN.exists():
         return REF_MEASURED_MBPS
     import tempfile
+    n = data.shape[0]
     with tempfile.TemporaryDirectory() as td:
         f = pathlib.Path(td) / "bench.dat"
         data.tofile(f)
@@ -50,19 +56,20 @@ def time_reference(data: np.ndarray) -> float:
             t0 = time.time()
             subprocess.run(
                 [str(REF_BIN), "-z", "-f", "-i", str(f), "-M", "ABS",
-                 "-A", str(EB), "-3", str(N), str(N), str(N)],
+                 "-A", str(EB), "-3", str(n), str(n), str(n)],
                 check=True, capture_output=True)
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         return data.nbytes / 1e6 / best
 
 
-def main():
-    data = synth(N)
+def attempt(n: int, engine: str) -> None:
+    """Subprocess entry: measure one config, print a JSON line."""
+    data = synth(n)
     import sz_tpu
     from sz_tpu import SZConfig, ErrorBoundMode
 
-    cfg = SZConfig(engine="auto").with_bound(ErrorBoundMode.ABS, EB)
+    cfg = SZConfig(engine=engine).with_bound(ErrorBoundMode.ABS, EB)
     blob = sz_tpu.compress(data, cfg)  # cold (compile) run
     best = None
     for _ in range(3):
@@ -70,18 +77,44 @@ def main():
         blob = sz_tpu.compress(data, cfg)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
-    mbps = data.nbytes / 1e6 / best
-
+    t0 = time.time()
     out = sz_tpu.decompress(blob, data.shape, np.float32)
+    ddt = time.time() - t0
     assert np.abs(out - data).max() <= EB * (1 + 1e-6), "bound violated"
-
-    ref = time_reference(data)
+    mbps = data.nbytes / 1e6 / best
+    ref = time_reference(data) if n == N else REF_MEASURED_MBPS
     print(json.dumps({
-        "metric": "compress_256c_f32_abs1e-3",
+        "metric": f"compress_{n}c_f32_abs1e-3"
+                  + ("" if engine == "jax" else "_hostref"),
         "value": round(mbps, 2),
         "unit": "MB/s",
         "vs_baseline": round(mbps / ref, 3),
+        "detail": {"engine": engine, "n": n,
+                   "ratio": round(data.nbytes / len(blob), 2),
+                   "decompress_mbps": round(data.nbytes / 1e6 / ddt, 2)},
     }))
+
+
+def main():
+    if len(sys.argv) == 4 and sys.argv[1] == "--attempt":
+        attempt(int(sys.argv[2]), sys.argv[3])
+        return
+    attempts = [(N, "jax", 560), (96, "jax", 240), (64, "numpy", 200)]
+    for n, engine, budget in attempts:
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--attempt", str(n), engine],
+                capture_output=True, text=True, timeout=budget)
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return
+            print(f"bench attempt n={n} {engine} rc={r.returncode}: "
+                  f"{r.stderr[-300:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt n={n} {engine} timed out", file=sys.stderr)
+    print(json.dumps({"metric": "compress_f32_abs1e-3", "value": 0,
+                      "unit": "MB/s", "vs_baseline": 0}))
 
 
 if __name__ == "__main__":

@@ -20,7 +20,7 @@ from sz_tpu.config import (
 from sz_tpu.format import bytes_util as bu
 from sz_tpu.format import lossless as ll
 from sz_tpu.format import metadata as md
-from sz_tpu.core import classic, classic_nd, pwr, regnd
+from sz_tpu.core import classic, classic_nd, intc, pwr, regnd
 from sz_tpu.format import tdps as tdps_mod
 
 _DTYPE_MAP = {
@@ -94,16 +94,47 @@ def _regnd_engine(engine: str, n: int):
 def compress(data: np.ndarray, cfg: SZConfig = DEFAULT_CONFIG) -> bytes:
     """Compress an array into a reference-compatible SZ2 stream."""
     data = np.asarray(data)
+    dims = _filter_dims(data.shape)
+    n = int(np.prod(dims))
+    if data.dtype in intc.SPECS:
+        return _compress_int(data.reshape(dims), cfg)
     dt = _DTYPE_MAP.get(data.dtype)
     if dt is None:
         raise TypeError(f"unsupported dtype {data.dtype}")
-    dims = _filter_dims(data.shape)
-    n = int(np.prod(dims))
 
     if n <= MIN_NUM_OF_ELEMENTS:
         # SZ_skip_compress_float (sz_float.c:37): raw bytes, no framing
         return data.tobytes()
     return _compress_fp(data.reshape(dims), cfg, dt)
+
+
+def _compress_int(data: np.ndarray, cfg: SZConfig) -> bytes:
+    """SZ_compress_args_int{8..64} analog (e.g. sz_int32.c:1193)."""
+    spec = intc.SPECS[data.dtype]
+    flat = data.reshape(-1)
+    mn, vrange = intc.range_size_int(flat)
+    mode = cfg.error_bound_mode
+    if mode == ErrorBoundMode.PSNR:
+        pt = float(np.float32(cfg.pred_threshold))
+        rp = vrange * (10.0 ** ((cfg.psnr
+                                 + 10 * math.log10(1 - 2.0 / 3.0 * pt))
+                                / -20.0))
+    else:
+        rp, _ = _resolve_precision(cfg, float(vrange), data.size,
+                                   DataType.FLOAT)
+    hdr_cfg = dataclasses.replace(cfg, abs_err_bound=rp)
+    params = md.serialize_params(hdr_cfg, spec.dt, 0.0, 0.0)
+    t = intc.compress_int(
+        data, rp, max_range_radius=cfg.max_range_radius,
+        sample_distance=cfg.sample_distance,
+        pred_threshold=np.float32(cfg.pred_threshold),
+        opt_quant_mode=1 if cfg.quantization_intervals == 0 else 0,
+        fixed_intervals=cfg.quantization_intervals)
+    body = intc.itdps_to_bytes(t, params, int(cfg.sz_mode),
+                               cfg.size_type)
+    if cfg.sz_mode == SZMode.BEST_SPEED:
+        return body
+    return ll.compress(body, cfg.lossless, cfg.lossless_level)
 
 
 def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
@@ -243,6 +274,12 @@ def decompress(blob: bytes, shape, dtype=np.float32,
     """Decompress a reference-format SZ2 stream."""
     dims = _filter_dims(shape)
     n = int(np.prod(dims))
+    if np.dtype(dtype) in intc.SPECS:
+        spec = intc.SPECS[np.dtype(dtype)]
+        inner = ll.decompress(
+            blob, expected_size=n * spec.esize * 2 + 128)
+        t = intc.itdps_from_bytes(inner, md.meta_length(DataType.FLOAT))
+        return intc.decompress_int(t, dims, dtype).reshape(shape)
     dt = _DTYPE_MAP[np.dtype(dtype)]
     esize = np.dtype(dtype).itemsize
     if n <= MIN_NUM_OF_ELEMENTS:

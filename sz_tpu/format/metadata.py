@@ -94,9 +94,11 @@ def serialize_params(cfg: SZConfig, data_type: DataType,
     if data_type == DataType.FLOAT:
         out[20:24] = bu.f32_be(fmin)
         out[24:28] = bu.f32_be(fmax)
-    else:
+    elif data_type == DataType.DOUBLE:
         out[20:28] = bu.f64_be(fmin)
         out[28:36] = bu.f64_be(fmax)
+    # integer types: the 28-byte block's tail stays zero (the reference
+    # leaves confparams fmin/fmax unset for ints)
     return bytes(out)
 
 

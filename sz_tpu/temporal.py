@@ -1,0 +1,305 @@
+"""Temporal (time-series) compression — multi-variable, multi-step.
+
+Mirrors the reference's temporal mode (szMode=SZ_TEMPORAL_COMPRESSION,
+compile flag HAVE_TIMECMPR): a registry of variables
+(SZ_registerVar/SZ_VarSet, sz.c:975 / VarSet.c), per-variable history of
+the previous step's *decompressed* data (multisteps->hist_data), a
+per-step choice between snapshot compression (the spatial codec) and
+temporal compression (predict every point from the same index in the
+previous step, SZ_compress_float_1D_MDQ_ts, sz_float_ts.c:69), and a
+multi-variable frame per step (SZ_compress_ts, sz.c:1071-1141):
+
+    [currentStep u32 BE][var_count u16 LE]
+    per var: [var_id u8][compressType u8][dataType u8]
+             [compressedSize u64 LE][payload = full SZ stream]
+
+The temporal predictor has no intra-step dependence — it is purely
+elementwise against the previous reconstruction, i.e. embarrassingly
+parallel (on TPU this is a fused elementwise kernel; a run of steps is a
+`lax.scan` carrying the reconstruction).  The host oracle below defines
+the exact arithmetic contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+from sz_tpu import api
+from sz_tpu.config import (SZConfig, ErrorBoundMode, DataType, SZMode,
+                           CompressionType)
+from sz_tpu.core import classic
+from sz_tpu.format import bytes_util as bu
+from sz_tpu.format import huffman
+from sz_tpu.format import lossless as ll
+from sz_tpu.format import metadata as md
+from sz_tpu.format import tdps as tdps_mod
+from sz_tpu.format.tdps import TDPS
+
+_DT_NP = {DataType.FLOAT: np.float32, DataType.DOUBLE: np.float64}
+
+
+# ---------------------------------------------------------------------------
+# Temporal 1D kernel (sz_float_ts.c:69-208 / sz_double_ts.c)
+# ---------------------------------------------------------------------------
+
+def optimize_intervals_1d_ts(flat, prev, real_precision, max_range_radius,
+                             sample_distance, pred_threshold) -> int:
+    """optimize_intervals_float_1D_ts (sz_float_ts.c:28)."""
+    from sz_tpu.core.optimizer import round_up_to_power_of_2
+
+    n = len(flat)
+    idx = np.arange(2, n)
+    idx = idx[idx % sample_distance == 0]
+    rp = float(real_precision)
+    pred_err = np.abs((prev[idx] - flat[idx]).astype(np.float64)) \
+        .astype(flat.dtype)
+    radius_index = ((pred_err.astype(np.float64) / rp + 1.0) / 2.0) \
+        .astype(np.int64)
+    np.minimum(radius_index, max_range_radius - 1, out=radius_index)
+    hist = np.bincount(radius_index, minlength=max_range_radius)
+    total = n // sample_distance
+    target = int(total * pred_threshold)
+    csum = np.cumsum(hist)
+    over = np.flatnonzero(csum > target)
+    i = int(over[0]) if len(over) else max_range_radius - 1
+    return max(round_up_to_power_of_2(2 * (i + 1)), 32)
+
+
+def compress_1d_ts(data: np.ndarray, prev: np.ndarray,
+                   real_precision: float, value_range, median, *,
+                   max_range_radius: int, sample_distance: int,
+                   pred_threshold: float, opt_quant_mode: int = 1,
+                   fixed_intervals: int = 0):
+    """Returns (TDPS, reconstruction)."""
+    T = np.float32 if data.dtype == np.float32 else np.float64
+    dt = DataType.FLOAT if T is np.float32 else DataType.DOUBLE
+    flat = np.ascontiguousarray(data, dtype=T).reshape(-1)
+    prev = np.ascontiguousarray(prev, dtype=T).reshape(-1)
+    n = len(flat)
+    rp = float(real_precision)
+
+    if opt_quant_mode == 1:
+        intervals = optimize_intervals_1d_ts(
+            flat, prev, rp, max_range_radius, sample_distance,
+            pred_threshold)
+    else:
+        intervals = fixed_intervals
+    radius = intervals // 2
+
+    median = T(median)
+    rad_expo = classic.get_exponent(T(value_range) / T(2), T)
+    req_length, median_zeroed = classic.compute_req_length(rp, rad_expo, T)
+    if median_zeroed:
+        median = T(0)
+
+    enc = classic.ExactEncoder(req_length, median, T)
+    types = np.zeros(n, dtype=np.int32)
+    recon = np.zeros(n, dtype=T)
+
+    recon[0] = enc.add(flat[0])
+    recon[1] = enc.add(flat[1])
+    check_radius = (intervals - 1) * rp  # double
+    interval2 = 2 * rp  # double
+
+    for i in range(2, n):
+        cur = flat[i]
+        pred = prev[i]
+        pae = T(abs(np.float64(T(cur - pred))))
+        if pae <= check_radius:
+            state = int((np.float64(pae) / rp + 1) / 2)
+            if cur >= pred:
+                types[i] = radius + state
+                pred = T(np.float64(pred) + state * interval2)
+            else:
+                types[i] = radius - state
+                pred = T(np.float64(pred) - state * interval2)
+            if np.float64(abs(np.float64(T(cur - pred)))) > rp:
+                types[i] = 0
+                recon[i] = enc.add(cur)
+            else:
+                recon[i] = pred
+        else:
+            types[i] = 0
+            recon[i] = enc.add(cur)
+
+    type_array = huffman.encode_with_tree(types, 2 * intervals)
+    t = TDPS(
+        data_type=dt, ds_length=n, intervals=intervals,
+        median_value=float(median), req_length=req_length,
+        real_precision=rp, type_array=type_array,
+        lead_num=enc.lead_packed(), exact_mid_bytes=bytes(enc.mid_bytes),
+        residual_mid_bits=enc.resi_packed(),
+        exact_data_num=len(enc.lead_nums),
+        max_quant_intervals=max_range_radius * 2)
+    return t, recon
+
+
+def decompress_1d_ts(tdps: TDPS, prev: np.ndarray, n: int,
+                     dtype) -> np.ndarray:
+    """decompressDataSeries_float_1D_ts (szd_float_ts.c:19)."""
+    T = np.float32 if np.dtype(dtype) == np.float32 else np.float64
+    types = huffman.decode_with_tree(tdps.type_array, n)
+    dec = classic.ExactDecoder(tdps, T)
+    out = np.zeros(n, dtype=T)
+    radius = tdps.intervals // 2
+    interval2 = tdps.real_precision * 2  # double
+    for i in range(n):
+        t = int(types[i])
+        if t == 0:
+            out[i] = dec.next()
+        else:
+            out[i] = T(np.float64(prev[i]) + (t - radius) * interval2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Variable registry + per-step framing
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Variable:
+    """SZ_Variable analog (VarSet.c)."""
+
+    var_id: int
+    name: str
+    shape: tuple
+    dtype: object
+    cfg: SZConfig
+    hist: np.ndarray = None  # previous step's reconstruction
+    last_snapshot_step: int = 0
+    compress_type: int = 0
+
+
+class TemporalCompressor:
+    """SZ_registerVar + SZ_compress_ts/SZ_decompress_ts analog.
+
+    The same class drives both directions; decompression needs the same
+    registration order/ids (as in the reference, where the decompressor
+    re-registers the variables)."""
+
+    def __init__(self, snapshot_step: int = 5):
+        self.snapshot_step = snapshot_step
+        self.vars: dict[int, Variable] = {}
+        self.order: list[int] = []
+        self.current_step = 0
+
+    def register(self, var_id: int, name: str, shape, dtype,
+                 cfg: SZConfig = None) -> None:
+        cfg = cfg or SZConfig().with_bound(ErrorBoundMode.ABS, 1e-4)
+        cfg = dataclasses.replace(cfg, sz_mode=SZMode.TEMPORAL_COMPRESSION,
+                                  snapshot_cmpr_step=self.snapshot_step)
+        self.vars[var_id] = Variable(var_id, name, tuple(shape),
+                                     np.dtype(dtype), cfg)
+        self.order.append(var_id)
+
+    # -- compression ------------------------------------------------------
+
+    def _step_payload(self, v: Variable, data: np.ndarray,
+                      cmpr_type: CompressionType) -> bytes:
+        cfg = v.cfg
+        T = _DT_NP[DataType.FLOAT if v.dtype == np.float32
+                   else DataType.DOUBLE]
+        dt = DataType.FLOAT if T is np.float32 else DataType.DOUBLE
+        flat = data.reshape(-1).astype(T, copy=False)
+        n = flat.size
+        fmin = T(flat.min())
+        value_range = T(T(flat.max()) - fmin)
+        fmax = T(fmin + value_range)
+        rp, _ = api._resolve_precision(cfg, float(value_range), n, dt)
+        hdr_cfg = dataclasses.replace(cfg, abs_err_bound=rp)
+        median = T(fmin + value_range / T(2))
+
+        use_ts = (cmpr_type == CompressionType.FORCE_TEMPORAL
+                  or (cmpr_type == CompressionType.PERIO_TEMPORAL
+                      and self.current_step % self.snapshot_step != 0))
+        if use_ts and v.hist is not None:
+            t, recon = compress_1d_ts(
+                flat, v.hist, rp, value_range, median,
+                max_range_radius=cfg.max_range_radius,
+                sample_distance=cfg.sample_distance,
+                pred_threshold=np.float32(cfg.pred_threshold),
+                opt_quant_mode=cfg.opt_quant_mode,
+                fixed_intervals=cfg.quantization_intervals)
+            v.compress_type = 1
+            v.hist = recon
+            header = md.make_header(hdr_cfg, dt, fmin, fmax)
+            body = (header + bu.size_be(n, cfg.size_type)
+                    + tdps_mod.to_bytes(t, cfg.size_type))
+            payload = ll.compress(body, cfg.lossless, cfg.lossless_level)
+        else:
+            # snapshot step: the spatial classic codec; history = its
+            # own reconstruction (decode of the just-built stream)
+            snap_cfg = dataclasses.replace(cfg, with_regression=False)
+            payload = api.compress(data.reshape(v.shape), snap_cfg)
+            v.compress_type = 0
+            v.last_snapshot_step = self.current_step
+            v.hist = api.decompress(payload, v.shape,
+                                    v.dtype).reshape(-1)
+        return payload
+
+    def compress_step(self, arrays: dict, cmpr_type: CompressionType =
+                      CompressionType.PERIO_TEMPORAL) -> bytes:
+        """arrays: {var_id: ndarray}.  Returns the step frame."""
+        frames = []
+        for vid in self.order:
+            v = self.vars[vid]
+            payload = self._step_payload(v, np.asarray(arrays[vid]),
+                                         cmpr_type)
+            frames.append((v, payload))
+        out = bytearray()
+        out += bu.u32_be(self.current_step)
+        out += struct.pack("<H", len(frames))
+        for v, payload in frames:
+            out += bytes([v.var_id & 0xFF, v.compress_type & 0xFF,
+                          (DataType.FLOAT if v.dtype == np.float32
+                           else DataType.DOUBLE) & 0xFF])
+            out += struct.pack("<Q", len(payload))
+            out += payload
+        self.current_step += 1
+        return bytes(out)
+
+    # -- decompression ----------------------------------------------------
+
+    def decompress_step(self, blob: bytes) -> dict:
+        """Returns {var_id: ndarray}; updates per-var history."""
+        pos = 0
+        step = bu.read_u32_be(blob, pos)
+        pos += 4
+        (nvars,) = struct.unpack_from("<H", blob, pos)
+        pos += 2
+        out = {}
+        for _ in range(nvars):
+            var_id = blob[pos]
+            ctype = blob[pos + 1]
+            pos += 3  # id, compressType, dataType
+            (csize,) = struct.unpack_from("<Q", blob, pos)
+            pos += 8
+            payload = blob[pos:pos + csize]
+            pos += csize
+            v = self.vars.get(var_id)
+            if v is None:
+                continue
+            n = int(np.prod(v.shape))
+            if ctype == 0:
+                data = api.decompress(payload, v.shape, v.dtype)
+            else:
+                T = _DT_NP[DataType.FLOAT if v.dtype == np.float32
+                           else DataType.DOUBLE]
+                inner = ll.decompress(
+                    payload, expected_size=n * T().itemsize * 2 + 64)
+                dt = (DataType.FLOAT if v.dtype == np.float32
+                      else DataType.DOUBLE)
+                hdr = md.parse_header(inner, dt)
+                off = hdr.body_offset + hdr.size_type
+                t = tdps_mod.from_bytes(inner[off:], dt, is_pwr=False,
+                                        msst19=False,
+                                        size_type=hdr.size_type)
+                data = decompress_1d_ts(t, v.hist, n,
+                                        v.dtype).reshape(v.shape)
+            v.hist = np.asarray(data).reshape(-1).copy()
+            out[var_id] = data
+        self.current_step = step + 1
+        return out

@@ -1,0 +1,84 @@
+"""Temporal mode parity vs reference-library goldens (gen_ts.c):
+5 steps of a 4096-point float field, snapshotCmprStep=3
+(steps 0,3 snapshots; 1,2,4 temporal)."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from sz_tpu import SZConfig, ErrorBoundMode
+from sz_tpu.temporal import TemporalCompressor
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+STEPS = 5
+N = 4096
+
+
+def _have_goldens():
+    return (GOLDEN / "ts_step0.sz").exists()
+
+
+@pytest.mark.skipif(not _have_goldens(), reason="ts goldens missing")
+def test_temporal_stream_bit_exact():
+    tc = TemporalCompressor(snapshot_step=3)
+    tc.register(1, "v", (N,), np.float32,
+                SZConfig().with_bound(ErrorBoundMode.ABS, 1e-4))
+    for s in range(STEPS):
+        data = np.fromfile(GOLDEN / f"ts_step{s}.in", dtype="<f4")
+        frame = tc.compress_step({1: data})
+        golden = (GOLDEN / f"ts_step{s}.sz").read_bytes()
+        # compare the frame structure + inner streams (normalize the
+        # uninitialized params byte in classic snapshot payloads)
+        assert _norm_frame(frame) == _norm_frame(golden), f"step {s}"
+
+
+def _norm_frame(frame: bytes) -> bytes:
+    """Frame: [step u32][nvars u16] {hdr 11B}{payload}; normalize byte 19
+    of each decompressed payload (classic leaves it uninitialized)."""
+    from sz_tpu.format import lossless as ll
+    import struct
+
+    pos = 6
+    out = [frame[:6]]
+    (nvars,) = struct.unpack_from("<H", frame, 4)
+    for _ in range(nvars):
+        hdr = frame[pos:pos + 11]
+        (csize,) = struct.unpack_from("<Q", frame, pos + 3)
+        payload = frame[pos + 11:pos + 11 + csize]
+        inner = bytearray(ll.decompress(payload, expected_size=N * 8 + 64))
+        if not (inner[3] & 0x80):
+            inner[19] = 0
+        out.append(hdr[:3])
+        out.append(bytes(inner))
+        pos += 11 + csize
+    return b"".join(out)
+
+
+@pytest.mark.skipif(not _have_goldens(), reason="ts goldens missing")
+def test_temporal_decode_bit_exact():
+    tc = TemporalCompressor(snapshot_step=3)
+    tc.register(1, "v", (N,), np.float32,
+                SZConfig().with_bound(ErrorBoundMode.ABS, 1e-4))
+    for s in range(STEPS):
+        golden = (GOLDEN / f"ts_step{s}.sz").read_bytes()
+        out = tc.decompress_step(golden)[1]
+        ref = np.fromfile(GOLDEN / f"ts_step{s}.out", dtype="<f4")
+        np.testing.assert_array_equal(out.view(np.uint32),
+                                      ref.view(np.uint32),
+                                      err_msg=f"step {s}")
+
+
+def test_temporal_roundtrip_bound():
+    rng = np.random.default_rng(5)
+    tc = TemporalCompressor(snapshot_step=2)
+    td = TemporalCompressor(snapshot_step=2)
+    for c in (tc, td):
+        c.register(7, "x", (2048,), np.float32,
+                   SZConfig().with_bound(ErrorBoundMode.ABS, 1e-3))
+    base = np.cumsum(rng.standard_normal(2048)).astype(np.float32)
+    for s in range(4):
+        data = base + np.float32(0.01 * s)
+        frame = tc.compress_step({7: data})
+        out = td.decompress_step(frame)[7]
+        assert np.abs(out - data).max() <= 1e-3 * (1 + 1e-6), f"step {s}"
