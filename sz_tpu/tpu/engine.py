@@ -48,6 +48,20 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: every engine build is shape-specialized,
+# and on the tunneled TPU in this environment a cold compile costs tens of
+# seconds per kernel — cache compiled executables across processes.
+import os as _os  # noqa: E402
+
+_cache_dir = _os.environ.get(
+    "SZ_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/sz_tpu_jax"))
+try:  # pragma: no cover - best effort
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp  # noqa: E402
 
 from sz_tpu.core import blocks as B  # noqa: E402
@@ -738,7 +752,8 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
 def decompress(body: bytes, shape, dtype, size_type: int = 8) -> np.ndarray:
     """TPU-engine analog of regnd.decompress — bit-identical output."""
     shape = tuple(int(r) for r in shape)
-    p = regnd.parse_body(body, shape, dtype, size_type)
+    with _tr.trace("parse_body"):
+        p = regnd.parse_body(body, shape, dtype, size_type)
     spec = p.spec
     T = spec.T
     dstr = np.dtype(T).str.lstrip("<>=")
@@ -754,13 +769,17 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8) -> np.ndarray:
     k = _pad_pow2(max(n_esc, 1))
     unpred_pad = np.zeros(k, dtype=T)
     unpred_pad[:n_esc] = p.unpred
-    t_lat, unpred_lat = _delattice_fn(shape, dstr, k, be)(
-        jax.device_put(p.types.astype(np.uint16)),
-        jax.device_put(unpred_pad), dg["pos"], dg["iperm"])
+    with _tr.trace("delattice"):
+        t_lat, unpred_lat = _delattice_fn(shape, dstr, k, be)(
+            jax.device_put(p.types.astype(np.uint16)),
+            jax.device_put(unpred_pad), dg["pos"], dg["iperm"])
 
-    out, iters = _decode_fn(shape, dstr, spec.block_size, bool(p.use_mean),
-                            be)(
-        t_lat, jax.device_put(lc_full), jax.device_put(use_reg),
-        unpred_lat, dg["bflat"], tuple(dg["loc"]), T(p.rp),
-        jnp.asarray(p.intervals, jnp.int32), T(p.mean))
-    return np.asarray(out)
+    with _tr.trace("decode_fixpoint"):
+        out, iters = _decode_fn(shape, dstr, spec.block_size,
+                                bool(p.use_mean), be)(
+            t_lat, jax.device_put(lc_full), jax.device_put(use_reg),
+            unpred_lat, dg["bflat"], tuple(dg["loc"]), T(p.rp),
+            jnp.asarray(p.intervals, jnp.int32), T(p.mean))
+    with _tr.trace("download"):
+        res = np.asarray(out)
+    return res
