@@ -199,8 +199,9 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
 
     dims = data.shape
     ndim = len(dims)
-    if ndim == 4:
-        # 4D folds to 3D: (r4*r3, r2, r1) (sz_float.c:3010)
+    if ndim == 4 and cfg.with_regression:
+        # the regression path folds 4D to 3D: (r4*r3, r2, r1)
+        # (sz_float.c:3010); the classic path has a true 4D kernel
         data = data.reshape(dims[0] * dims[1], dims[2], dims[3])
         ndim = 3
 
@@ -227,7 +228,7 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
         header = md.make_header(hdr_cfg, dt, fmin, fmax)
         body = (header + bu.size_be(n, cfg.size_type)
                 + tdps_mod.to_bytes(t, cfg.size_type))
-    elif ndim in (2, 3):
+    elif ndim in (2, 3, 4):
         # classic SZ1.4 path (withRegression=NO, conf.c:256)
         median = T(fmin + value_range / T(2))
         t = classic_nd.compress_nd(
@@ -270,8 +271,11 @@ def _store_ori(cfg, dt, fmin, fmax, flat, n) -> bytes:
 
 
 def decompress(blob: bytes, shape, dtype=np.float32,
-               engine: str = "auto") -> np.ndarray:
-    """Decompress a reference-format SZ2 stream."""
+               engine: str = "auto", as_jax: bool = False) -> np.ndarray:
+    """Decompress a reference-format SZ2 stream.
+
+    as_jax=True (jax engine, regression streams) keeps the result on the
+    TPU — decompress-to-device for on-accelerator pipelines."""
     dims = _filter_dims(shape)
     n = int(np.prod(dims))
     if np.dtype(dtype) in intc.SPECS:
@@ -306,13 +310,14 @@ def decompress(blob: bytes, shape, dtype=np.float32,
     if hdr.regression:
         body = inner[off:]
         eng = _regnd_engine(engine, n)
+        kw = {"as_jax": True} if (as_jax and eng is not regnd) else {}
         if len(dims) == 4:
             dims3 = (dims[0] * dims[1], dims[2], dims[3])
             out = eng.decompress(body, dims3, dtype,
-                                 size_type=hdr.size_type)
+                                 size_type=hdr.size_type, **kw)
         elif len(dims) in (2, 3):
             out = eng.decompress(body, dims, dtype,
-                                 size_type=hdr.size_type)
+                                 size_type=hdr.size_type, **kw)
         else:
             # 1-D data inside a regression-flagged stream is still classic
             t = tdps_mod.from_bytes(body, dt, is_pwr=hdr.pw_rel,
@@ -329,9 +334,9 @@ def decompress(blob: bytes, shape, dtype=np.float32,
         return pwr.decompress_pwrel(t, dims, dtype).reshape(shape)
     if len(dims) == 1:
         return classic.decompress_1d(t, n, dtype).reshape(shape)
-    if len(dims) in (2, 3):
+    if len(dims) in (2, 3, 4):
         return classic_nd.decompress_nd(t, dims, dtype).reshape(shape)
-    raise NotImplementedError("classic 4D decode lands next")
+    raise NotImplementedError(f"classic {len(dims)}D decode")
 
 
 def get_metadata(blob: bytes) -> dict:

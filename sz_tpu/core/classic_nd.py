@@ -42,6 +42,35 @@ def _optimize_intervals_nd(data: np.ndarray, real_precision: float,
 
     flat = data.reshape(-1)
     rp = float(real_precision)
+    if data.ndim == 4:
+        # optimize_intervals_float_4D (sz_float.c:298): modular grid;
+        # note the reference's predictor mixes index-r3 into the 7-point
+        # stencil (instead of index-r4) — replicated literally
+        r1, r2, r3, r4 = data.shape
+        r234, r34 = r2 * r3 * r4, r3 * r4
+        i, j, k, l = np.meshgrid(np.arange(1, r1), np.arange(1, r2),
+                                 np.arange(1, r3), np.arange(1, r4),
+                                 indexing="ij")
+        sel = ((i + j + k + l) % sample_distance) == 0
+        idx = (i[sel] * r234 + j[sel] * r34 + k[sel] * r4 + l[sel])
+        d = flat
+        pred = d[idx - 1] + d[idx - r3]
+        pred = pred + d[idx - r34]
+        pred = pred - d[idx - 1 - r34]
+        pred = pred - d[idx - r4 - 1]
+        pred = pred - d[idx - r4 - r34]
+        pred = pred + d[idx - r4 - r34 - 1]
+        pred_err = np.abs((pred - d[idx]).astype(np.float64))
+        total = (r1 - 1) * (r2 - 1) * (r3 - 1) * (r4 - 1) \
+            // sample_distance
+        radius_index = ((pred_err / rp + 1.0) / 2.0).astype(np.int64)
+        np.minimum(radius_index, max_range_radius - 1, out=radius_index)
+        hist = np.bincount(radius_index, minlength=max_range_radius)
+        target = int(total * pred_threshold)
+        csum = np.cumsum(hist)
+        over = np.flatnonzero(csum > target)
+        i0 = int(over[0]) if len(over) else max_range_radius - 1
+        return max(opt.round_up_to_power_of_2(2 * (i0 + 1)), 32)
     if data.ndim == 2:
         r1, r2 = data.shape
         sidx = opt._sample_walk_indices_2d(r1, r2, sample_distance)
@@ -79,9 +108,11 @@ def compress_nd(data: np.ndarray, real_precision: float, value_range,
     data = np.ascontiguousarray(data, dtype=T)
     n = data.size
 
-    # float kernels receive realPrecision already narrowed to float
-    rp = T(real_precision)
-    recip = T(T(1) / rp)
+    # the float 2D/3D kernels receive realPrecision narrowed to float;
+    # the float 4D kernel (and all double kernels) keep it double
+    RT = np.float64 if (T is np.float64 or data.ndim == 4) else T
+    rp = RT(real_precision)
+    recip = RT(RT(1) / rp)
 
     if opt_quant_mode == 1:
         intervals = _optimize_intervals_nd(
@@ -102,16 +133,21 @@ def compress_nd(data: np.ndarray, real_precision: float, value_range,
     types = np.zeros(n, dtype=np.int32)
     flat = data.reshape(-1)
 
+    # the float 2D/3D kernels round itvNum into a float variable, but the
+    # float 4D kernel declares `double itvNum` (sz_float.c:1496) — the
+    # double kernels use double everywhere
+    IT = np.float64 if (T is np.float64 or data.ndim == 4) else T
+
     def quant(idx, cur, pred):
         """One predict+quantize step; returns the reconstructed value."""
         diff = T(cur - pred)
-        # float kernel: double expression rounded into a float itvNum
-        itv = T(np.float64(abs(np.float64(diff))) * np.float64(recip) + 1.0)
+        itv = IT(np.float64(abs(np.float64(diff))) * np.float64(recip)
+                 + 1.0)
         if itv < intervals:
             if diff < 0:
                 itv = -itv
-            t = int(itv / T(2)) + radius
-            rec = T(pred + T(2 * (t - radius)) * rp)
+            t = int(itv / IT(2)) + radius
+            rec = T(pred + RT(2 * (t - radius)) * rp)
             if np.float64(abs(np.float64(T(cur - rec)))) > rp:
                 types[idx] = 0
                 return enc.add(cur)
@@ -120,7 +156,15 @@ def compress_nd(data: np.ndarray, real_precision: float, value_range,
         types[idx] = 0
         return enc.add(cur)
 
-    if data.ndim == 2:
+    if data.ndim == 4:
+        # SZ_compress_float_4D_MDQ (sz_float.c:1479): the 3D scheme run
+        # independently per outermost slice (each slice restarts with an
+        # escaped first value)
+        q1, r1, r2, r3 = data.shape
+        for l in range(q1):
+            _encode_3d_block(data[l], l * r1 * r2 * r3, flat, types,
+                             quant, enc, T)
+    elif data.ndim == 2:
         r1, r2 = data.shape
         P1 = np.zeros(r2, dtype=T)
         P0 = np.zeros(r2, dtype=T)
@@ -138,48 +182,7 @@ def compress_nd(data: np.ndarray, real_precision: float, value_range,
                 P0[j] = quant(base + j, flat[base + j], pred)
             P1, P0 = P0, P1
     else:
-        r1, r2, r3 = data.shape
-        r23 = r2 * r3
-        P1 = np.zeros(r23, dtype=T)
-        P0 = np.zeros(r23, dtype=T)
-        # layer 0
-        types[0] = 0
-        P1[0] = enc.add(flat[0])
-        P1[1] = quant(1, flat[1], P1[0])
-        for j in range(2, r3):
-            pred = T(T(2) * P1[j - 1] - P1[j - 2])
-            P1[j] = quant(j, flat[j], pred)
-        for i in range(1, r2):
-            idx = i * r3
-            P1[idx] = quant(idx, flat[idx], P1[idx - r3])
-            for j in range(1, r3):
-                ix = idx + j
-                pred = T(P1[ix - 1] + P1[ix - r3] - P1[ix - r3 - 1])
-                P1[ix] = quant(ix, flat[ix], pred)
-        # layers 1..r1-1
-        for k in range(1, r1):
-            index = k * r23
-            P0[0] = quant(index, flat[index], P1[0])
-            for j in range(1, r3):
-                index += 1
-                pred = T(P0[j - 1] + P1[j] - P1[j - 1])
-                P0[j] = quant(index, flat[index], pred)
-            for i in range(1, r2):
-                index = k * r23 + i * r3
-                i2 = i * r3
-                pred = T(P0[i2 - r3] + P1[i2] - P1[i2 - r3])
-                P0[i2] = quant(index, flat[index], pred)
-                for j in range(1, r3):
-                    index += 1
-                    i2 = i * r3 + j
-                    pred = P0[i2 - 1] + P0[i2 - r3]
-                    pred = T(pred + P1[i2])
-                    pred = T(pred - P0[i2 - r3 - 1])
-                    pred = T(pred - P1[i2 - r3])
-                    pred = T(pred - P1[i2 - 1])
-                    pred = T(pred + P1[i2 - r3 - 1])
-                    P0[i2] = quant(index, flat[index], pred)
-            P1, P0 = P0, P1
+        _encode_3d_block(data, 0, flat, types, quant, enc, T)
 
     type_array = huffman.encode_with_tree(types, 2 * intervals)
     return TDPS(
@@ -192,6 +195,51 @@ def compress_nd(data: np.ndarray, real_precision: float, value_range,
         max_quant_intervals=max_range_radius * 2)
 
 
+def _encode_3d_block(data3, base, flat, types, quant, enc, T):
+    """The 3D MDQ sweep over one contiguous sub-volume starting at flat
+    offset `base` (shared by the 3D kernel and each 4D slice)."""
+    r1, r2, r3 = data3.shape
+    r23 = r2 * r3
+    P1 = np.zeros(r23, dtype=T)
+    P0 = np.zeros(r23, dtype=T)
+    types[base] = 0
+    P1[0] = enc.add(flat[base])
+    P1[1] = quant(base + 1, flat[base + 1], P1[0])
+    for j in range(2, r3):
+        pred = T(T(2) * P1[j - 1] - P1[j - 2])
+        P1[j] = quant(base + j, flat[base + j], pred)
+    for i in range(1, r2):
+        idx = i * r3
+        P1[idx] = quant(base + idx, flat[base + idx], P1[idx - r3])
+        for j in range(1, r3):
+            ix = idx + j
+            pred = T(P1[ix - 1] + P1[ix - r3] - P1[ix - r3 - 1])
+            P1[ix] = quant(base + ix, flat[base + ix], pred)
+    for k in range(1, r1):
+        index = k * r23
+        P0[0] = quant(base + index, flat[base + index], P1[0])
+        for j in range(1, r3):
+            index += 1
+            pred = T(P0[j - 1] + P1[j] - P1[j - 1])
+            P0[j] = quant(base + index, flat[base + index], pred)
+        for i in range(1, r2):
+            index = k * r23 + i * r3
+            i2 = i * r3
+            pred = T(P0[i2 - r3] + P1[i2] - P1[i2 - r3])
+            P0[i2] = quant(base + index, flat[base + index], pred)
+            for j in range(1, r3):
+                index += 1
+                i2 = i * r3 + j
+                pred = P0[i2 - 1] + P0[i2 - r3]
+                pred = T(pred + P1[i2])
+                pred = T(pred - P0[i2 - r3 - 1])
+                pred = T(pred - P1[i2 - r3])
+                pred = T(pred - P1[i2 - 1])
+                pred = T(pred + P1[i2 - r3 - 1])
+                P0[i2] = quant(base + index, flat[base + index], pred)
+        P1, P0 = P0, P1
+
+
 def decompress_nd(tdps: TDPS, shape, dtype) -> np.ndarray:
     """Classic 2D/3D MDQ decode (szd_float.c:284/600 and double analogs)."""
     T = np.float32 if np.dtype(dtype) == np.float32 else np.float64
@@ -200,14 +248,15 @@ def decompress_nd(tdps: TDPS, shape, dtype) -> np.ndarray:
     dec = classic.ExactDecoder(tdps, T)
     out = np.zeros(n, dtype=T)
     radius = tdps.intervals // 2
-    rp = T(tdps.real_precision)
+    RT = np.float64 if (T is np.float64 or len(shape) == 4) else T
+    rp = RT(tdps.real_precision)
 
     def rec(idx, pred):
         t = int(types[idx])
         if t == 0:
             v = dec.next()
         else:
-            v = T(pred + T(2 * (t - radius)) * rp)
+            v = T(pred + RT(2 * (t - radius)) * rp)
         out[idx] = v
         return v
 
@@ -224,36 +273,46 @@ def decompress_nd(tdps: TDPS, shape, dtype) -> np.ndarray:
             for j in range(1, r2):
                 ix = base + j
                 rec(ix, T(out[ix - 1] + out[ix - r2] - out[ix - r2 - 1]))
+    elif len(shape) == 3:
+        _decode_3d_block(shape, 0, out, rec, T)
     else:
-        r1, r2, r3 = shape
-        r23 = r2 * r3
-        rec(0, T(0))
-        if r3 > 1:
-            rec(1, out[0])
-        for j in range(2, r3):
-            rec(j, T(T(2) * out[j - 1] - out[j - 2]))
-        for i in range(1, r2):
-            idx = i * r3
-            rec(idx, out[idx - r3])
-            for j in range(1, r3):
-                ix = idx + j
-                rec(ix, T(out[ix - 1] + out[ix - r3] - out[ix - r3 - 1]))
-        for k in range(1, r1):
-            index = k * r23
-            rec(index, out[index - r23])
-            for j in range(1, r3):
-                ix = index + j
-                rec(ix, T(out[ix - 1] + out[ix - r23] - out[ix - r23 - 1]))
-            for i in range(1, r2):
-                ix = index + i * r3
-                rec(ix, T(out[ix - r3] + out[ix - r23] - out[ix - r23 - r3]))
-                for j in range(1, r3):
-                    ixj = ix + j
-                    pred = out[ixj - 1] + out[ixj - r3]
-                    pred = T(pred + out[ixj - r23])
-                    pred = T(pred - out[ixj - r3 - 1])
-                    pred = T(pred - out[ixj - r23 - r3])
-                    pred = T(pred - out[ixj - r23 - 1])
-                    pred = T(pred + out[ixj - r23 - r3 - 1])
-                    rec(ixj, pred)
+        q1 = shape[0]
+        sub = tuple(shape[1:])
+        stride = int(np.prod(sub))
+        for l in range(q1):
+            _decode_3d_block(sub, l * stride, out, rec, T)
     return out.reshape(shape)
+
+
+def _decode_3d_block(dims3, base, out, rec, T):
+    r1, r2, r3 = dims3
+    r23 = r2 * r3
+    rec(base, T(0))
+    if r3 > 1:
+        rec(base + 1, out[base])
+    for j in range(2, r3):
+        rec(base + j, T(T(2) * out[base + j - 1] - out[base + j - 2]))
+    for i in range(1, r2):
+        idx = base + i * r3
+        rec(idx, out[idx - r3])
+        for j in range(1, r3):
+            ix = idx + j
+            rec(ix, T(out[ix - 1] + out[ix - r3] - out[ix - r3 - 1]))
+    for k in range(1, r1):
+        index = base + k * r23
+        rec(index, out[index - r23])
+        for j in range(1, r3):
+            ix = index + j
+            rec(ix, T(out[ix - 1] + out[ix - r23] - out[ix - r23 - 1]))
+        for i in range(1, r2):
+            ix = index + i * r3
+            rec(ix, T(out[ix - r3] + out[ix - r23] - out[ix - r23 - r3]))
+            for j in range(1, r3):
+                ixj = ix + j
+                pred = out[ixj - 1] + out[ixj - r3]
+                pred = T(pred + out[ixj - r23])
+                pred = T(pred - out[ixj - r3 - 1])
+                pred = T(pred - out[ixj - r23 - r3])
+                pred = T(pred - out[ixj - r23 - 1])
+                pred = T(pred + out[ixj - r23 - r3 - 1])
+                rec(ixj, pred)

@@ -291,8 +291,10 @@ def encode(tables: HuffmanTables, type_codes: np.ndarray) -> bytes:
     """Pack the per-symbol variable-length codes MSB-first, zero-padded to a
     byte boundary.  Equivalent to the reference's encode() output."""
     if _native is not None:
-        return _native.huff_encode(np.asarray(type_codes, np.int32).ravel(),
-                                   tables.code_hi, tables.code_lo,
+        syms = np.asarray(type_codes).ravel()
+        if syms.dtype != np.uint16:
+            syms = syms.astype(np.int32, copy=False)
+        return _native.huff_encode(syms, tables.code_hi, tables.code_lo,
                                    tables.code_len)
     syms = np.asarray(type_codes, dtype=np.int64).ravel()
     lens = tables.code_len[syms].astype(np.int64)

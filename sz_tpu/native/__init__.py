@@ -38,6 +38,8 @@ _lib.seq_sum_f32.restype = ctypes.c_float
 _lib.seq_sum_f64.restype = ctypes.c_double
 _lib.huff_encode.restype = ctypes.c_int64
 _lib.huff_total_bits.restype = ctypes.c_int64
+_lib.huff_encode_u16.restype = ctypes.c_int64
+_lib.huff_total_bits_u16.restype = ctypes.c_int64
 _lib.huff_fsm_decode.restype = ctypes.c_int64
 _lib.huff_tree_decode.restype = ctypes.c_int64
 
@@ -59,10 +61,19 @@ def seq_sum(vals: np.ndarray):
 
 def huff_encode(syms: np.ndarray, code_hi: np.ndarray, code_lo: np.ndarray,
                 code_len: np.ndarray) -> bytes:
-    syms = np.ascontiguousarray(syms, dtype=np.int32)
     code_hi = np.ascontiguousarray(code_hi, dtype=np.uint64)
     code_lo = np.ascontiguousarray(code_lo, dtype=np.uint64)
     lens = np.ascontiguousarray(code_len, dtype=np.uint8)
+    if syms.dtype == np.uint16 and syms.flags.c_contiguous:
+        total_bits = int(_lib.huff_total_bits_u16(
+            _ptr(syms), ctypes.c_int64(syms.size), _ptr(lens)))
+        out = np.zeros((total_bits + 7) // 8, dtype=np.uint8)
+        if total_bits:
+            _lib.huff_encode_u16(_ptr(syms), ctypes.c_int64(syms.size),
+                                 _ptr(code_hi), _ptr(code_lo), _ptr(lens),
+                                 _ptr(out))
+        return out.tobytes()
+    syms = np.ascontiguousarray(syms, dtype=np.int32)
     total_bits = int(_lib.huff_total_bits(_ptr(syms),
                                           ctypes.c_int64(syms.size),
                                           _ptr(lens)))

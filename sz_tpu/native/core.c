@@ -263,3 +263,32 @@ void coeff_chain_decode_f64(const int32_t *ctypes, int64_t nreg, int nc,
         }
     }
 }
+
+/* uint16 symbol variant of huff_encode (type streams are uint16 on the
+ * device side; avoids a 2x-size int32 conversion on slow hosts). */
+int64_t huff_encode_u16(const uint16_t *syms, int64_t n,
+                        const uint64_t *code_hi, const uint64_t *code_lo,
+                        const uint8_t *code_len, uint8_t *out) {
+    uint64_t acc = 0;
+    int accbits = 0;
+    int64_t ob = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int32_t s = syms[i];
+        int len = code_len[s];
+        if (len <= 64) {
+            ob = put_bits(code_hi[s], len, &acc, &accbits, out, ob);
+        } else {
+            ob = put_bits(code_hi[s], 64, &acc, &accbits, out, ob);
+            ob = put_bits(code_lo[s], len - 64, &acc, &accbits, out, ob);
+        }
+    }
+    if (accbits > 0) out[ob++] = (uint8_t)(acc >> 56);
+    return ob;
+}
+
+int64_t huff_total_bits_u16(const uint16_t *syms, int64_t n,
+                            const uint8_t *code_len) {
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; i++) total += code_len[syms[i]];
+    return total;
+}

@@ -535,13 +535,15 @@ def _stream_fn(shape: tuple, backend: str = "cpu"):
 
 @functools.lru_cache(maxsize=32)
 def _escapes_fn(shape: tuple, dtype_str: str, k: int, backend: str = "cpu"):
-    """Escape values (type==0) in stream order, padded to static size k."""
+    """Escape values (type==0) in stream order, padded to static size k.
+    Only the k escape positions are gathered (two small takes through
+    iperm), not the whole lattice."""
 
     def f(data, t_stream, iperm):
         n = t_stream.shape[0]
         idx = jnp.nonzero(t_stream == 0, size=k, fill_value=n)[0]
-        data_stream = jnp.take(data.reshape(-1), iperm)
-        return jnp.take(data_stream, idx, mode="fill", fill_value=0.0)
+        lat = jnp.take(iperm, idx, mode="fill", fill_value=n)
+        return jnp.take(data.reshape(-1), lat, mode="fill", fill_value=0.0)
 
     return _strict_jit(f, backend)
 
@@ -749,8 +751,13 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
             cprec, result_type, unpred_arr, size_type, freq=freq)
 
 
-def decompress(body: bytes, shape, dtype, size_type: int = 8) -> np.ndarray:
-    """TPU-engine analog of regnd.decompress — bit-identical output."""
+def decompress(body: bytes, shape, dtype, size_type: int = 8,
+               as_jax: bool = False) -> np.ndarray:
+    """TPU-engine analog of regnd.decompress — bit-identical output.
+
+    as_jax=True returns the reconstruction as a device-resident jax
+    array (decompress-to-TPU: no device->host transfer — the natural
+    mode when the decompressed field feeds an on-device pipeline)."""
     shape = tuple(int(r) for r in shape)
     with _tr.trace("parse_body"):
         p = regnd.parse_body(body, shape, dtype, size_type)
@@ -780,6 +787,8 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8) -> np.ndarray:
             t_lat, jax.device_put(lc_full), jax.device_put(use_reg),
             unpred_lat, dg["bflat"], tuple(dg["loc"]), T(p.rp),
             jnp.asarray(p.intervals, jnp.int32), T(p.mean))
+    if as_jax:
+        return out
     with _tr.trace("download"):
         res = np.asarray(out)
     return res
