@@ -250,9 +250,13 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
     if len(body) >= n * esize + 3 + mlen + cfg.size_type + 1:
         body = _store_ori(hdr_cfg, dt, fmin, fmax, flat, n)
 
+    from sz_tpu.utils import stats as _stats
     if cfg.sz_mode == SZMode.BEST_SPEED:
+        _stats.record(original_size=data.nbytes, compressed_size=len(body))
         return body
-    return ll.compress(body, cfg.lossless, cfg.lossless_level)
+    out = ll.compress(body, cfg.lossless, cfg.lossless_level)
+    _stats.record(original_size=data.nbytes, compressed_size=len(out))
+    return out
 
 
 def _constant_stream(cfg, dt, fmin, fmax, value, n) -> bytes:

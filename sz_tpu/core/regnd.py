@@ -399,6 +399,24 @@ def assemble_body(spec: _Spec, rp, quantization_intervals: int,
                                   freq=freq)
     encoded = huffman.encode(tables, result_type)
 
+    from sz_tpu.utils import stats as _stats
+    n_points = len(result_type)
+    n_blocks = len(use_reg)
+    _stats.record(
+        use_mean=bool(use_mean), block_size=spec.block_size,
+        regression_blocks=reg_count,
+        lorenzo_blocks=n_blocks - reg_count,
+        regression_percent=reg_count / n_blocks if n_blocks else 0.0,
+        lorenzo_percent=(n_blocks - reg_count) / n_blocks
+        if n_blocks else 0.0,
+        quantization_intervals=quantization_intervals,
+        unpredict_count=total_unpred,
+        unpredict_percent=total_unpred / n_points if n_points else 0.0,
+        huffman_tree_size=len(tables.tree_bytes),
+        huffman_coding_size=len(encoded),
+        huffman_node_count=tables.node_count,
+        huffman_avg_bits=len(encoded) * 8 / n_points if n_points else 0.0)
+
     out = bytearray()
     out += bu.i32_be(spec.block_size)
     out += _val_be(spec, rp)
