@@ -387,17 +387,20 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
 def assemble_body(spec: _Spec, rp, quantization_intervals: int,
                   use_mean: bool, mean, use_reg, ctypes, cunpred, cprec,
                   result_type, unpred_arr, size_type: int,
-                  freq=None) -> EncodeResult:
+                  freq=None, tables=None, encoded=None) -> EncodeResult:
     """Serialize the regression-codec body (sz_float.c:7392-7473) from
     already-computed streams.  Shared by the numpy oracle and the TPU
     engine (sz_tpu.tpu.engine), which produce identical intermediates.
-    `freq` optionally supplies a precomputed type histogram (the TPU
-    engine computes it on device)."""
+    `freq` optionally supplies a precomputed type histogram; `tables` /
+    `encoded` a prebuilt Huffman table and device-packed bitstream."""
     reg_count = int(np.count_nonzero(use_reg))
     total_unpred = len(unpred_arr)
-    tables = huffman.build_tables(result_type, 2 * quantization_intervals,
-                                  freq=freq)
-    encoded = huffman.encode(tables, result_type)
+    if tables is None:
+        tables = huffman.build_tables(result_type,
+                                      2 * quantization_intervals,
+                                      freq=freq)
+    if encoded is None:
+        encoded = huffman.encode(tables, result_type)
 
     from sz_tpu.utils import stats as _stats
     n_points = len(result_type)

@@ -269,9 +269,11 @@ def build_tables(type_codes: np.ndarray, state_num: int,
     """Histogram + tree + codes + serialized tree for one stream."""
     if freq is None:
         freq = np.bincount(type_codes.ravel(), minlength=2 * state_num)
-    elif len(freq) < 2 * state_num:
-        freq = np.concatenate(
-            [freq, np.zeros(2 * state_num - len(freq), freq.dtype)])
+    else:
+        freq = np.asarray(freq)
+        if len(freq) < 2 * state_num:
+            freq = np.concatenate(
+                [freq, np.zeros(2 * state_num - len(freq), freq.dtype)])
     root, left, right, sym, leaf = _build_tree(freq)
     code_hi, code_lo, code_len = _assign_codes(
         root, left, right, sym, leaf, state_num)

@@ -494,8 +494,10 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
         else:
             mean_mask = None
 
-        def body(carry):
-            R, _, it, _ = carry
+        def step(R):
+            """One sweep of the predict+quantize map (reconstruction only
+            — types are derived in a single pass after convergence, which
+            keeps a 4-byte-per-point lattice out of the loop carry)."""
             p = _lorenzo_pred(R, rank)
             t_l, rec_l = _quant(data, p, rp, recip, cap_szf, radius)
             if use_mean:
@@ -504,16 +506,22 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
                 rec_l = jnp.where(mean_mask, mean, rec_l)
             t = jnp.where(reg_pts, t_reg, t_l)
             R_new = jnp.where(reg_pts, rec_reg, rec_l)
-            done = _same_bits(R_new, R)
-            return R_new, t, it + 1, done
+            return t, R_new
+
+        def body(carry):
+            R, it, _ = carry
+            _, R_new = step(R)
+            return R_new, it + 1, _same_bits(R_new, R)
 
         def cond(carry):
-            _, _, it, done = carry
+            _, it, done = carry
             return (~done) & (it < max_iter)
 
-        init = (data, jnp.zeros(shape, jnp.int32), jnp.asarray(0),
-                jnp.asarray(False))
-        R, t, iters, _ = jax.lax.while_loop(cond, body, init)
+        init = (data, jnp.asarray(0), jnp.asarray(False))
+        R, iters, _ = jax.lax.while_loop(cond, body, init)
+        # R is the bit-exact fixpoint: one more application leaves it
+        # unchanged and yields the matching type codes
+        t, R = step(R)
         return t, R, iters
 
     return _strict_jit(f, backend)
@@ -529,6 +537,37 @@ def _stream_fn(shape: tuple, backend: str = "cpu"):
         t_stream = jnp.take(t.reshape(-1), iperm).astype(jnp.uint16)
         hist = jnp.zeros((65536,), jnp.int32).at[t.reshape(-1)].add(1)
         return t_stream, hist
+
+    return _strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=32)
+def _bitpack_fn(n: int, out_bytes: int, backend: str = "cpu"):
+    """Device-side Huffman bit pack: MSB-first concatenation of per-symbol
+    variable-length codes (<=32 bits), the TPU-native form of the
+    reference's serial encode() (Huffman.c:205-308).
+
+    Formulation: per-symbol bit offsets are an (exact, integer) cumsum of
+    code lengths; each code contributes to at most 5 consecutive output
+    bytes; contributions have pairwise-disjoint bits, so a sorted
+    segment-sum per byte lane is equivalent to OR-ing them in."""
+
+    def f(t_stream, code_hi, code_len):
+        sym = t_stream.astype(jnp.int32)
+        lens = jnp.take(code_len, sym)  # int32
+        offs = jnp.cumsum(lens.astype(jnp.int64)) - lens
+        hi = jnp.take(code_hi, sym)  # uint64, MSB-aligned
+        b0 = (offs >> 3).astype(jnp.int32)
+        s = (offs & 7).astype(jnp.uint64)
+        w = hi >> s
+        acc = jnp.zeros((out_bytes,), jnp.int32)
+        for k in range(5):
+            byte_k = ((w >> jnp.uint64(56 - 8 * k))
+                      & jnp.uint64(0xFF)).astype(jnp.int32)
+            acc = acc + jax.ops.segment_sum(
+                byte_k, b0 + k, num_segments=out_bytes,
+                indices_are_sorted=True)
+        return acc.astype(jnp.uint8)
 
     return _strict_jit(f, backend)
 
@@ -739,16 +778,38 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
                                                 dg["iperm"]))[:n_esc]
         else:
             unpred_arr = np.zeros(0, dtype=T)
-    with _tr.trace("types_download"):
-        result_type = np.asarray(t_stream_d)
-
     state_num = 2 * intervals
     freq = np.zeros(2 * state_num, np.int64)
     freq[:min(65536, 2 * state_num)] = hist[:min(65536, 2 * state_num)]
+
+    with _tr.trace("huffman_tree"):
+        from sz_tpu.format import huffman as _huff
+        tables = _huff.build_tables(None, state_num, freq=freq)
+    max_len = int(tables.code_len.max()) if tables.code_len.size else 0
+    total_bits = int((freq[:len(tables.code_len)]
+                      * tables.code_len.astype(np.int64)).sum())
+    encoded = None
+    result_type = None
+    n = int(np.prod(shape))
+    if 0 < max_len <= 32 and total_bits > 0:
+        # device-side bit pack; download only the packed stream
+        nbytes = (total_bits + 7) // 8
+        out_pad = _pad_pow2(nbytes + 8)
+        with _tr.trace("bitpack_device"):
+            packed = np.asarray(_bitpack_fn(n, out_pad, be)(
+                t_stream_d, jax.device_put(tables.code_hi),
+                jax.device_put(tables.code_len.astype(np.int32))))
+        encoded = packed[:nbytes].tobytes()
+        result_type = np.zeros(0, np.uint16)  # not needed downstream
+    else:  # pragma: no cover - pathological trees
+        with _tr.trace("types_download"):
+            result_type = np.asarray(t_stream_d)
+
     with _tr.trace("assemble"):
         return regnd.assemble_body(
             spec, rp, intervals, use_mean, mean, use_reg, ctypes, cunpred,
-            cprec, result_type, unpred_arr, size_type, freq=freq)
+            cprec, result_type, unpred_arr, size_type, freq=freq,
+            tables=tables, encoded=encoded)
 
 
 def decompress(body: bytes, shape, dtype, size_type: int = 8,
