@@ -118,12 +118,13 @@ def make_encode_step(mesh_shape: int, global_shape: tuple, dtype_str: str,
         use_reg = select_f(data, coeffs, noise, jnp.asarray(0, T))
         lc_full = jnp.where(use_reg[:, None], coeffs,
                             jnp.zeros_like(coeffs))
-        t, R, _ = quant_f(data, lc_full, use_reg, bflat,
-                          tuple(jnp.asarray(l) for l in loc_c), rp, recip,
-                          intervals, jnp.asarray(0, T))
-        hist = jnp.zeros((nbins,), jnp.int32).at[
-            jnp.clip(t.reshape(-1), 0, nbins - 1)].add(1)
-        hist = jax.lax.psum(hist, AXIS)
+        t_stream, hist64, _esc, R, _ = quant_f(
+            data, lc_full, use_reg, bflat,
+            tuple(jnp.asarray(l) for l in loc_c), iperm, rp, recip,
+            intervals, jnp.asarray(0, T))
+        hist = jax.lax.psum(hist64[:nbins], AXIS)
+        t = jnp.take(t_stream.astype(jnp.int32),
+                     pos.reshape(-1)).reshape(lshape)
         return t[None], R[None], hist
 
     spec_in = P(AXIS, *([None] * (rank - 1)))

@@ -463,7 +463,8 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
     rank = len(shape)
     max_iter = int(sum(shape)) + 4
 
-    def f(data, lc_full, reg_blk, bflat, locs, rp, recip, intervals, mean):
+    def f(data, lc_full, reg_blk, bflat, locs, iperm, rp, recip,
+          intervals, mean):
         T = data.dtype
         cap = intervals
         capf = cap.astype(T)
@@ -522,9 +523,26 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
         # R is the bit-exact fixpoint: one more application leaves it
         # unchanged and yields the matching type codes
         t, R = step(R)
-        return t, R, iters
+
+        # fused epilogue (single device call: the tunnel's per-dispatch
+        # latency dwarfs the compute): stream reorder + histogram +
+        # escape gather for the common case
+        t_stream = jnp.take(t.reshape(-1), iperm).astype(jnp.uint16)
+        hist = jnp.zeros((65536,), jnp.int32).at[t.reshape(-1)].add(1)
+        npts = t_stream.shape[0]
+        esc_idx = jnp.nonzero(t_stream == 0, size=ESC_K,
+                              fill_value=npts)[0]
+        esc_lat = jnp.take(iperm, esc_idx, mode="fill", fill_value=npts)
+        esc_vals = jnp.take(data.reshape(-1), esc_lat, mode="fill",
+                            fill_value=0.0)
+        return t_stream, hist, esc_vals, R, iters
 
     return _strict_jit(f, backend)
+
+
+# escapes returned inline by the quantize epilogue, padded to this size;
+# streams with more escapes take one extra device call (_escapes_fn)
+ESC_K = 4096
 
 
 @functools.lru_cache(maxsize=32)
@@ -760,24 +778,21 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
     lc_full[np.flatnonzero(use_reg)] = qcoeffs
 
     with _tr.trace("quantize"):
-        t_lat, R, iters = _quantize_fn(shape, dstr, spec.block_size,
-                                       use_mean, be)(
+        t_stream_d, hist_d, esc_d, R, iters = _quantize_fn(
+            shape, dstr, spec.block_size, use_mean, be)(
             dev, jax.device_put(lc_full), jax.device_put(use_reg),
-            dg["bflat"], tuple(dg["loc"]), T(rp), T(recip),
+            dg["bflat"], tuple(dg["loc"]), dg["iperm"], T(rp), T(recip),
             jnp.asarray(intervals, jnp.int32), T(mean))
-        t_lat.block_until_ready()
-    with _tr.trace("stream+hist"):
-        t_stream_d, hist_d = _stream_fn(shape, be)(t_lat, dg["iperm"])
         hist = np.asarray(hist_d)
     n_esc = int(hist[0])
     with _tr.trace("escapes"):
-        if n_esc:
+        if n_esc <= ESC_K:
+            unpred_arr = np.asarray(esc_d)[:n_esc]
+        else:
             k = _pad_pow2(n_esc)
             unpred_arr = np.asarray(
                 _escapes_fn(shape, dstr, k, be)(dev, t_stream_d,
                                                 dg["iperm"]))[:n_esc]
-        else:
-            unpred_arr = np.zeros(0, dtype=T)
     state_num = 2 * intervals
     freq = np.zeros(2 * state_num, np.int64)
     freq[:min(65536, 2 * state_num)] = hist[:min(65536, 2 * state_num)]
