@@ -214,17 +214,20 @@ def compress_int(data: np.ndarray, real_precision: float, *,
             else:
                 esc(i, flat[i])
                 pred = A1(cur)
+    elif data.ndim == 4:
+        # like the float 4D kernel: the 3D scheme run per outermost
+        # slice, each restarting with an escaped first value.
+        # Reference bug replicated (sz_int32.c 4D "Row-0 data 1"):
+        # `diff = curValue - pred1D` uses the STALE curValue (the
+        # slice's element 0) instead of the element being coded, and
+        # its escape branch stores spaceFillingValue[0] (the global
+        # first element).  Position 1 of every slice therefore encodes
+        # a zero diff — bound-violating, but bit-compatible.
+        for l in range(data.shape[0]):
+            _int_nd_loop(data[l], types, esc, spec, rp, intervals,
+                         radius, base=l * int(np.prod(data.shape[1:])),
+                         quirk_4d_first=int(flat[0]))
     else:
-        # 2D-4D share the classic positional predictor layout; 4D is the
-        # 3D scheme iterated over the slowest axis pair folded (the
-        # reference's true 4D kernels follow the same first-line/plane
-        # special cases)
-        shape = data.shape
-        if data.ndim == 4:
-            data3 = data.reshape(shape[0] * shape[1], shape[2], shape[3])
-            return _compress_int_nd(data3, types, exact, esc, spec, mn,
-                                    byte_size, rp, intervals, radius,
-                                    max_range_radius)
         _int_nd_loop(data, types, esc, spec, rp, intervals, radius)
 
     type_array = huffman.encode_with_tree(types, 2 * intervals)
@@ -240,15 +243,19 @@ def compress_int(data: np.ndarray, real_precision: float, *,
                  max_quant_intervals=max_range_radius * 2)
 
 
-def _int_nd_loop(data, types, esc, spec, rp, intervals, radius):
-    """2D/3D integer MDQ point loops (sz_int32.c 2D/3D etc.)."""
+def _int_nd_loop(data, types, esc, spec, rp, intervals, radius,
+                 base: int = 0, quirk_4d_first=None):
+    """2D/3D integer MDQ point loops (sz_int32.c 2D/3D etc.); `base` is
+    the flat offset of this sub-volume (4D slices).  quirk_4d_first
+    enables the reference's stale-curValue bug at position 1 (4D only),
+    carrying the global first element for its escape branch."""
     AN = spec.arith_nd
     DN = spec.diff_nd
     flat = data.reshape(-1)
-    interval_d = 2 * rp
 
-    def quant(idx, cur64, pred):
+    def quant(idx0, cur64, pred):
         """cur64/pred as python ints in AN domain; returns recon int."""
+        idx = base + idx0
         diff = DN(np.int64(cur64) - np.int64(pred))
         itv = np.float64(abs(np.int64(diff))) / rp + 1
         if itv < intervals:
@@ -258,35 +265,40 @@ def _int_nd_loop(data, types, esc, spec, rp, intervals, radius):
             types[idx] = t
             return _ctrunc(np.float64(pred)
                            + 2 * (t - radius) * rp, AN)
-        esc(idx, flat[idx])
-        return AN(np.int64(flat[idx]))
+        esc(idx, flat[idx0])
+        return AN(np.int64(flat[idx0]))
 
     if data.ndim == 2:
         r1, r2 = data.shape
         P1 = np.zeros(r2, dtype=AN)
         P0 = np.zeros(r2, dtype=AN)
-        esc(0, flat[0])
+        esc(base, flat[0])
         P1[0] = AN(np.int64(flat[0]))
         P1[1] = quant(1, np.int64(flat[1]), P1[0])
         for j in range(2, r2):
             pred = AN(2 * np.int64(P1[j - 1]) - np.int64(P1[j - 2]))
             P1[j] = quant(j, np.int64(flat[j]), pred)
         for i in range(1, r1):
-            base = i * r2
-            P0[0] = quant(base, np.int64(flat[base]), P1[0])
+            row = i * r2
+            P0[0] = quant(row, np.int64(flat[row]), P1[0])
             for j in range(1, r2):
                 pred = AN(np.int64(P0[j - 1]) + np.int64(P1[j])
                           - np.int64(P1[j - 1]))
-                P0[j] = quant(base + j, np.int64(flat[base + j]), pred)
+                P0[j] = quant(row + j, np.int64(flat[row + j]), pred)
             P1, P0 = P0, P1
     else:
         r1, r2, r3 = data.shape
         r23 = r2 * r3
         P1 = np.zeros(r23, dtype=AN)
         P0 = np.zeros(r23, dtype=AN)
-        esc(0, flat[0])
+        esc(base, flat[0])
         P1[0] = AN(np.int64(flat[0]))
-        P1[1] = quant(1, np.int64(flat[1]), P1[0])
+        if quirk_4d_first is not None:
+            P1[1] = _quant_quirk_4d(quant, flat, quirk_4d_first, P1[0],
+                                    types, esc, base, spec, rp,
+                                    intervals, radius)
+        else:
+            P1[1] = quant(1, np.int64(flat[1]), P1[0])
         for j in range(2, r3):
             pred = AN(2 * np.int64(P1[j - 1]) - np.int64(P1[j - 2]))
             P1[j] = quant(j, np.int64(flat[j]), pred)
@@ -325,9 +337,24 @@ def _int_nd_loop(data, types, esc, spec, rp, intervals, radius):
             P1, P0 = P0, P1
 
 
-def _compress_int_nd(data3, types, exact, esc, spec, mn, byte_size, rp,
-                     intervals, radius, max_range_radius):
-    raise NotImplementedError("4D integer path")
+def _quant_quirk_4d(quant, flat, global_first, pred, types, esc, base,
+                    spec, rp, intervals, radius):
+    """Reference 4D bug: data1 coded with cur = slice element 0."""
+    AN = spec.arith_nd
+    DN = spec.diff_nd
+    stale = np.int64(flat[0])
+    diff = DN(stale - np.int64(pred))
+    itv = np.float64(abs(np.int64(diff))) / rp + 1
+    idx = base + 1
+    if itv < intervals:
+        if diff < 0:
+            itv = -itv
+        t = int(itv / 2) + radius
+        types[idx] = t
+        return _ctrunc(np.float64(pred) + 2 * (t - radius) * rp, AN)
+    # escape stores the GLOBAL first element (spaceFillingValue[0])
+    esc(idx, global_first)
+    return AN(np.int64(global_first))
 
 
 def decompress_int(t: ITDPS, shape, dtype) -> np.ndarray:
@@ -365,42 +392,23 @@ def decompress_int(t: ITDPS, shape, dtype) -> np.ndarray:
                                + (tv - radius) * interval2, T)
         return np.int64(out[idx])
 
-    dims = tuple(shape)
-    if len(dims) == 4:
-        dims = (dims[0] * dims[1], dims[2], dims[3])
-    if len(dims) == 1:
-        prev = rec(0, 0)
-        for i in range(1, n):
-            prev = rec(i, prev)
-    elif len(dims) == 2:
-        r1, r2 = dims
-        rec(0, 0)
-        rec(1, np.int64(out[0]))
-        for j in range(2, r2):
-            rec(j, 2 * np.int64(out[j - 1]) - np.int64(out[j - 2]))
-        for i in range(1, r1):
-            base = i * r2
-            rec(base, np.int64(out[base - r2]))
-            for j in range(1, r2):
-                ix = base + j
-                rec(ix, np.int64(out[ix - 1]) + np.int64(out[ix - r2])
-                    - np.int64(out[ix - r2 - 1]))
-    else:
-        r1, r2, r3 = dims
+    def decode_3d(dims3, base):
+        r1, r2, r3 = dims3
         r23 = r2 * r3
-        rec(0, 0)
-        rec(1, np.int64(out[0]))
+        rec(base, 0)
+        rec(base + 1, np.int64(out[base]))
         for j in range(2, r3):
-            rec(j, 2 * np.int64(out[j - 1]) - np.int64(out[j - 2]))
+            rec(base + j, 2 * np.int64(out[base + j - 1])
+                - np.int64(out[base + j - 2]))
         for i in range(1, r2):
-            ix = i * r3
+            ix = base + i * r3
             rec(ix, np.int64(out[ix - r3]))
             for j in range(1, r3):
                 ixj = ix + j
                 rec(ixj, np.int64(out[ixj - 1]) + np.int64(out[ixj - r3])
                     - np.int64(out[ixj - r3 - 1]))
         for k in range(1, r1):
-            index = k * r23
+            index = base + k * r23
             rec(index, np.int64(out[index - r23]))
             for j in range(1, r3):
                 ix = index + j
@@ -419,6 +427,33 @@ def decompress_int(t: ITDPS, shape, dtype) -> np.ndarray:
                         - np.int64(out[ixj - r23 - r3])
                         - np.int64(out[ixj - r23 - 1])
                         + np.int64(out[ixj - r23 - r3 - 1]))
+
+    dims = tuple(shape)
+    if len(dims) == 4:
+        sub = dims[1:]
+        stride = int(np.prod(sub))
+        for l in range(dims[0]):
+            decode_3d(sub, l * stride)
+        return out.reshape(shape)
+    if len(dims) == 1:
+        prev = rec(0, 0)
+        for i in range(1, n):
+            prev = rec(i, prev)
+    elif len(dims) == 2:
+        r1, r2 = dims
+        rec(0, 0)
+        rec(1, np.int64(out[0]))
+        for j in range(2, r2):
+            rec(j, 2 * np.int64(out[j - 1]) - np.int64(out[j - 2]))
+        for i in range(1, r1):
+            base = i * r2
+            rec(base, np.int64(out[base - r2]))
+            for j in range(1, r2):
+                ix = base + j
+                rec(ix, np.int64(out[ix - 1]) + np.int64(out[ix - r2])
+                    - np.int64(out[ix - r2 - 1]))
+    else:
+        decode_3d(dims, 0)
     return out.reshape(shape)
 
 
