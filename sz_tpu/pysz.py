@@ -128,10 +128,15 @@ class ConfigBuilder:
 
 
 class Compressor:
-    """Compressor facade (swig/pysz.h Compress/Decompress<T>)."""
+    """Compressor facade (swig/pysz.h Compress/Decompress<T>).
 
-    def __init__(self, config: Config = None):
+    app codecs: "SZ"/"SZ2.0"/"SZ2.1" (default), "SZ1.4" (classic
+    kernels), "SZ_Transpose", "ExaFEL" (pass exafel_params=ExaFELConfig,
+    see sz_tpu.apps.exafel)."""
+
+    def __init__(self, config: Config = None, exafel_params=None):
         self.config = config or Config(DEFAULT_CONFIG)
+        self.exafel_params = exafel_params
 
     def Compress(self, data: np.ndarray) -> bytes:
         app = self.config.app
@@ -141,6 +146,9 @@ class Compressor:
         elif app == "SZ_Transpose":
             return api.compress(
                 np.ascontiguousarray(np.asarray(data).T).reshape(-1), cfg)
+        elif app == "ExaFEL":
+            from sz_tpu.apps import exafel
+            return exafel.compress(self.exafel_params, np.asarray(data))
         elif app not in ("SZ", "SZ2.0", "SZ2.1"):
             raise NotImplementedError(f"app codec {app!r}")
         return api.compress(np.asarray(data), cfg)
@@ -151,6 +159,10 @@ class Compressor:
             rshape = tuple(reversed(tuple(shape)))
             flat = api.decompress(blob, (int(np.prod(shape)),), dtype)
             return np.ascontiguousarray(flat.reshape(rshape).T)
+        if app == "ExaFEL":
+            from sz_tpu.apps import exafel
+            shape4 = tuple(shape) if len(shape) == 4 else (1, *shape)
+            return exafel.decompress(self.exafel_params, blob, *shape4)
         return api.decompress(blob, shape, dtype)
 
 
