@@ -68,11 +68,52 @@ def optimize_intervals_1d_ts(flat, prev, real_precision, max_range_radius,
     return max(round_up_to_power_of_2(2 * (i + 1)), 32)
 
 
+def _ts_step_jax(flat, prev, rp, intervals, radius, req_length, median):
+    """TPU form of the temporal kernel: the previous-step predictor has
+    no intra-step dependence, so quantization, the epsilon recheck and
+    even the escape bit-truncation are one fused elementwise pass
+    (float32; float64 falls back to the host loop because TPU's x64
+    emulation cannot bitcast).  Returns (types, recon, esc_mask) as
+    numpy arrays; the small ordered escape-byte chain stays on host."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(cur, prv):
+        T = cur.dtype
+        check_radius = (intervals - 1) * rp  # double
+        interval2 = 2 * rp
+        d = cur - prv
+        pae = jnp.abs(d)
+        cand = pae.astype(jnp.float64) <= check_radius
+        state = ((pae.astype(jnp.float64) / rp + 1) / 2).astype(jnp.int32)
+        up = (prv.astype(jnp.float64) + state * interval2).astype(T)
+        dn = (prv.astype(jnp.float64) - state * interval2).astype(T)
+        ge = cur >= prv
+        t = jnp.where(ge, radius + state, radius - state)
+        rec = jnp.where(ge, up, dn)
+        bad = jnp.abs(cur - rec).astype(jnp.float64) > rp
+        esc = (~cand) | bad
+        # escape reconstruction: median-offset bit truncation
+        # (compressSingleFloatValue, dataCompression.c:454)
+        ign = 32 - req_length
+        mask = jnp.uint32(0xFFFFFFFF) << jnp.uint32(max(ign, 0))
+        norm = cur - jnp.asarray(median, T)
+        bits = jax.lax.bitcast_convert_type(norm, jnp.uint32) & mask
+        trunc = jax.lax.bitcast_convert_type(bits, jnp.float32)             + jnp.asarray(median, T)
+        t = jnp.where(esc, 0, t)
+        rec = jnp.where(esc, trunc, rec)
+        return t, rec, esc
+
+    t, rec, esc = step(jnp.asarray(flat), jnp.asarray(prev))
+    return np.asarray(t), np.asarray(rec), np.asarray(esc)
+
+
 def compress_1d_ts(data: np.ndarray, prev: np.ndarray,
                    real_precision: float, value_range, median, *,
                    max_range_radius: int, sample_distance: int,
                    pred_threshold: float, opt_quant_mode: int = 1,
-                   fixed_intervals: int = 0):
+                   fixed_intervals: int = 0, engine: str = "auto"):
     """Returns (TDPS, reconstruction)."""
     T = np.float32 if data.dtype == np.float32 else np.float64
     dt = DataType.FLOAT if T is np.float32 else DataType.DOUBLE
@@ -98,6 +139,34 @@ def compress_1d_ts(data: np.ndarray, prev: np.ndarray,
     enc = classic.ExactEncoder(req_length, median, T)
     types = np.zeros(n, dtype=np.int32)
     recon = np.zeros(n, dtype=T)
+
+    use_jax = (T is np.float32 and n >= 4096 and engine != "numpy")
+    if use_jax:
+        try:
+            t_j, rec_j, esc_j = _ts_step_jax(
+                flat, prev, rp, intervals, radius, req_length, median)
+        except Exception:
+            use_jax = False
+    if use_jax:
+        types[:] = t_j
+        types[:2] = 0
+        recon[:] = rec_j
+        esc_j = np.array(esc_j, copy=True)
+        esc_j[:2] = True
+        # ordered escape-byte chain (lead-num deltas) on host
+        for i in np.flatnonzero(esc_j):
+            recon[i] = enc.add(flat[i])
+        type_array = huffman.encode_with_tree(types, 2 * intervals)
+        t = TDPS(
+            data_type=dt, ds_length=n, intervals=intervals,
+            median_value=float(median), req_length=req_length,
+            real_precision=rp, type_array=type_array,
+            lead_num=enc.lead_packed(),
+            exact_mid_bytes=bytes(enc.mid_bytes),
+            residual_mid_bits=enc.resi_packed(),
+            exact_data_num=len(enc.lead_nums),
+            max_quant_intervals=max_range_radius * 2)
+        return t, recon
 
     recon[0] = enc.add(flat[0])
     recon[1] = enc.add(flat[1])
