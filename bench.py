@@ -99,7 +99,7 @@ def main():
     if len(sys.argv) == 4 and sys.argv[1] == "--attempt":
         attempt(int(sys.argv[2]), sys.argv[3])
         return
-    attempts = [(N, "jax", 560), (96, "jax", 240), (64, "numpy", 200)]
+    attempts = [(N, "jax", 430), (96, "jax", 200), (64, "numpy", 150)]
     for n, engine, budget in attempts:
         try:
             r = subprocess.run(
