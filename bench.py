@@ -82,7 +82,10 @@ def attempt(n: int, engine: str) -> None:
     ddt = time.time() - t0
     assert np.abs(out - data).max() <= EB * (1 + 1e-6), "bound violated"
     mbps = data.nbytes / 1e6 / best
-    ref = time_reference(data) if n == N else REF_MEASURED_MBPS
+    # the live reference timing on this host swings 22-128 MB/s run to
+    # run; use the recorded best-observed baseline (BASELINE.md) as a
+    # stable denominator that favors the reference
+    ref = REF_MEASURED_MBPS
     print(json.dumps({
         "metric": f"compress_{n}c_f32_abs1e-3"
                   + ("" if engine == "jax" else "_hostref"),
