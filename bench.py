@@ -20,6 +20,7 @@ finally to the numpy host engine.
 """
 
 import json
+import os
 import pathlib
 import subprocess
 import sys
@@ -102,12 +103,22 @@ def main():
     if len(sys.argv) == 4 and sys.argv[1] == "--attempt":
         attempt(int(sys.argv[2]), sys.argv[3])
         return
-    attempts = [(N, "jax", 430), (96, "jax", 200), (64, "numpy", 150)]
+    attempts = [(N, "jax", 430), (96, "jax", 200), (96, "numpy", 200),
+                (64, "numpy", 150)]
     for n, engine, budget in attempts:
+        env = dict(os.environ)
+        if engine == "numpy":
+            # The sitecustomize hook in this environment dials the TPU
+            # tunnel (axon.register) in EVERY python process whenever
+            # PALLAS_AXON_POOL_IPS is set; a degraded tunnel then wedges
+            # even pure-numpy runs before main() starts.  The host
+            # fallback must never touch the tunnel.
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env["JAX_PLATFORMS"] = "cpu"
         try:
             r = subprocess.run(
                 [sys.executable, __file__, "--attempt", str(n), engine],
-                capture_output=True, text=True, timeout=budget)
+                capture_output=True, text=True, timeout=budget, env=env)
             for line in r.stdout.splitlines():
                 if line.startswith("{"):
                     print(line)
