@@ -137,7 +137,14 @@ def _compress_int(data: np.ndarray, cfg: SZConfig) -> bytes:
     return ll.compress(body, cfg.lossless, cfg.lossless_level)
 
 
-def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
+def _fp_stream_params(data: np.ndarray, cfg: SZConfig, dt: DataType):
+    """Range scan + bound resolution + header-config rewrite for one
+    float/double stream (sz_float.c:2838-2868).  Shared by the serial
+    driver below and the slab-parallel pipeline (parallel/slab.py), whose
+    per-slab streams must be byte-identical to the serial ones.
+
+    Returns (fmin, fmax, value_range, rp, eff_mode, hdr_cfg, range_info).
+    """
     T = np.float32 if dt == DataType.FLOAT else np.float64
     n = data.size
     flat = data.reshape(-1)
@@ -167,6 +174,15 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
             cfg, error_bound_mode=ErrorBoundMode.ABS, abs_err_bound=rp)
     elif cfg.error_bound_mode != ErrorBoundMode.PW_REL:
         hdr_cfg = dataclasses.replace(cfg, abs_err_bound=rp)
+    return fmin, fmax, value_range, rp, eff_mode, hdr_cfg, range_info
+
+
+def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
+    T = np.float32 if dt == DataType.FLOAT else np.float64
+    n = data.size
+    flat = data.reshape(-1)
+    (fmin, fmax, value_range, rp, eff_mode, hdr_cfg,
+     range_info) = _fp_stream_params(data, cfg, dt)
 
     if value_range <= rp:
         return _constant_stream(hdr_cfg, dt, fmin, fmax, flat[0], n)
@@ -174,6 +190,8 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
     if eff_mode == ErrorBoundMode.PW_REL:
         if data.ndim > 3:
             raise NotImplementedError("4D PW_REL")
+        accelerate = (cfg.accelerate_pw_rel
+                      and not (cfg.pw_rel_bound_ratio < 0.000009999))
         if range_info is None:
             range_info = (fmin, fmax)
         t = pwr.compress_pwrel(
@@ -213,9 +231,8 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
             opt_quant_mode=1 if cfg.quantization_intervals == 0 else 0,
             fixed_intervals=cfg.quantization_intervals,
             size_type=cfg.size_type)
-        header = md.make_header(hdr_cfg, dt, fmin, fmax, regression=True,
-                                random_access=cfg.random_access)
-        body = header + bu.size_be(n, cfg.size_type) + res.body
+        return _frame_regression_stream(cfg, hdr_cfg, dt, fmin, fmax,
+                                        flat, n, res)
     elif ndim == 1:
         median = T(fmin + value_range / T(2))
         t = classic.compress_1d(
@@ -256,6 +273,30 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
         return body
     out = ll.compress(body, cfg.lossless, cfg.lossless_level)
     _stats.record(original_size=data.nbytes, compressed_size=len(out))
+    return out
+
+
+def _frame_regression_stream(cfg, hdr_cfg, dt, fmin, fmax, flat, n,
+                             res) -> bytes:
+    """Whole-stream framing around a regression-codec body (header +
+    element count + body, StoreOriData fallback, lossless wrap, stats) —
+    the tail of SZ_compress_args_float (sz_float.c:2978-3039).  Shared by
+    the serial driver and parallel/slab.py so per-slab streams are
+    byte-identical to serial ones."""
+    T = np.float32 if dt == DataType.FLOAT else np.float64
+    header = md.make_header(hdr_cfg, dt, fmin, fmax, regression=True,
+                            random_access=cfg.random_access)
+    body = header + bu.size_be(n, cfg.size_type) + res.body
+    esize = np.dtype(T).itemsize
+    mlen = md.meta_length(dt)
+    if len(body) >= n * esize + 3 + mlen + cfg.size_type + 1:
+        body = _store_ori(hdr_cfg, dt, fmin, fmax, flat, n)
+    from sz_tpu.utils import stats as _stats
+    if cfg.sz_mode == SZMode.BEST_SPEED:
+        _stats.record(original_size=n * esize, compressed_size=len(body))
+        return body
+    out = ll.compress(body, cfg.lossless, cfg.lossless_level)
+    _stats.record(original_size=n * esize, compressed_size=len(out))
     return out
 
 

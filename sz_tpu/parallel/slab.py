@@ -5,25 +5,30 @@ mechanisms (SURVEY §2.3):
 
   * OpenMP block-parallel codec (`SZ_compress_float_3D_MDQ_openmp`,
     sz_omp.c:63): blocks are compressed independently per thread; the
-    Huffman histogram is computed in parallel and merged into ONE shared
-    tree (Huffman_init_openmp, sz_omp.c:1049); per-block streams are
-    concatenated by exclusive-scan offsets.
+    Huffman histogram is computed in parallel; per-block streams are
+    concatenated by exclusive-scan offsets (sz_omp.c:258-325) and a
+    parallel decoder reverses it (sz_omp.c:366).
   * MPI-rank-independent chunk compression (the HDF5 filter pattern,
     hdf5-filter/H5Z-SZ/test/test_mpio.c): each rank compresses its chunk
     independently; the container orders the streams.
 
 Here the grid is sharded into slabs along the slowest axis over a
-`jax.sharding.Mesh`; each device runs the full device-side encode on its
-slab (coefficient sums -> plane coefficients -> predictor selection ->
-fixpoint predict+quantize), and the per-bin type histogram is `psum`-ed
-over the mesh (ICI) so the host can build one shared Huffman table —
-exactly the two-phase scheme of sz_omp.c, with XLA collectives instead
-of OpenMP barriers.
+`jax.sharding.Mesh`.  The device-side stages (regression coefficient
+sums, predictor selection, fixpoint predict+quantize, Huffman bit-pack)
+each run as ONE sharded dispatch covering every slab; the small serial
+stages (coefficient finalize/chain, interval optimizer, Huffman tree
+build, byte assembly) run per-slab on the host exactly as the serial
+engine does.  The result is an SZRA container whose slab payloads are
+**byte-identical to `api.compress` of each slab** — the strongest
+possible parity statement, asserted by tests/test_parallel.py on an
+8-device CPU mesh and by __graft_entry__.dryrun_multichip.
 
 Each slab is a self-contained SZ stream boundary (no halo exchange —
 matching the reference's random-access blockwise format, where
 cross-block prediction stops at chunk borders), so decode of any slab
-needs only that slab's bytes: this is the random-access container.
+needs only that slab's bytes.  `decompress_sharded` runs the fixpoint
+reconstruction for all slabs in one sharded dispatch (the sz_omp.c:366
+analog).
 """
 
 from __future__ import annotations
@@ -34,14 +39,29 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from sz_tpu import api
+from sz_tpu import ra
+from sz_tpu.config import (
+    SZConfig, DEFAULT_CONFIG, ErrorBoundMode, DataType, SZMode,
+    MIN_NUM_OF_ELEMENTS,
+)
 from sz_tpu.core import blocks as B
+from sz_tpu.core import optimizer as opt
 from sz_tpu.core import regnd
+from sz_tpu.format import huffman
+from sz_tpu.format import lossless as ll
+from sz_tpu.format import metadata as md
+from sz_tpu.format import bytes_util as bu
 from sz_tpu.tpu import engine
 
 AXIS = "slabs"
+NBINS = 65536
+
+_DTYPE_MAP = {np.dtype(np.float32): DataType.FLOAT,
+              np.dtype(np.float64): DataType.DOUBLE}
 
 
 def slab_shapes(global_shape, n_devices: int):
@@ -53,116 +73,375 @@ def slab_shapes(global_shape, n_devices: int):
     return (r0 // n_devices, *global_shape[1:])
 
 
-def _finalize_coeffs_dev(sums, shape, block_size, T):
-    """On-device coefficient finalization (turbo profile: XLA division is
-    used directly; the parity engine finalizes on host instead —
-    engine._finalize_coeffs)."""
-    dbs = [B.dim_blocks(r, block_size) for r in shape]
-    rank = len(shape)
-    grids = np.meshgrid(*[db.counts() for db in dbs], indexing="ij")
-    lens = [jnp.asarray(g.ravel().astype(np.float64).astype(T))
-            for g in grids]
-    six = jnp.asarray(6, T)
-    two = jnp.asarray(2, T)
-    if rank == 3:
-        fx, fy, fz, f = (sums[:, i] for i in range(4))
-        cbx, cby, cbz = lens
-        coeff = 1 / (cbx * cby * cbz)
-        a = (2 * fx / (cbx - 1) - f) * six * coeff / (cbx + 1)
-        b = (2 * fy / (cby - 1) - f) * six * coeff / (cby + 1)
-        c = (2 * fz / (cbz - 1) - f) * six * coeff / (cbz + 1)
-        d = f * coeff - ((cbx - 1) * a / two + (cby - 1) * b / two
-                         + (cbz - 1) * c / two)
-        return jnp.stack([a, b, c, d], axis=1)
-    fx, fy, f = (sums[:, i] for i in range(3))
-    cbx, cby = lens
-    coeff = 1 / (cbx * cby)
-    a = (2 * fx / (cbx - 1) - f) * six * coeff / (cbx + 1)
-    b = (2 * fy / (cby - 1) - f) * six * coeff / (cby + 1)
-    c = f * coeff - ((cbx - 1) * a / two + (cby - 1) * b / two)
-    return jnp.stack([a, b, c], axis=1)
+@functools.lru_cache(maxsize=8)
+def _mesh(n_devices: int) -> Mesh:
+    return Mesh(np.array(jax.devices()[:n_devices]), (AXIS,))
 
+
+def _jit(f, backend: str):
+    """jit with bit-strict options (engine._strict_jit rationale: XLA:CPU
+    FMA-contracts inside fusions, breaking parity with the serial C)."""
+    if backend == "cpu":
+        return jax.jit(f, compiler_options={
+            "xla_disable_hlo_passes": "fusion"})
+    return jax.jit(f)
+
+
+# ---------------------------------------------------------------------------
+# Sharded stage programs (cached per mesh size × slab shape × dtype)
+# ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=8)
-def make_encode_step(mesh_shape: int, global_shape: tuple, dtype_str: str,
-                     block_size: int = 6, nbins: int = 65536,
-                     backend: str = "cpu"):
-    """Build the jitted sharded encode step.
-
-    Returns step(data, rp, recip, intervals, noise) ->
-      (types [global, sharded], recon [global, sharded],
-       hist [nbins, replicated — psum over the mesh]).
-
-    The caller supplies the mesh via `with mesh:` ... no — the mesh is
-    created here from the first `mesh_shape` devices.
-    """
-    devices = jax.devices()[:mesh_shape]
-    mesh = Mesh(np.array(devices), (AXIS,))
-    lshape = slab_shapes(global_shape, mesh_shape)
+def _encode_stages(n_dev: int, lshape: tuple, dtype_str: str,
+                   block_size: int, backend: str):
+    """Three sharded dispatches: coefficient sums; predictor selection;
+    fixpoint quantize (+ fused histogram/escape epilogue).  use_mean and
+    all bound parameters are per-slab *data*, so one compiled program
+    serves every stream configuration."""
+    mesh = _mesh(n_dev)
     rank = len(lshape)
-    T = jnp.dtype(dtype_str)
-
     sums_f = engine._coeff_sums_fn(lshape, dtype_str, block_size, "raw")
-    select_f = engine._select_fn(lshape, dtype_str, block_size, False,
-                                 "raw")
-    quant_f = engine._quantize_fn(lshape, dtype_str, block_size, False,
-                                  "raw")
-    g = engine._geom_small(lshape, block_size)
-    loc_c = tuple(g["loc"])
+    select_f = engine._select_fn_dyn(lshape, dtype_str, block_size, "raw")
+    quant_f = engine._quantize_fn_dyn(lshape, dtype_str, block_size, "raw")
+    dspec = P(AXIS, *([None] * (rank - 1)))
+    v = P(AXIS)
 
-    def local_encode(data, rp, recip, intervals, noise):
-        data = data.reshape(lshape)
+    def sums_local(d):
+        return sums_f(d.reshape(lshape))[None]
+
+    def select_local(d, coeffs, noise, mean, um):
+        return select_f(d.reshape(lshape), coeffs[0], noise[0], mean[0],
+                        um[0])[None]
+
+    def quant_local(d, lc, ur, rp, recip, intervals, mean, um):
         bflat, pos, iperm = engine.lattices(lshape, block_size)
-        sums = sums_f(data)
-        coeffs = _finalize_coeffs_dev(sums, lshape, block_size, T)
-        use_reg = select_f(data, coeffs, noise, jnp.asarray(0, T))
-        lc_full = jnp.where(use_reg[:, None], coeffs,
-                            jnp.zeros_like(coeffs))
-        t_stream, hist64, _esc, R, _ = quant_f(
-            data, lc_full, use_reg, bflat,
-            tuple(jnp.asarray(l) for l in loc_c), iperm, rp, recip,
-            intervals, jnp.asarray(0, T))
-        hist = jax.lax.psum(hist64[:nbins], AXIS)
-        t = jnp.take(t_stream.astype(jnp.int32),
-                     pos.reshape(-1)).reshape(lshape)
-        return t[None], R[None], hist
+        g = engine._geom_small(lshape, block_size)
+        locs = tuple(jnp.asarray(l) for l in g["loc"])
+        t_stream, hist, esc, _R, _it = quant_f(
+            d.reshape(lshape), lc[0], ur[0], bflat, locs, iperm,
+            rp[0], recip[0], intervals[0], mean[0], um[0])
+        return t_stream[None], hist[:NBINS][None], esc[None]
 
-    spec_in = P(AXIS, *([None] * (rank - 1)))
-    # check_vma=False: the per-slab scan carries start from unvarying
-    # zeros and pick up the slab-varying axis inside the body, which the
-    # vma checker rejects even though the computation is slab-local.
-    sharded = shard_map(
-        local_encode, mesh=mesh,
-        in_specs=(spec_in, P(), P(), P(), P()),
-        out_specs=(P(AXIS), P(AXIS), P()), check_vma=False)
-
-    def step(data, rp, recip, intervals, noise):
-        t, R, hist = sharded(data, rp, recip, intervals, noise)
-        return (t.reshape(global_shape), R.reshape(global_shape), hist)
-
-    return jax.jit(step), mesh
+    # check_vma=False: the per-slab scans carry from unvarying zeros and
+    # pick up the slab-varying axis inside the body, which the vma
+    # checker rejects even though the computation is slab-local.
+    sums_sh = shard_map(sums_local, mesh=mesh, in_specs=(dspec,),
+                        out_specs=P(AXIS), check_vma=False)
+    select_sh = shard_map(select_local, mesh=mesh,
+                          in_specs=(dspec, v, v, v, v),
+                          out_specs=P(AXIS), check_vma=False)
+    quant_sh = shard_map(quant_local, mesh=mesh,
+                         in_specs=(dspec, v, v, v, v, v, v, v),
+                         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                         check_vma=False)
+    return (_jit(sums_sh, backend), _jit(select_sh, backend),
+            _jit(quant_sh, backend))
 
 
-def encode_sharded(data: np.ndarray, real_precision, n_devices: int,
-                   intervals: int = 256, block_size: int = 6):
-    """Data-parallel encode of a global array over n_devices slabs.
+@functools.lru_cache(maxsize=16)
+def _bitpack_stage(n_dev: int, npts: int, out_bytes: int, backend: str):
+    """Per-slab Huffman bit-pack (shared dispatch, per-slab code tables)."""
+    mesh = _mesh(n_dev)
+    pack_f = engine._bitpack_fn(npts, out_bytes, "raw")
 
-    Device side: one jitted sharded step (quantize + global histogram).
-    Host side: one shared Huffman table from the psum-ed histogram
-    (sz_omp.c:1049 analog), then per-slab streams assembled independently
-    and concatenated with an offset table (random-access container).
+    def local(t_stream, code_hi, code_len):
+        return pack_f(t_stream[0], code_hi[0], code_len[0])[None]
+
+    sh = shard_map(local, mesh=mesh, in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                   out_specs=P(AXIS), check_vma=False)
+    return _jit(sh, backend)
+
+
+@functools.lru_cache(maxsize=16)
+def _decode_stage(n_dev: int, lshape: tuple, dtype_str: str,
+                  block_size: int, k: int, backend: str):
+    """Sharded fixpoint reconstruction of all slabs in one dispatch
+    (parallel decoder analog, sz_omp.c:366)."""
+    mesh = _mesh(n_dev)
+    delatt = engine._delattice_fn(lshape, dtype_str, k, "raw")
+    dec = engine._decode_fn_dyn(lshape, dtype_str, block_size, "raw")
+
+    def local(types, unpred_pad, lc, ur, rp, intervals, mean, um):
+        bflat, pos, iperm = engine.lattices(lshape, block_size)
+        g = engine._geom_small(lshape, block_size)
+        locs = tuple(jnp.asarray(l) for l in g["loc"])
+        t_lat, unpred_lat = delatt(types[0], unpred_pad[0], pos, iperm)
+        R, _it = dec(t_lat, lc[0], ur[0], unpred_lat, bflat, locs,
+                     rp[0], intervals[0], mean[0], um[0])
+        return R[None]
+
+    sh = shard_map(local, mesh=mesh, in_specs=(P(AXIS),) * 8,
+                   out_specs=P(AXIS), check_vma=False)
+    return _jit(sh, backend)
+
+
+# ---------------------------------------------------------------------------
+# Encode driver
+# ---------------------------------------------------------------------------
+
+def _eligible(cfg: SZConfig, lshape: tuple) -> bool:
+    """Can the sharded fast path produce this stream?  (Must mirror the
+    api.compress dispatch: regression-engine streams only.)"""
+    rank = len(lshape)
+    if rank == 4:
+        rank = 3  # folded (sz_float.c:3010)
+    return (rank in (2, 3) and cfg.with_regression
+            and not cfg.random_access
+            and int(np.prod(lshape)) > MIN_NUM_OF_ELEMENTS
+            and cfg.error_bound_mode != ErrorBoundMode.PW_REL)
+
+
+def compress_sharded(data: np.ndarray, cfg: SZConfig = DEFAULT_CONFIG,
+                     n_devices: int = None) -> bytes:
+    """Data-parallel compress over a device mesh into an SZRA container.
+
+    Every slab payload is byte-identical to `api.compress(slab, cfg)`;
+    slabs that the fast path cannot serve (constant fields, PW_REL,
+    classic-path configs, non-float dtypes) fall back to the serial
+    driver per slab, preserving the parity guarantee by construction.
     """
-    spec = regnd._spec(data.ndim, data.dtype)
-    T = spec.T
-    data = np.ascontiguousarray(data, dtype=T)
-    rp = T(real_precision)
-    recip = T(T(1) / rp)
-    noise = T(np.float64(rp) * spec.noise_factor)
-    dstr = np.dtype(T).str.lstrip("<>=")
+    data = np.asarray(data)
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    dt = _DTYPE_MAP.get(data.dtype)
+    shape = data.shape
+    eligible = (dt is not None and data.ndim >= 2
+                and shape[0] % n_devices == 0
+                and all(int(d) > 1 for d in shape)  # filterDimension
+                and _eligible(cfg, slab_shapes(shape, n_devices)))
+    if not eligible:
+        # serial per-slab fallback (still the MPI-chunk pattern)
+        return ra.compress(data, cfg, n_slabs=min(n_devices, shape[0]))
 
-    step, mesh = make_encode_step(
-        n_devices, tuple(data.shape), dstr, block_size,
-        backend=jax.default_backend())
-    t, R, hist = step(jax.device_put(data), T(rp), T(recip),
-                      jnp.asarray(intervals, jnp.int32), T(noise))
-    return np.asarray(t), np.asarray(R), np.asarray(hist)
+    T = np.float32 if dt == DataType.FLOAT else np.float64
+    data = np.ascontiguousarray(data, dtype=T)
+    lshape0 = slab_shapes(shape, n_devices)
+    # 4D regression folds to 3D per slab (sz_float.c:3010)
+    lshape = lshape0
+    if len(lshape0) == 4:
+        lshape = (lshape0[0] * lshape0[1], lshape0[2], lshape0[3])
+    rank = len(lshape)
+    spec = regnd._spec(rank, T)
+    dstr = np.dtype(T).str.lstrip("<>=")
+    backend = jax.default_backend()
+    bs = spec.block_size
+    dbs = [B.dim_blocks(r, bs) for r in lshape]
+    nblocks = int(np.prod([db.num for db in dbs]))
+    n_local = int(np.prod(lshape))
+    starts = ra._slab_bounds(shape[0], n_devices)
+
+    # --- host pre-pass: per-slab range / bound / header params -----------
+    slabs = [data[int(starts[i]):int(starts[i + 1])]
+             for i in range(n_devices)]
+    params = [api._fp_stream_params(s, cfg, dt) for s in slabs]
+    # constant slabs (value_range <= rp) can't use the fast path
+    if any(p[2] <= p[3] for p in params):
+        return ra.compress(data, cfg, n_slabs=n_devices)
+
+    rp_arr = np.array([T(p[3]) for p in params], dtype=T)
+    recip_arr = np.array([T(T(1) / T(p[3])) for p in params], dtype=T)
+    noise_arr = np.array(
+        [T(np.float64(T(p[3])) * spec.noise_factor) for p in params],
+        dtype=T)
+
+    sums_st, select_st, quant_st = _encode_stages(
+        n_devices, lshape, dstr, bs, backend)
+    mesh = _mesh(n_devices)
+    dsh = NamedSharding(mesh, P(AXIS, *([None] * (len(shape) - 1))))
+    dev = jax.device_put(data, dsh)
+
+    # --- stage 1: coefficient sums (device) + finalize (host) ------------
+    sums = np.asarray(sums_st(dev))  # (n_dev, nblocks, ncoeff)
+    coeffs = np.stack([
+        engine._finalize_coeffs(sums[i], lshape, bs, T)
+        for i in range(n_devices)])
+
+    # --- per-slab interval optimizer / mean (host, sampled) --------------
+    intervals = np.zeros(n_devices, np.int32)
+    use_mean = np.zeros(n_devices, bool)
+    mean_arr = np.zeros(n_devices, T)
+    for i in range(n_devices):
+        # the optimizer receives the unrounded double bound, the mean
+        # mask the T-rounded one — exactly as regnd.compress does
+        rp_d = float(params[i][3])
+        rp = T(rp_d)
+        sflat = slabs[i].reshape(-1)
+        if cfg.quantization_intervals == 0:
+            if rank == 3:
+                itv, dense_pos, max_freq, mean_freq = \
+                    opt.optimize_intervals_3d_freq_dense(
+                        sflat, *lshape, rp_d, cfg.max_range_radius,
+                        cfg.sample_distance,
+                        np.float32(cfg.pred_threshold), T=T)
+            else:
+                itv, dense_pos, max_freq, mean_freq = \
+                    opt.optimize_intervals_2d_freq_dense(
+                        sflat, *lshape, rp_d, cfg.max_range_radius,
+                        cfg.sample_distance,
+                        np.float32(cfg.pred_threshold), T=T)
+            um = bool(mean_freq > 0.5) or bool(mean_freq > max_freq)
+            if rank == 2:
+                um = False  # forced (sz_float.c:5615)
+            if um:
+                mask = np.abs(slabs[i].reshape(lshape) - dense_pos) < rp
+                vals = slabs[i].reshape(lshape).reshape(-1)[
+                    np.flatnonzero(mask.reshape(-1))]
+                if len(vals):
+                    s = opt.seq_sum(vals, T)
+                    mean_arr[i] = T(s / T(len(vals)))
+            use_mean[i] = um
+            intervals[i] = itv
+        else:
+            intervals[i] = cfg.quantization_intervals
+
+    # --- stage 2: predictor selection (device) ---------------------------
+    use_reg = np.asarray(select_st(dev, jnp.asarray(coeffs), noise_arr,
+                                   mean_arr, use_mean))
+
+    # --- coefficient delta chain (host, serial per slab) -----------------
+    chains = [regnd.quantize_coeff_chain(coeffs[i], use_reg[i],
+                                         T(params[i][3]), dbs, spec,
+                                         bool(use_mean[i]))
+              for i in range(n_devices)]
+    lc_full = np.zeros((n_devices, nblocks, spec.ncoeff), dtype=T)
+    for i in range(n_devices):
+        lc_full[i][np.flatnonzero(use_reg[i])] = chains[i][2]
+
+    # --- stage 3: fixpoint quantize + epilogue (device) ------------------
+    t_stream_d, hist_d, esc_d = quant_st(
+        dev, jnp.asarray(lc_full), jnp.asarray(use_reg), rp_arr,
+        recip_arr, intervals, mean_arr, use_mean)
+    hist = np.asarray(hist_d)
+    esc = np.asarray(esc_d)
+
+    # --- host: per-slab Huffman tables -----------------------------------
+    tables, freqs, nbytes = [], [], []
+    host_encode = []
+    for i in range(n_devices):
+        state_num = 2 * int(intervals[i])
+        freq = np.zeros(2 * state_num, np.int64)
+        m = min(NBINS, 2 * state_num)
+        freq[:m] = hist[i][:m]
+        tb = huffman.build_tables(None, state_num, freq=freq)
+        max_len = int(tb.code_len.max()) if tb.code_len.size else 0
+        total_bits = int((freq[:len(tb.code_len)]
+                          * tb.code_len.astype(np.int64)).sum())
+        tables.append(tb)
+        freqs.append(freq)
+        nbytes.append((total_bits + 7) // 8)
+        host_encode.append(not (0 < max_len <= 32 and total_bits > 0))
+
+    # --- stage 4: bit pack (device, per-slab tables) ---------------------
+    smax = max(len(tb.code_hi) for tb in tables)
+    code_hi = np.zeros((n_devices, smax), np.uint64)
+    code_len = np.zeros((n_devices, smax), np.int32)
+    for i, tb in enumerate(tables):
+        code_hi[i, :len(tb.code_hi)] = tb.code_hi
+        code_len[i, :len(tb.code_len)] = tb.code_len
+    out_bytes = engine._pad_pow2(max(nbytes) + 8)
+    packed = np.asarray(_bitpack_stage(n_devices, n_local, out_bytes,
+                                       backend)(
+        t_stream_d, jnp.asarray(code_hi), jnp.asarray(code_len)))
+
+    # --- host: per-slab assembly + container ------------------------------
+    payloads = []
+    for i in range(n_devices):
+        fmin, fmax, _vr, rp, _em, hdr_cfg, _ri = params[i]
+        rp = T(rp)
+        n_esc = int(hist[i][0])
+        if n_esc <= engine.ESC_K:
+            unpred_arr = esc[i][:n_esc].astype(T)
+        else:  # rare: escape overflow — host gather via stream maps
+            types_i = np.asarray(t_stream_d[i])
+            _pos, iperm = engine._host_stream_maps(lshape, bs)
+            lat = iperm[np.flatnonzero(types_i == 0)]
+            unpred_arr = slabs[i].reshape(-1)[lat]
+        if host_encode[i]:  # pragma: no cover - pathological trees
+            result_type = np.asarray(t_stream_d[i])
+            encoded = None
+        else:
+            result_type = np.zeros(0, np.uint16)
+            encoded = packed[i][:nbytes[i]].tobytes()
+        ctypes, cunpred, _qc, cprec = chains[i]
+        res = regnd.assemble_body(
+            spec, rp, int(intervals[i]), bool(use_mean[i]),
+            T(mean_arr[i]), use_reg[i], ctypes, cunpred, cprec,
+            result_type, unpred_arr, cfg.size_type, freq=freqs[i],
+            tables=tables[i], encoded=encoded)
+        payloads.append(api._frame_regression_stream(
+            cfg, hdr_cfg, dt, fmin, fmax, slabs[i].reshape(-1),
+            int(np.prod(lshape0)), res))
+
+    return ra.build_container(shape, data.dtype, starts, payloads)
+
+
+# ---------------------------------------------------------------------------
+# Decode driver
+# ---------------------------------------------------------------------------
+
+def decompress_sharded(blob: bytes, n_devices: int = None,
+                       as_jax: bool = False):
+    """Decode an SZRA container with all slabs reconstructed in one
+    sharded dispatch.  Falls back to the serial reader for containers the
+    fast path cannot serve (unequal slabs, non-regression payloads)."""
+    r = ra.Reader(blob)
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    sizes = np.diff(r.starts.astype(np.int64))
+    if (r.n_slabs != n_devices or len(set(sizes.tolist())) != 1
+            or len(r.shape) not in (2, 3)):
+        return r.decode()
+    lshape = (int(sizes[0]), *r.shape[1:])
+    T = np.float32 if np.dtype(r.dtype) == np.float32 else np.float64
+    dt = _DTYPE_MAP[np.dtype(r.dtype)]
+    dstr = np.dtype(T).str.lstrip("<>=")
+    spec = regnd._spec(len(lshape), T)
+    bs = spec.block_size
+    dbs = [B.dim_blocks(d, bs) for d in lshape]
+    nblocks = int(np.prod([db.num for db in dbs]))
+    n_local = int(np.prod(lshape))
+    backend = jax.default_backend()
+
+    parsed = []
+    for i in range(r.n_slabs):
+        slab = r.slab_bytes(i)
+        mlen = md.meta_length(dt)
+        if len(slab) not in (8 + 4 + mlen, 8 + 8 + mlen):
+            inner = ll.decompress(
+                slab, expected_size=n_local * spec.esize + 4 + mlen + 8)
+        else:
+            inner = slab
+        hdr = md.parse_header(inner, dt)
+        if not hdr.regression or hdr.same or hdr.lossless or hdr.pw_rel:
+            return r.decode()  # mixed container: serial path
+        off = hdr.body_offset + hdr.size_type
+        parsed.append(regnd.parse_body(inner[off:], lshape, T,
+                                       size_type=hdr.size_type))
+
+    k = engine._pad_pow2(max(max(len(p.unpred) for p in parsed), 1))
+    types = np.zeros((n_devices, n_local), np.uint16)
+    unpred_pad = np.zeros((n_devices, k), T)
+    lc_full = np.zeros((n_devices, nblocks, spec.ncoeff), T)
+    use_reg = np.zeros((n_devices, nblocks), bool)
+    rp_arr = np.zeros(n_devices, T)
+    intervals = np.zeros(n_devices, np.int32)
+    mean_arr = np.zeros(n_devices, T)
+    um_arr = np.zeros(n_devices, bool)
+    for i, p in enumerate(parsed):
+        types[i] = p.types.astype(np.uint16)
+        unpred_pad[i, :len(p.unpred)] = p.unpred
+        ur = (p.indicator == 0)
+        use_reg[i] = ur
+        lc_full[i][np.flatnonzero(ur)] = p.qcoeffs
+        rp_arr[i] = T(p.rp)
+        intervals[i] = p.intervals
+        mean_arr[i] = T(p.mean)
+        um_arr[i] = bool(p.use_mean)
+
+    out = _decode_stage(n_devices, lshape, dstr, bs, k, backend)(
+        types, unpred_pad, lc_full, use_reg, rp_arr, intervals,
+        mean_arr, um_arr)
+    out = out.reshape(r.shape)
+    if as_jax:
+        return out
+    return np.asarray(out).astype(r.dtype, copy=False)

@@ -64,14 +64,21 @@ def compress(data: np.ndarray, cfg: SZConfig = DEFAULT_CONFIG,
     for s in range(n_slabs):
         a, b = int(starts[s]), int(starts[s + 1])
         payloads.append(api.compress(data[a:b], cfg))
+    return build_container(shape, data.dtype, starts, payloads)
 
+
+def build_container(shape, dtype, starts: np.ndarray, payloads) -> bytes:
+    """Assemble the SZRA container from per-slab payload streams (the
+    ordered-concatenation step of the parallel codec, sz_omp.c:313-325
+    analog — offsets are the exclusive scan of payload sizes)."""
+    n_slabs = len(payloads)
     out = bytearray()
     out += MAGIC
-    out += bytes([1, _DT_CODE[data.dtype], data.ndim, 0])
+    out += bytes([1, _DT_CODE[np.dtype(dtype)], len(shape), 0])
     for r in shape:
         out += struct.pack("<Q", r)
     out += struct.pack("<I", n_slabs)
-    out += starts.astype("<u8").tobytes()
+    out += np.asarray(starts).astype("<u8").tobytes()
     offsets = np.zeros(n_slabs + 1, dtype=np.uint64)
     for i, p in enumerate(payloads):
         offsets[i + 1] = offsets[i] + len(p)

@@ -129,6 +129,30 @@ def lattices(shape: tuple, block_size: int):
     return bflat, pos, iperm
 
 
+def _host_stream_maps(shape: tuple, block_size: int):
+    """numpy mirror of `lattices` — (pos, iperm) on the host.  Used by
+    host-side fallbacks that need the block-stream ordering without a
+    device round-trip (parallel/slab escape overflow path)."""
+    g = _geom_small(shape, block_size)
+    rank = len(shape)
+    n = int(np.prod(shape))
+    bid, loc, cnt = g["bid"], g["loc"], g["cnt"]
+    if rank == 3:
+        bflat = ((bid[0][:, None, None] * g["dbs"][1].num
+                  + bid[1][None, :, None]) * g["dbs"][2].num
+                 + bid[2][None, None, :])
+        intra = ((loc[0][:, None, None] * cnt[1][None, :, None]
+                  + loc[1][None, :, None]) * cnt[2][None, None, :]
+                 + loc[2][None, None, :])
+    else:
+        bflat = bid[0][:, None] * g["dbs"][1].num + bid[1][None, :]
+        intra = loc[0][:, None] * cnt[1][None, :] + loc[1][None, :]
+    pos = g["offsets"][bflat] + intra
+    iperm = np.zeros((n,), np.int32)
+    iperm[pos.reshape(-1)] = np.arange(n, dtype=np.int32)
+    return pos, iperm
+
+
 @functools.lru_cache(maxsize=16)
 def _dev_geom(shape: tuple, block_size: int, backend: str = "cpu"):
     """Device-resident geometry lattices (cached jit of `lattices`)."""
@@ -426,6 +450,63 @@ def _select_fn(shape: tuple, dtype_str: str, block_size: int,
                 body, (z, z), (jnp.asarray(sidx), jnp.asarray(spc)))
             use_reg = use_reg.at[jnp.asarray(flat_idx)].set(err_reg < err_sz)
         return use_reg
+
+    return _strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=32)
+def _select_fn_dyn(shape: tuple, dtype_str: str, block_size: int,
+                   backend: str = 'raw'):
+    """Predictor selection with use_mean as a *traced* flag (one graph
+    serves both decisions — the parallel slab pipeline compiles a single
+    sharded program even when slabs disagree on use_mean).  When um is
+    False the arithmetic is identical to _select_fn(use_mean=False)."""
+    base_t = _select_fn(shape, dtype_str, block_size, True, "raw")
+    base_f = _select_fn(shape, dtype_str, block_size, False, "raw")
+
+    def f(data, coeffs, noise, mean, um):
+        return jax.lax.cond(
+            um, lambda: base_t(data, coeffs, noise, mean),
+            lambda: base_f(data, coeffs, noise, mean))
+
+    return _strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=32)
+def _quantize_fn_dyn(shape: tuple, dtype_str: str, block_size: int,
+                     backend: str = 'raw'):
+    """_quantize_fn with use_mean as a traced flag (lax.cond between the
+    two compiled bodies; only the taken branch executes)."""
+    base_t = _quantize_fn(shape, dtype_str, block_size, True, "raw")
+    base_f = _quantize_fn(shape, dtype_str, block_size, False, "raw")
+
+    def f(data, lc_full, reg_blk, bflat, locs, iperm, rp, recip,
+          intervals, mean, um):
+        return jax.lax.cond(
+            um,
+            lambda: base_t(data, lc_full, reg_blk, bflat, locs, iperm,
+                           rp, recip, intervals, mean),
+            lambda: base_f(data, lc_full, reg_blk, bflat, locs, iperm,
+                           rp, recip, intervals, mean))
+
+    return _strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=32)
+def _decode_fn_dyn(shape: tuple, dtype_str: str, block_size: int,
+                   backend: str = 'raw'):
+    """_decode_fn with use_mean as a traced flag."""
+    base_t = _decode_fn(shape, dtype_str, block_size, True, "raw")
+    base_f = _decode_fn(shape, dtype_str, block_size, False, "raw")
+
+    def f(t_lat, lc_full, reg_blk, unpred_lat, bflat, locs, rp,
+          intervals, mean, um):
+        return jax.lax.cond(
+            um,
+            lambda: base_t(t_lat, lc_full, reg_blk, unpred_lat, bflat,
+                           locs, rp, intervals, mean),
+            lambda: base_f(t_lat, lc_full, reg_blk, unpred_lat, bflat,
+                           locs, rp, intervals, mean))
 
     return _strict_jit(f, backend)
 
