@@ -19,7 +19,8 @@ from sz_tpu.config import (
     Lossless,
     DataType,
 )
-from sz_tpu.api import compress, decompress, get_metadata
+from sz_tpu.api import (compress, decompress, decompress_region,
+                        get_metadata)
 
 __version__ = "0.1.0"
 
@@ -31,6 +32,7 @@ __all__ = [
     "DataType",
     "compress",
     "decompress",
+    "decompress_region",
     "get_metadata",
     "__version__",
 ]

@@ -124,14 +124,22 @@ def _compress_int(data: np.ndarray, cfg: SZConfig) -> bytes:
                                    DataType.FLOAT)
     hdr_cfg = dataclasses.replace(cfg, abs_err_bound=rp)
     params = md.serialize_params(hdr_cfg, spec.dt, 0.0, 0.0)
-    t = intc.compress_int(
-        data, rp, max_range_radius=cfg.max_range_radius,
-        sample_distance=cfg.sample_distance,
-        pred_threshold=np.float32(cfg.pred_threshold),
-        opt_quant_mode=1 if cfg.quantization_intervals == 0 else 0,
-        fixed_intervals=cfg.quantization_intervals)
-    body = intc.itdps_to_bytes(t, params, int(cfg.sz_mode),
-                               cfg.size_type)
+    if vrange == 0:
+        # constant field -> allSameData stream (sz_uint16.c:1252)
+        body = intc.same_int(data, params, int(cfg.sz_mode),
+                             cfg.size_type)
+    else:
+        t = intc.compress_int(
+            data, rp, max_range_radius=cfg.max_range_radius,
+            sample_distance=cfg.sample_distance,
+            pred_threshold=np.float32(cfg.pred_threshold),
+            opt_quant_mode=1 if cfg.quantization_intervals == 0 else 0,
+            fixed_intervals=cfg.quantization_intervals)
+        body = intc.itdps_to_bytes(t, params, int(cfg.sz_mode),
+                                   cfg.size_type)
+        if len(body) > data.size * spec.esize:
+            # StoreOriData fallback, pre-lossless (sz_uint16.c:561)
+            body = intc.store_ori_int(data, params, cfg.size_type)
     if cfg.sz_mode == SZMode.BEST_SPEED:
         return body
     return ll.compress(body, cfg.lossless, cfg.lossless_level)
@@ -217,6 +225,24 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
 
     dims = data.shape
     ndim = len(dims)
+    if (cfg.random_access and dt == DataType.FLOAT and ndim in (1, 2, 3)):
+        # HAVE_RANDOMACCESS path (sz_float.c:2913,2949,2985): float-only
+        # upstream; 4D ignores the flag (sz_float.c:3010) and doubles
+        # have no RA kernels (sz_double.c) — both fall through below.
+        from sz_tpu.core import rablock
+        res = rablock.compress_ra(data, rp, cfg)
+        header = md.make_header(hdr_cfg, dt, fmin, fmax, regression=True,
+                                random_access=True)
+        body = header + bu.size_be(n, cfg.size_type) + res.body
+        from sz_tpu.utils import stats as _stats
+        if cfg.sz_mode == SZMode.BEST_SPEED:
+            _stats.record(original_size=data.nbytes,
+                          compressed_size=len(body))
+            return body
+        out = ll.compress(body, cfg.lossless, cfg.lossless_level)
+        _stats.record(original_size=data.nbytes, compressed_size=len(out))
+        return out
+
     if ndim == 4 and cfg.with_regression:
         # the regression path folds 4D to 3D: (r4*r3, r2, r1)
         # (sz_float.c:3010); the classic path has a true 4D kernel
@@ -327,6 +353,17 @@ def decompress(blob: bytes, shape, dtype=np.float32,
         spec = intc.SPECS[np.dtype(dtype)]
         inner = ll.decompress(
             blob, expected_size=n * spec.esize * 2 + 128)
+        flag = inner[3]
+        st = 8 if flag & 0x40 else 4
+        off = 4 + md.meta_length(DataType.FLOAT) + st
+        if flag & 0x10:  # StoreOriData verbatim (sz_uint16.c:320)
+            be = np.dtype(dtype).newbyteorder(">")
+            return np.frombuffer(inner, dtype=be, count=n,
+                                 offset=off).astype(dtype).reshape(shape)
+        if flag & 0x01:  # allSameData (TightDataPointStorageI.c:356)
+            be = np.dtype(dtype).newbyteorder(">")
+            v = np.frombuffer(inner, dtype=be, count=1, offset=off)[0]
+            return np.full(shape, v, dtype=dtype)
         t = intc.itdps_from_bytes(inner, md.meta_length(DataType.FLOAT))
         return intc.decompress_int(t, dims, dtype).reshape(shape)
     dt = _DTYPE_MAP[np.dtype(dtype)]
@@ -352,6 +389,11 @@ def decompress(blob: bytes, shape, dtype=np.float32,
         v = bu.read_f32_be(inner, off) if dt == DataType.FLOAT \
             else bu.read_f64_be(inner, off)
         return np.full(shape, v, dtype=dtype)
+    if hdr.regression and hdr.random_access:
+        from sz_tpu.core import rablock
+        return rablock.decompress_ra(inner[off:], dims, dtype,
+                                     size_type=hdr.size_type
+                                     ).reshape(shape)
     if hdr.regression:
         body = inner[off:]
         eng = _regnd_engine(engine, n)
@@ -382,6 +424,32 @@ def decompress(blob: bytes, shape, dtype=np.float32,
     if len(dims) in (2, 3, 4):
         return classic_nd.decompress_nd(t, dims, dtype).reshape(shape)
     raise NotImplementedError(f"classic {len(dims)}D decode")
+
+
+def decompress_region(blob: bytes, shape, start, end,
+                      dtype=np.float32) -> np.ndarray:
+    """Decode a sub-region [start, end) of a random-access stream
+    without touching unrelated blocks (SZ_decompress_args_randomaccess,
+    szd_float.c:7597).  Raises for non-random-access streams, exactly
+    like the reference (szd_float.c:7681)."""
+    dims = _filter_dims(shape)
+    n = int(np.prod(dims))
+    dt = _DTYPE_MAP[np.dtype(dtype)]
+    esize = np.dtype(dtype).itemsize
+    mlen = md.meta_length(dt)
+    if len(blob) not in (8 + 4 + mlen, 8 + 8 + mlen):
+        inner = ll.decompress(blob, expected_size=n * esize + 4 + mlen + 8)
+    else:
+        inner = blob
+    hdr = md.parse_header(inner, dt)
+    if not (hdr.regression and hdr.random_access):
+        raise ValueError(
+            "region decode requires a random-access stream "
+            "(compress with SZConfig(random_access=True))")
+    off = hdr.body_offset + hdr.size_type
+    from sz_tpu.core import rablock
+    return rablock.decompress_ra(inner[off:], dims, dtype, start=start,
+                                 end=end, size_type=hdr.size_type)
 
 
 def get_metadata(blob: bytes) -> dict:

@@ -496,6 +496,41 @@ def itdps_to_bytes(t: ITDPS, header_params: bytes, sz_mode: int,
     return bytes(out)
 
 
+def store_ori_int(data: np.ndarray, header_params: bytes,
+                  size_type: int = 8) -> bytes:
+    """SZ_compress_args_<int>_StoreOriData (e.g. sz_uint16.c:320):
+    verbatim big-endian values behind the isLossless flag byte (written
+    literally as 16/80, no szMode/size-code bits).  The 1D trigger
+    passes dataLength+2 (sz_uint16.c:363 — upstream reads two elements
+    past the array); we serialize the same count with zero padding."""
+    from sz_tpu.config import VERSION
+
+    spec = SPECS[data.dtype]
+    pad = 2 if data.ndim == 1 else 0
+    n = data.size + pad
+    same_byte = 0x10 | (0x40 if size_type == 8 else 0)
+    be = data.reshape(-1).astype(data.dtype.newbyteorder(">"))
+    return (bytes(VERSION) + bytes([same_byte]) + header_params
+            + bu.size_be(n, size_type) + be.tobytes()
+            + b"\x00" * (pad * spec.esize))
+
+
+def same_int(data: np.ndarray, header_params: bytes, sz_mode: int,
+             size_type: int = 8) -> bytes:
+    """allSameData stream (constant integer field; sz_uint16.c:1252,
+    TightDataPointStorageI.c:356-375): single big-endian value."""
+    from sz_tpu.config import VERSION
+
+    spec = SPECS[data.dtype]
+    same_byte = 0x01 | (sz_mode << 1) | _SIZE_CODE[spec.esize]
+    if size_type == 8:
+        same_byte |= 0x40
+    v = data.reshape(-1)[0]
+    be = np.array([v], dtype=data.dtype.newbyteorder(">")).tobytes()
+    return (bytes(VERSION) + bytes([same_byte]) + header_params
+            + bu.size_be(data.size, size_type) + be)
+
+
 def itdps_from_bytes(body: bytes, meta_len: int) -> ITDPS:
     pos = 3
     same_byte = body[pos]

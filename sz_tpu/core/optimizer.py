@@ -186,6 +186,27 @@ def optimize_intervals_3d_freq_dense(flat, r1, r2, r3, real_precision,
                    pred_threshold, T)
 
 
+def optimize_intervals_1d_freq_dense(flat, r1, real_precision,
+                                     max_range_radius, sample_distance,
+                                     pred_threshold, T=np.float32):
+    """optimize_intervals_float_1D_with_freq_and_dense_pos
+    (sz_float.c:5307): mean walk stride=floor(sqrt(len)), sample walk
+    stride=sampleDistance from index 1, previous-value predictor."""
+    import math
+
+    rp = float(real_precision)
+    mean_distance = int(math.sqrt(r1))
+    midx = np.arange(0, r1, max(mean_distance, 1), dtype=np.int64)
+    mean = seq_sum(flat[midx], T)
+    if len(midx) > 0:
+        mean = T(mean / T(len(midx)))
+    sidx = np.arange(1, r1, sample_distance, dtype=np.int64)
+    cur = flat[sidx]
+    pred = flat[sidx - 1]
+    return _finish(cur, pred, mean, rp, len(sidx), max_range_radius,
+                   pred_threshold, T)
+
+
 def optimize_intervals_2d_freq_dense(flat, r1, r2, real_precision,
                                      max_range_radius, sample_distance,
                                      pred_threshold, T=np.float32):
