@@ -19,8 +19,8 @@ from sz_tpu.config import (
     Lossless,
     DataType,
 )
-from sz_tpu.api import (compress, decompress, decompress_region,
-                        get_metadata)
+from sz_tpu.api import (compress, compress_region, decompress,
+                        decompress_region, get_metadata)
 
 __version__ = "0.1.0"
 
@@ -31,6 +31,7 @@ __all__ = [
     "Lossless",
     "DataType",
     "compress",
+    "compress_region",
     "decompress",
     "decompress_region",
     "get_metadata",

@@ -426,6 +426,86 @@ def decompress(blob: bytes, shape, dtype=np.float32,
     raise NotImplementedError(f"classic {len(dims)}D decode")
 
 
+def compress_region(data: np.ndarray, start, end,
+                    cfg: SZConfig = DEFAULT_CONFIG, *,
+                    mode: ErrorBoundMode = None, abs_bound: float = None,
+                    rel_bound: float = None) -> bytes:
+    """Compress a sub-region [start, end) of a larger array —
+    SZ_compress_args3 (sz.c:403) / SZ_compress_args_float_subblock
+    (sz_float.c:3046).  `end` is exclusive here (the reference takes
+    inclusive corners).  The result is a classic-format stream of the
+    region's dimensions, decodable with decompress(blob, region_shape).
+
+    Like the reference entry point, the bound comes from the explicit
+    mode/abs_bound/rel_bound arguments (defaulting to cfg's) while the
+    serialized 21-byte params block reflects cfg UNMODIFIED —
+    SZ_compress_args3 never writes its bound into confparams_cpr, so
+    the header's bound fields can disagree with the effective bound
+    (upstream quirk, kept for byte parity; the decoder reads the real
+    precision from the stream body).
+
+    Other reference quirks kept: PW_REL unsupported (sz_float.c:3104
+    prints and produces nothing — we raise instead); double quantizer
+    arithmetic with no machine-epsilon recheck."""
+    data = np.asarray(data)
+    dt = _DTYPE_MAP.get(data.dtype)
+    if dt is None:
+        raise TypeError(f"subblock compression: {data.dtype}")
+    T = np.float32 if dt == DataType.FLOAT else np.float64
+    start = tuple(int(s) for s in start)
+    end = tuple(int(e) for e in end)
+    region = np.ascontiguousarray(
+        data[tuple(slice(s, e) for s, e in zip(start, end))], dtype=T)
+    ndim = region.ndim
+    if ndim > 4:
+        raise NotImplementedError("subblock supports up to 4D")
+    n = region.size
+    flat = region.reshape(-1)
+    # computeRangeSize_float_subblock (dataCompression.c:196)
+    fmin = T(flat.min())
+    value_range = T(T(flat.max()) - fmin)
+    fmax = T(fmin + value_range)
+    bound_cfg = cfg
+    if mode is not None:
+        bound_cfg = dataclasses.replace(
+            cfg, error_bound_mode=mode,
+            abs_err_bound=cfg.abs_err_bound if abs_bound is None
+            else abs_bound,
+            rel_bound_ratio=cfg.rel_bound_ratio if rel_bound is None
+            else rel_bound)
+    rp, eff_mode = _resolve_precision(bound_cfg, float(value_range), n,
+                                      dt)
+    if eff_mode == ErrorBoundMode.PW_REL:
+        raise NotImplementedError(
+            "subblock does not support point-wise relative bounds "
+            "(sz_float.c:3104)")
+    if value_range <= rp:
+        # upstream leaves this TODO (sz_float.c:3095) and produces
+        # nothing; emit the constant stream instead
+        return _constant_stream(cfg, dt, fmin, fmax, flat[0], n)
+    median = T(fmin + value_range / T(2))
+    common = dict(max_range_radius=cfg.max_range_radius,
+                  sample_distance=cfg.sample_distance,
+                  pred_threshold=np.float32(cfg.pred_threshold),
+                  opt_quant_mode=1 if cfg.quantization_intervals == 0
+                  else 0,
+                  fixed_intervals=cfg.quantization_intervals)
+    if ndim == 1:
+        t = classic.compress_1d(region, rp, value_range, median,
+                                subblock=True, **common)
+    else:
+        t = classic_nd.compress_nd(region, rp, value_range, median,
+                                   subblock_origin=start, **common)
+    # SZ_compress_args3 never runs computeRangeSize into confparams, so
+    # the header's fmin/fmax serialize as zeros (upstream quirk)
+    header = md.make_header(cfg, dt, T(0), T(0))
+    body = (header + bu.size_be(n, cfg.size_type)
+            + tdps_mod.to_bytes(t, cfg.size_type))
+    if cfg.sz_mode == SZMode.BEST_SPEED:
+        return body
+    return ll.compress(body, cfg.lossless, cfg.lossless_level)
+
+
 def decompress_region(blob: bytes, shape, start, end,
                       dtype=np.float32) -> np.ndarray:
     """Decode a sub-region [start, end) of a random-access stream

@@ -202,10 +202,30 @@ class Classic1DResult:
     intervals: int
 
 
+def _optimize_intervals_1d_subblock(flat, rp, max_range_radius,
+                                    sample_distance, pred_threshold):
+    """optimize_intervals_float_1D_subblock (sz_float.c:3231): local
+    modular sampling from index 2, linear 2a-b predictor."""
+    n = len(flat)
+    sidx = np.arange(2, n)
+    sidx = sidx[sidx % sample_distance == 0]
+    pred = 2 * flat[sidx - 1] - flat[sidx - 2]
+    pred_err = np.abs((pred - flat[sidx]).astype(np.float64))
+    radius_index = ((pred_err / rp + 1.0) / 2.0).astype(np.int64)
+    np.minimum(radius_index, max_range_radius - 1, out=radius_index)
+    hist = np.bincount(radius_index, minlength=max_range_radius)
+    target = int((n // sample_distance) * pred_threshold)
+    csum = np.cumsum(hist)
+    over = np.flatnonzero(csum > target)
+    i0 = int(over[0]) if len(over) else max_range_radius - 1
+    from sz_tpu.core.optimizer import round_up_to_power_of_2
+    return max(round_up_to_power_of_2(2 * (i0 + 1)), 32)
+
+
 def compress_1d(data: np.ndarray, real_precision: float, value_range,
                 median, *, max_range_radius: int, sample_distance: int,
                 pred_threshold: float, opt_quant_mode: int = 1,
-                fixed_intervals: int = 0) -> TDPS:
+                fixed_intervals: int = 0, subblock: bool = False) -> TDPS:
     T = np.float32 if data.dtype == np.float32 else np.float64
     dt = DataType.FLOAT if T is np.float32 else DataType.DOUBLE
     flat = np.ascontiguousarray(data, dtype=T).reshape(-1)
@@ -213,15 +233,22 @@ def compress_1d(data: np.ndarray, real_precision: float, value_range,
     rp = T(real_precision)  # float kernel receives float precision
 
     if opt_quant_mode == 1:
-        intervals = optimize_intervals_1d(flat, float(rp), max_range_radius,
-                                          sample_distance, pred_threshold)
+        if subblock:
+            intervals = _optimize_intervals_1d_subblock(
+                flat, float(real_precision), max_range_radius,
+                sample_distance, pred_threshold)
+        else:
+            intervals = optimize_intervals_1d(
+                flat, float(rp), max_range_radius, sample_distance,
+                pred_threshold)
     else:
         intervals = fixed_intervals
     radius = intervals // 2
 
     median = T(median)
     rad_expo = get_exponent(T(value_range) / T(2), T)
-    req_length, median_zeroed = compute_req_length(float(rp), rad_expo, T)
+    req_length, median_zeroed = compute_req_length(
+        float(real_precision) if subblock else float(rp), rad_expo, T)
     if median_zeroed:
         median = T(0)
 
@@ -229,16 +256,42 @@ def compress_1d(data: np.ndarray, real_precision: float, value_range,
     types = np.zeros(n, dtype=np.int32)
 
     # first two values are always exact
-    pred = None
+    pred = last1 = None
     for i in (0, 1):
         rec = enc.add(flat[i])
+        last1 = pred  # last3CmprsData[1]
         pred = rec  # last3CmprsData[0] after two adds = second recon
 
     check_radius = T(T(intervals - 1) * rp)
     interval2 = T(2 * rp)
     recip = T(T(1) / rp)
 
-    if T is np.float32:
+    if subblock:
+        # SZ_compress_float_1D_MDQ_subblock (sz_float.c:3444): linear
+        # 2a-b predictor, double division, <= radius compare, no
+        # epsilon recheck.  (The standard 1D decoder replays a
+        # previous-value predictor — upstream inconsistency kept as-is.)
+        rp64 = np.float64(real_precision)
+        check64 = (intervals - 1) * rp64
+        interval64 = 2.0 * rp64
+        last0 = pred
+        for i in range(2, n):
+            cur = flat[i]
+            p = T(T(2) * last0 - last1)
+            pae = T(abs(T(cur - p)))
+            if np.float64(pae) <= check64:
+                state = int((np.float64(pae) / rp64 + 1.0) / 2.0)
+                if cur >= p:
+                    types[i] = radius + state
+                    p = T(np.float64(p) + state * interval64)
+                else:
+                    types[i] = radius - state
+                    p = T(np.float64(p) - state * interval64)
+                last1, last0 = last0, p
+            else:
+                types[i] = 0
+                last1, last0 = last0, enc.add(cur)
+    elif T is np.float32:
         for i in range(2, n):
             cur = flat[i]
             err = T(abs(T(cur - pred)))
@@ -276,7 +329,9 @@ def compress_1d(data: np.ndarray, real_precision: float, value_range,
     return TDPS(
         data_type=dt, ds_length=n, intervals=intervals,
         median_value=float(median), req_length=req_length,
-        real_precision=float(rp), type_array=type_array,
+        # the subblock kernel serializes the unnarrowed double precision
+        real_precision=float(real_precision) if subblock else float(rp),
+        type_array=type_array,
         lead_num=enc.lead_packed(), exact_mid_bytes=bytes(enc.mid_bytes),
         residual_mid_bits=enc.resi_packed(),
         exact_data_num=len(enc.lead_nums),

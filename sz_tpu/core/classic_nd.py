@@ -29,6 +29,7 @@ import numpy as np
 
 from sz_tpu.config import DataType
 from sz_tpu.core import classic
+from sz_tpu.core import optimizer as opt
 from sz_tpu.format import huffman
 from sz_tpu.format.tdps import TDPS
 
@@ -98,26 +99,85 @@ def _optimize_intervals_nd(data: np.ndarray, real_precision: float,
     return max(pow2, 32)
 
 
+def _optimize_intervals_subblock(data, origin, rp, max_range_radius,
+                                 sample_distance, pred_threshold):
+    """Subblock interval optimizers (sz_float.c:3278,3330,3382): the
+    modular sampling uses GLOBAL coordinates (local + origin), and the
+    4D variant predicts with the 3D Lorenzo over the last three dims."""
+    rank = data.ndim
+    shape = data.shape
+    grids = np.meshgrid(*[np.arange(1, r) for r in shape], indexing="ij")
+    gsum = sum(g + int(o) for g, o in zip(grids, origin))
+    sel = (gsum % sample_distance) == 0
+    loc = [g[sel] for g in grids]
+    d = data
+    if rank == 2:
+        i, j = loc
+        pred = d[i, j - 1] + d[i - 1, j] - d[i - 1, j - 1]
+        cur = d[i, j]
+    elif rank == 3:
+        i, j, k = loc
+        pred = d[i, j, k - 1] + d[i, j - 1, k]
+        pred = pred + d[i - 1, j, k]
+        pred = pred - d[i, j - 1, k - 1]
+        pred = pred - d[i - 1, j, k - 1]
+        pred = pred - d[i - 1, j - 1, k]
+        pred = pred + d[i - 1, j - 1, k - 1]
+        cur = d[i, j, k]
+    else:  # 4D: 3D Lorenzo over dims (1,2,3) — sz_float.c:3410
+        i, j, k, l = loc
+        pred = d[i, j, k, l - 1] + d[i, j, k - 1, l]
+        pred = pred + d[i, j - 1, k, l]
+        pred = pred - d[i, j, k - 1, l - 1]
+        pred = pred - d[i, j - 1, k, l - 1]
+        pred = pred - d[i, j - 1, k - 1, l]
+        pred = pred + d[i, j - 1, k - 1, l - 1]
+        cur = d[i, j, k, l]
+    pred_err = np.abs((pred - cur).astype(np.float64))
+    radius_index = ((pred_err / rp + 1.0) / 2.0).astype(np.int64)
+    np.minimum(radius_index, max_range_radius - 1, out=radius_index)
+    hist = np.bincount(radius_index, minlength=max_range_radius)
+    total = data.size // sample_distance
+    target = int(total * pred_threshold)
+    csum = np.cumsum(hist)
+    over = np.flatnonzero(csum > target)
+    i0 = int(over[0]) if len(over) else max_range_radius - 1
+    return max(opt.round_up_to_power_of_2(2 * (i0 + 1)), 32)
+
+
 def compress_nd(data: np.ndarray, real_precision: float, value_range,
                 median, *, max_range_radius: int, sample_distance: int,
                 pred_threshold: float, opt_quant_mode: int = 1,
-                fixed_intervals: int = 0) -> TDPS:
-    """Classic 2D/3D MDQ encode -> TDPS."""
+                fixed_intervals: int = 0, subblock_origin=None) -> TDPS:
+    """Classic 2D/3D/4D MDQ encode -> TDPS.
+
+    subblock_origin: when set (SZ_compress_args3 path), the kernel is
+    the `*_MDQ_subblock` variant (sz_float.c:3566,3777,4118): double
+    quantizer arithmetic with true division by realPrecision, NO
+    machine-epsilon recheck, and the subblock interval optimizer whose
+    modular sampling is offset by the region's global origin."""
     T = np.float32 if data.dtype == np.float32 else np.float64
     dt = DataType.FLOAT if T is np.float32 else DataType.DOUBLE
     data = np.ascontiguousarray(data, dtype=T)
     n = data.size
+    subblock = subblock_origin is not None
 
     # the float 2D/3D kernels receive realPrecision narrowed to float;
     # the float 4D kernel (and all double kernels) keep it double
-    RT = np.float64 if (T is np.float64 or data.ndim == 4) else T
+    RT = np.float64 if (T is np.float64 or data.ndim == 4
+                        or subblock) else T
     rp = RT(real_precision)
     recip = RT(RT(1) / rp)
 
     if opt_quant_mode == 1:
-        intervals = _optimize_intervals_nd(
-            data, float(real_precision), max_range_radius,
-            sample_distance, pred_threshold)
+        if subblock:
+            intervals = _optimize_intervals_subblock(
+                data, subblock_origin, float(real_precision),
+                max_range_radius, sample_distance, pred_threshold)
+        else:
+            intervals = _optimize_intervals_nd(
+                data, float(real_precision), max_range_radius,
+                sample_distance, pred_threshold)
     else:
         intervals = fixed_intervals
     radius = intervals // 2
@@ -136,25 +196,44 @@ def compress_nd(data: np.ndarray, real_precision: float, value_range,
     # the float 2D/3D kernels round itvNum into a float variable, but the
     # float 4D kernel declares `double itvNum` (sz_float.c:1496) — the
     # double kernels use double everywhere
-    IT = np.float64 if (T is np.float64 or data.ndim == 4) else T
+    IT = np.float64 if (T is np.float64 or data.ndim == 4
+                        or subblock) else T
 
-    def quant(idx, cur, pred):
-        """One predict+quantize step; returns the reconstructed value."""
-        diff = T(cur - pred)
-        itv = IT(np.float64(abs(np.float64(diff))) * np.float64(recip)
-                 + 1.0)
-        if itv < intervals:
-            if diff < 0:
-                itv = -itv
-            t = int(itv / IT(2)) + radius
-            rec = T(pred + RT(2 * (t - radius)) * rp)
-            if np.float64(abs(np.float64(T(cur - rec)))) > rp:
-                types[idx] = 0
-                return enc.add(cur)
-            types[idx] = t
-            return rec
-        types[idx] = 0
-        return enc.add(cur)
+    if subblock:
+        rp64 = np.float64(rp)
+
+        def quant(idx, cur, pred):
+            """Subblock step: double division, no epsilon recheck
+            (sz_float.c:3862-3871)."""
+            diff = T(cur - pred)
+            itv = np.float64(abs(np.float64(diff))) / rp64 + 1.0
+            if itv < intervals:
+                if diff < 0:
+                    itv = -itv
+                t = int(itv / 2.0) + radius
+                rec = T(pred + np.float64(2 * (t - radius)) * rp64)
+                types[idx] = t
+                return rec
+            types[idx] = 0
+            return enc.add(cur)
+    else:
+        def quant(idx, cur, pred):
+            """One predict+quantize step; returns the reconstruction."""
+            diff = T(cur - pred)
+            itv = IT(np.float64(abs(np.float64(diff))) * np.float64(recip)
+                     + 1.0)
+            if itv < intervals:
+                if diff < 0:
+                    itv = -itv
+                t = int(itv / IT(2)) + radius
+                rec = T(pred + RT(2 * (t - radius)) * rp)
+                if np.float64(abs(np.float64(T(cur - rec)))) > rp:
+                    types[idx] = 0
+                    return enc.add(cur)
+                types[idx] = t
+                return rec
+            types[idx] = 0
+            return enc.add(cur)
 
     if data.ndim == 4:
         # SZ_compress_float_4D_MDQ (sz_float.c:1479): the 3D scheme run
