@@ -52,11 +52,9 @@ def _resolve_precision(cfg: SZConfig, value_range: float, n: int,
     if mode == ErrorBoundMode.NORM:
         rp = math.sqrt(3.0 / n) * cfg.norm_err
         return rp, ErrorBoundMode.ABS
-    if mode in (ErrorBoundMode.ABS, ErrorBoundMode.ABS_OR_PW_REL,
-                ErrorBoundMode.ABS_AND_PW_REL):
+    if mode == ErrorBoundMode.ABS:
         return cfg.abs_err_bound, mode
-    if mode in (ErrorBoundMode.REL, ErrorBoundMode.REL_OR_PW_REL,
-                ErrorBoundMode.REL_AND_PW_REL):
+    if mode == ErrorBoundMode.REL:
         return cfg.rel_bound_ratio * value_range, mode
     if mode in (ErrorBoundMode.ABS_AND_REL, ErrorBoundMode.ABS_OR_REL):
         # getRealPrecision_float uses min_f/max_f (float32 compare+result,
@@ -66,8 +64,14 @@ def _resolve_precision(cfg: SZConfig, value_range: float, n: int,
             a, b = float(np.float32(a)), float(np.float32(b))
         pick = min if mode == ErrorBoundMode.ABS_AND_REL else max
         return pick(a, b), mode
-    if mode == ErrorBoundMode.PW_REL:
-        return 0.0, mode
+    if mode.is_pw_rel:
+        # PW_REL and the ABS/REL×PW_REL combos: the modern pre-log
+        # kernels never consult absErrBound/relBoundRatio (the combo
+        # min/max logic lives only in the legacy segment/pwrgroup paths,
+        # CompressElement.c:155-179, which the 2.1.12.4 dispatch no
+        # longer reaches) — so every mode >= PW_REL behaves as plain
+        # PW_REL (sz_float.c:2888)
+        return 0.0, ErrorBoundMode.PW_REL
     raise ValueError(f"unsupported bound mode {mode}")
 
 
@@ -158,7 +162,7 @@ def _fp_stream_params(data: np.ndarray, cfg: SZConfig, dt: DataType):
     flat = data.reshape(-1)
     # PW_REL accelerated path needs its own range scan that also collects
     # signs/nearZero (sz_float.c:2838-2843)
-    is_pwrel = cfg.error_bound_mode == ErrorBoundMode.PW_REL
+    is_pwrel = cfg.error_bound_mode.is_pw_rel
     accelerate = (cfg.accelerate_pw_rel
                   and not (cfg.pw_rel_bound_ratio < 0.000009999))
     range_info = None
@@ -180,7 +184,7 @@ def _fp_stream_params(data: np.ndarray, cfg: SZConfig, dt: DataType):
         # serializing params (sz_float.c:2853-2867)
         hdr_cfg = dataclasses.replace(
             cfg, error_bound_mode=ErrorBoundMode.ABS, abs_err_bound=rp)
-    elif cfg.error_bound_mode != ErrorBoundMode.PW_REL:
+    elif not cfg.error_bound_mode.is_pw_rel:
         hdr_cfg = dataclasses.replace(cfg, abs_err_bound=rp)
     return fmin, fmax, value_range, rp, eff_mode, hdr_cfg, range_info
 
@@ -285,7 +289,11 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
         body = (header + bu.size_be(n, cfg.size_type)
                 + tdps_mod.to_bytes(t, cfg.size_type))
     else:
-        raise NotImplementedError(f"{ndim}-D path lands next")
+        # the reference accepts 5D shapes only when filterDimension
+        # (applied above) drops size-1 dims to <=4; genuine 5D errors
+        # (sz_float.c:3016 "doesn't support 5 dimensions for now")
+        raise ValueError(f"{ndim} dimensions unsupported (the reference "
+                         "supports at most 4 after dropping size-1 dims)")
 
     # StoreOriData fallback (sz_float.c:526): verbatim big-endian values
     esize = np.dtype(T).itemsize
@@ -341,6 +349,21 @@ def _store_ori(cfg, dt, fmin, fmax, flat, n) -> bytes:
     return header + bu.size_be(n, cfg.size_type) + be
 
 
+def _protect_clamp(out, hdr, T):
+    """protectValueRange decode clamp (szd_float.c:161-176): values
+    outside [fmin, fmax] snap to the bound; NaNs pass through.  Applied
+    to every SZ_decompress path except random-access (whose entry point,
+    szd_float.c:7597, has no clamp)."""
+    if not hdr.protect_range:
+        return out
+    mn, mx = T(hdr.params.fmin), T(hdr.params.fmax)
+    if isinstance(out, np.ndarray):
+        xp = np
+    else:  # pragma: no cover - jax array (as_jax=True)
+        import jax.numpy as xp
+    return xp.where(out < mn, mn, xp.where(out > mx, mx, out))
+
+
 def decompress(blob: bytes, shape, dtype=np.float32,
                engine: str = "auto", as_jax: bool = False) -> np.ndarray:
     """Decompress a reference-format SZ2 stream.
@@ -381,15 +404,18 @@ def decompress(blob: bytes, shape, dtype=np.float32,
     ds_len = bu.read_size_be(inner, off, hdr.size_type)
     off += hdr.size_type
 
+    T = np.float32 if dt == DataType.FLOAT else np.float64
     be_t = ">f4" if dt == DataType.FLOAT else ">f8"
     if hdr.lossless:
         out = np.frombuffer(inner, dtype=be_t, count=n, offset=off)
-        return out.astype(dtype).reshape(shape)
+        return _protect_clamp(out.astype(dtype), hdr, T).reshape(shape)
     if hdr.same:
         v = bu.read_f32_be(inner, off) if dt == DataType.FLOAT \
             else bu.read_f64_be(inner, off)
-        return np.full(shape, v, dtype=dtype)
+        return _protect_clamp(np.full(n, v, dtype=dtype), hdr,
+                              T).reshape(shape)
     if hdr.regression and hdr.random_access:
+        # the reference RA entry has no protectValueRange clamp
         from sz_tpu.core import rablock
         return rablock.decompress_ra(inner[off:], dims, dtype,
                                      size_type=hdr.size_type
@@ -411,19 +437,21 @@ def decompress(blob: bytes, shape, dtype=np.float32,
                                     msst19=hdr.pw_rel and hdr.msst19,
                                     size_type=hdr.size_type)
             out = classic.decompress_1d(t, n, dtype)
-        return out.reshape(shape)
+        return _protect_clamp(out, hdr, T).reshape(shape)
     # classic (SZ1.4) stream
     t = tdps_mod.from_bytes(inner[off:], dt, is_pwr=hdr.pw_rel,
                             msst19=hdr.pw_rel and hdr.msst19,
                             size_type=hdr.size_type)
     if hdr.pw_rel:
         t.msst19 = hdr.msst19
-        return pwr.decompress_pwrel(t, dims, dtype).reshape(shape)
-    if len(dims) == 1:
-        return classic.decompress_1d(t, n, dtype).reshape(shape)
-    if len(dims) in (2, 3, 4):
-        return classic_nd.decompress_nd(t, dims, dtype).reshape(shape)
-    raise NotImplementedError(f"classic {len(dims)}D decode")
+        out = pwr.decompress_pwrel(t, dims, dtype)
+    elif len(dims) == 1:
+        out = classic.decompress_1d(t, n, dtype)
+    elif len(dims) in (2, 3, 4):
+        out = classic_nd.decompress_nd(t, dims, dtype)
+    else:
+        raise NotImplementedError(f"classic {len(dims)}D decode")
+    return _protect_clamp(out, hdr, T).reshape(shape)
 
 
 def compress_region(data: np.ndarray, start, end,

@@ -30,6 +30,13 @@ class ErrorBoundMode(enum.IntEnum):
     REL_AND_PW_REL = 13
     REL_OR_PW_REL = 14
 
+    @property
+    def is_pw_rel(self) -> bool:
+        """errorBoundMode >= PW_REL — the reference's pointwise-relative
+        family test (sz_float.c:2888); in 2.1.12.4 the combo modes reach
+        only the pre-log kernels, which ignore the ABS/REL component."""
+        return self >= ErrorBoundMode.PW_REL
+
 
 class DataType(enum.IntEnum):
     """Data types (defines.h:43-52)."""
