@@ -42,13 +42,23 @@ def _build_parser():
     p.add_argument("-d", action="store_true", help="float64 data")
     p.add_argument("--int", dest="int_type", choices=list(_DTYPES),
                    help="integer data type (i8..ui64)")
-    p.add_argument("-M", default="ABS", metavar="MODE",
-                   help="ABS|REL|ABS_AND_REL|ABS_OR_REL|PSNR|NORM|PW_REL")
-    p.add_argument("-A", type=float, default=1e-4, help="absolute bound")
-    p.add_argument("-R", type=float, default=1e-4, help="relative bound")
-    p.add_argument("-P", type=float, default=1e-3, help="pw-rel bound")
-    p.add_argument("-S", type=float, default=90.0, help="PSNR")
-    p.add_argument("-N", type=float, default=0.0, help="norm error")
+    p.add_argument("-c", metavar="CONF",
+                   help="sz.config INI file (SZ_ReadConf)")
+    p.add_argument("-M", default=None, metavar="MODE",
+                   help="ABS|REL|ABS_AND_REL|ABS_OR_REL|PSNR|NORM|PW_REL"
+                        "|ABS_AND_PW_REL|ABS_OR_PW_REL|REL_AND_PW_REL"
+                        "|REL_OR_PW_REL")
+    p.add_argument("-A", type=float, default=None, help="absolute bound")
+    p.add_argument("-R", type=float, default=None, help="relative bound")
+    p.add_argument("-P", type=float, default=None, help="pw-rel bound")
+    p.add_argument("-S", type=float, default=None, help="PSNR")
+    p.add_argument("-N", type=float, default=None, help="norm error")
+    p.add_argument("-q", action="store_true",
+                   help="print compressor stats (printSZStats analog)")
+    p.add_argument("-T", action="store_true",
+                   help="Tucker tensor decomposition pre-processing "
+                        "(requires external TuckerMPI, like the "
+                        "reference)")
     p.add_argument("-i", metavar="FILE", help="original data file")
     p.add_argument("-s", metavar="FILE", help="compressed data file")
     p.add_argument("-1", dest="d1", nargs=1, type=int, metavar="nx")
@@ -83,19 +93,37 @@ def _dtype(args):
 
 
 def _cfg(args) -> SZConfig:
-    mode = getattr(ErrorBoundMode, args.M)
-    value = {ErrorBoundMode.ABS: args.A, ErrorBoundMode.REL: args.R,
-             ErrorBoundMode.PW_REL: args.P, ErrorBoundMode.PSNR: args.S,
-             ErrorBoundMode.NORM: args.N}.get(mode, args.A)
-    cfg = SZConfig(engine=args.engine).with_bound(mode, value)
-    if mode in (ErrorBoundMode.ABS_AND_REL, ErrorBoundMode.ABS_OR_REL):
-        cfg = dataclasses.replace(cfg, abs_err_bound=args.A,
-                                  rel_bound_ratio=args.R)
+    """Config assembly mirroring the reference CLI: SZ_Init(confFile)
+    first, then each explicitly-passed flag overrides its confparams
+    field (example/sz.c:305-345).  Without -c or -M the bound mode
+    defaults to ABS (the reference would stay at its PSNR default,
+    which is almost never what a bare invocation wants)."""
+    if args.c:
+        cfg = SZConfig.from_file(args.c)
+    else:
+        cfg = SZConfig()
+        if args.M is None:
+            cfg = dataclasses.replace(
+                cfg, error_bound_mode=ErrorBoundMode.ABS)
+    cfg = dataclasses.replace(cfg, engine=args.engine)
+    kw = {}
+    if args.M is not None:
+        kw["error_bound_mode"] = getattr(ErrorBoundMode, args.M)
+    if args.A is not None:
+        kw["abs_err_bound"] = args.A
+    if args.R is not None:
+        kw["rel_bound_ratio"] = args.R
+    if args.P is not None:
+        kw["pw_rel_bound_ratio"] = args.P
+    if args.S is not None:
+        kw["psnr"] = args.S
+    if args.N is not None:
+        kw["norm_err"] = args.N
     if args.best_speed:
-        cfg = dataclasses.replace(cfg, sz_mode=SZMode.BEST_SPEED)
+        kw["sz_mode"] = SZMode.BEST_SPEED
     if args.no_regression:
-        cfg = dataclasses.replace(cfg, with_regression=False)
-    return cfg
+        kw["with_regression"] = False
+    return dataclasses.replace(cfg, **kw)
 
 
 def _analysis(ori: np.ndarray, dec: np.ndarray, byte_length: int):
@@ -143,18 +171,34 @@ def main(argv=None):
     dtype = _dtype(args)
     shape = _shape(args)
 
+    if args.T:
+        # the reference shells out to TuckerMPI (example/sz.c:386-420):
+        # single precision is rejected outright, and double requires the
+        # TUCKERMPI_PATH environment variable
+        import os
+        if dtype == np.float32:
+            sys.exit("Error: Single-precision Tucker tensor "
+                     "decomposition is not supported by TuckerMPI yet.")
+        if os.environ.get("TUCKERMPI_PATH") is None:
+            sys.exit("Error: the environment variable TUCKERMPI_PATH "
+                     "== NULL.")
+
     if args.z is not None:
         if not args.i:
             sys.exit("error: -z needs -i <original data file>")
         data = np.fromfile(args.i, dtype=dtype).reshape(shape)
         cfg = _cfg(args)
-        t0 = time.time()
-        blob = api.compress(data, cfg)
-        dt = time.time() - t0
+        from sz_tpu.utils import stats
+        with stats.collect() as s:
+            t0 = time.time()
+            blob = api.compress(data, cfg)
+            dt = time.time() - t0
         out = args.z or (args.i + ".sz")
         pathlib.Path(out).write_bytes(blob)
         print(f"compression time = {dt:f}")
         print(f"compressed data file: {out}")
+        if args.q:
+            print(s.report())
         if args.a:
             dec = api.decompress(blob, shape, dtype)
             _analysis(data, dec, len(blob))
