@@ -185,6 +185,10 @@ def optimize_intervals_1d(flat: np.ndarray, real_precision: float,
     pred_err = np.abs((flat[sidx - 1] - flat[sidx]).astype(np.float64))
     radius_index = ((pred_err / rp + 1.0) / 2.0).astype(np.int64)
     np.minimum(radius_index, max_range_radius - 1, out=radius_index)
+    # C casts the quotient through (uint64_t): negatives (possible
+    # when a tiny PW_REL ratio makes realPrecision negative) wrap to
+    # huge values and clamp to the last bin
+    radius_index[radius_index < 0] = max_range_radius - 1
     intervals = np.bincount(radius_index, minlength=max_range_radius)
     target = int(len(sidx) * pred_threshold)
     csum = np.cumsum(intervals)
@@ -213,6 +217,10 @@ def _optimize_intervals_1d_subblock(flat, rp, max_range_radius,
     pred_err = np.abs((pred - flat[sidx]).astype(np.float64))
     radius_index = ((pred_err / rp + 1.0) / 2.0).astype(np.int64)
     np.minimum(radius_index, max_range_radius - 1, out=radius_index)
+    # C casts the quotient through (uint64_t): negatives (possible
+    # when a tiny PW_REL ratio makes realPrecision negative) wrap to
+    # huge values and clamp to the last bin
+    radius_index[radius_index < 0] = max_range_radius - 1
     hist = np.bincount(radius_index, minlength=max_range_radius)
     target = int((n // sample_distance) * pred_threshold)
     csum = np.cumsum(hist)

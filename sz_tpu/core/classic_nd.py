@@ -66,6 +66,8 @@ def _optimize_intervals_nd(data: np.ndarray, real_precision: float,
             // sample_distance
         radius_index = ((pred_err / rp + 1.0) / 2.0).astype(np.int64)
         np.minimum(radius_index, max_range_radius - 1, out=radius_index)
+        # C casts the quotient through (uint64_t): negatives wrap huge
+        radius_index[radius_index < 0] = max_range_radius - 1
         hist = np.bincount(radius_index, minlength=max_range_radius)
         target = int(total * pred_threshold)
         csum = np.cumsum(hist)
@@ -90,6 +92,10 @@ def _optimize_intervals_nd(data: np.ndarray, real_precision: float,
     pred_err = np.abs((pred - flat[sidx]).astype(np.float64))
     radius_index = ((pred_err / rp + 1.0) / 2.0).astype(np.int64)
     np.minimum(radius_index, max_range_radius - 1, out=radius_index)
+    # C casts the quotient through (uint64_t): negatives (possible
+    # when a tiny PW_REL ratio makes realPrecision negative) wrap to
+    # huge values and clamp to the last bin
+    radius_index[radius_index < 0] = max_range_radius - 1
     intervals = np.bincount(radius_index, minlength=max_range_radius)
     target = int(len(sidx) * pred_threshold)
     csum = np.cumsum(intervals)
@@ -136,6 +142,10 @@ def _optimize_intervals_subblock(data, origin, rp, max_range_radius,
     pred_err = np.abs((pred - cur).astype(np.float64))
     radius_index = ((pred_err / rp + 1.0) / 2.0).astype(np.int64)
     np.minimum(radius_index, max_range_radius - 1, out=radius_index)
+    # C casts the quotient through (uint64_t): negatives (possible
+    # when a tiny PW_REL ratio makes realPrecision negative) wrap to
+    # huge values and clamp to the last bin
+    radius_index[radius_index < 0] = max_range_radius - 1
     hist = np.bincount(radius_index, minlength=max_range_radius)
     total = data.size // sample_distance
     target = int(total * pred_threshold)

@@ -138,6 +138,10 @@ def _optimize_intervals(data: np.ndarray, rp: float, max_range_radius: int,
     radius_index = ((perr.astype(np.float64) / rp + 1.0) / 2.0) \
         .astype(np.int64)
     np.minimum(radius_index, max_range_radius - 1, out=radius_index)
+    # C casts the quotient through (uint64_t): negatives (possible
+    # when a tiny PW_REL ratio makes realPrecision negative) wrap to
+    # huge values and clamp to the last bin
+    radius_index[radius_index < 0] = max_range_radius - 1
     hist = np.bincount(radius_index, minlength=max_range_radius)
     target = int(total * pred_threshold)
     csum = np.cumsum(hist)

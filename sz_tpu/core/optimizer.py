@@ -124,6 +124,10 @@ def _finish(cur, pred, mean, rp, sample_count, max_range_radius,
 
     radius_index = ((pred_err / rp + 1.0) / 2.0).astype(np.int64)
     np.minimum(radius_index, max_range_radius - 1, out=radius_index)
+    # C casts the quotient through (uint64_t): negatives (possible
+    # when a tiny PW_REL ratio makes realPrecision negative) wrap to
+    # huge values and clamp to the last bin
+    radius_index[radius_index < 0] = max_range_radius - 1
     intervals = np.bincount(radius_index, minlength=max_range_radius)
 
     range_ = 8192

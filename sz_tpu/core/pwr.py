@@ -134,10 +134,18 @@ class CacheTable:
 
 def _precision_table(intervals: int, ratio: float,
                      plus_bits: int) -> np.ndarray:
+    """precisionTable[i] = pow(1+ratio, inv*(i-radius)).  Uses libm pow
+    per element (math.pow), not np.power: the two differ in the last
+    ulp and the f64 MSST19 decoder multiplies by these entries directly
+    (decompressDataSeries_double_3D_MSST19), so table parity must be
+    bit-exact against the reference's libm."""
+    import math
+
     radius = intervals // 2
     inv = 2.0 - 2.0 ** (-plus_bits)
-    i = np.arange(intervals, dtype=np.float64)
-    return np.power(1.0 + ratio, inv * (i - radius))
+    base = 1.0 + ratio
+    return np.array([math.pow(base, inv * (i - radius))
+                     for i in range(intervals)], dtype=np.float64)
 
 
 # ---------------------------------------------------------------------------
@@ -485,22 +493,26 @@ def compress_prelog(data: np.ndarray, pw_ratio: float, fmin, fmax, *,
     signs = (flat < 0).astype(np.uint8)
     positive = not bool(signs.any())
 
+    import math
+
+    from sz_tpu import native
+
     # max_abs_log seed from min/max (sz_float_pwr.c:1799-1802)
     if fmin == 0:
-        max_abs = abs(np.log2(abs(np.float64(fmax))))
+        max_abs = abs(math.log2(abs(float(fmax))))
     elif fmax == 0:
-        max_abs = abs(np.log2(abs(np.float64(fmin))))
+        max_abs = abs(math.log2(abs(float(fmin))))
     else:
-        max_abs = max(abs(np.log2(abs(np.float64(fmin)))),
-                      abs(np.log2(abs(np.float64(fmax)))))
+        max_abs = max(abs(math.log2(abs(float(fmin)))),
+                      abs(math.log2(abs(float(fmax)))))
     max_abs = T(max_abs)
     min_log = max_abs
 
     log_data = np.abs(flat)
     pos_mask = log_data > 0
-    with np.errstate(divide="ignore"):
-        log_data[pos_mask] = np.log2(
-            log_data[pos_mask].astype(np.float64)).astype(T)
+    # libm log2 per element (native.v_log2): numpy's SIMD log2 differs
+    # in the last ulp, which double streams serialize directly
+    log_data[pos_mask] = native.v_log2(log_data[pos_mask]).astype(T)
     if pos_mask.any():
         max_abs = max(max_abs, log_data[pos_mask].max())
         min_log = min(min_log, log_data[pos_mask].min())
@@ -512,7 +524,10 @@ def compress_prelog(data: np.ndarray, pw_ratio: float, fmin, fmax, *,
 
     if abs(np.float64(min_log)) > max_abs:
         max_abs = T(abs(np.float64(min_log)))
-    rp = float(np.log2(1.0 + pw_ratio) - np.float64(max_abs) * 1.2e-7)
+    # float kernels subtract maxAbsLog*1.2e-7 (sz_float_pwr.c:1927);
+    # the double kernels use 2.23e-16 (sz_double_pwr.c:1939)
+    eps = 1.2e-7 if T is np.float32 else 2.23e-16
+    rp = float(math.log2(1.0 + pw_ratio) - np.float64(max_abs) * eps)
     log_data[flat == 0] = T(np.float64(min_log) - 2.0001 * rp)
 
     shaped = log_data.reshape(data.shape)
@@ -601,9 +616,11 @@ def decompress_pwrel(tdps: TDPS, shape, dtype) -> np.ndarray:
         out = classic.decompress_1d(tdps, n, dtype)
     else:
         out = classic_nd.decompress_nd(tdps, shape, dtype).reshape(-1)
+    from sz_tpu import native
+
     out = np.asarray(out).reshape(-1)
     zero = out < thr
-    vals = np.exp2(out.astype(np.float64)).astype(T)
+    vals = native.v_exp2(out).astype(T)
     res = np.where(zero, T(0), vals)
     if len(tdps.pwr_err_bound_bytes):
         signs = np.frombuffer(

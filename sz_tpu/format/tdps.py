@@ -76,7 +76,12 @@ def to_bytes(t: TDPS, size_type: int = 8) -> bytes:
     out += bu.size_be(t.exact_data_num, size_type)
     out += bu.size_be(len(t.exact_mid_bytes), size_type)
     if t.is_pwr:
-        out += bu.f32_be(t.min_log_value)
+        # minLogValue: f32 for float streams, f64 for double streams
+        # (TightDataPointStorageD.c:458 doubleToBytes)
+        if t.data_type == DataType.FLOAT:
+            out += bu.f32_be(t.min_log_value)
+        else:
+            out += bu.f64_be(t.min_log_value)
     out += t.type_array
     if t.is_pwr:
         out += t.pwr_err_bound_bytes
@@ -126,8 +131,12 @@ def from_bytes(body: bytes, data_type: DataType, *, is_pwr: bool,
     pos += size_type
     min_log = 0.0
     if is_pwr:
-        min_log = float(bu.read_f32_be(body, pos))
-        pos += 4
+        if data_type == DataType.FLOAT:
+            min_log = float(bu.read_f32_be(body, pos))
+            pos += 4
+        else:
+            min_log = float(bu.read_f64_be(body, pos))
+            pos += 8
     type_array = body[pos:pos + type_array_size]
     pos += type_array_size
     pwr_bytes = b""

@@ -148,3 +148,20 @@ def coeff_chain_decode(ctypes_arr: np.ndarray, precision: np.ndarray,
        _ptr(np.ascontiguousarray(cradius, np.int32)), _ptr(up),
        _ptr(np.array([stride], dtype=np.int64)), _ptr(qc))
     return qc
+
+
+def v_log2(x: np.ndarray) -> np.ndarray:
+    """Elementwise libm log2 (glibc scalar, not numpy SIMD) — last-ulp
+    parity with the reference binary's pre-log transform."""
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(x)
+    _lib.v_log2_f64(_ptr(x), _ptr(out), ctypes.c_int64(x.size))
+    return out
+
+
+def v_exp2(x: np.ndarray) -> np.ndarray:
+    """Elementwise libm exp2."""
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(x)
+    _lib.v_exp2_f64(_ptr(x), _ptr(out), ctypes.c_int64(x.size))
+    return out

@@ -292,3 +292,16 @@ int64_t huff_total_bits_u16(const uint16_t *syms, int64_t n,
     for (int64_t i = 0; i < n; i++) total += code_len[syms[i]];
     return total;
 }
+
+/* libm-vectorized transcendentals: the PW_REL pre-log transform maps
+ * through log2()/exp2() whose numpy SIMD implementations differ from
+ * glibc libm in the last ulp — double streams multiply by these values
+ * directly (sz_double_pwr.c pre_log), so parity requires the same libm
+ * the reference binary links. */
+void v_log2_f64(const double *x, double *out, int64_t n) {
+    for (int64_t i = 0; i < n; i++) out[i] = log2(x[i]);
+}
+
+void v_exp2_f64(const double *x, double *out, int64_t n) {
+    for (int64_t i = 0; i < n; i++) out[i] = exp2(x[i]);
+}
