@@ -315,7 +315,10 @@ def compress_msst19(data: np.ndarray, pw_ratio: float, fmax, near_zero, *,
         return enc.add(cur)
 
     def quant(idx, cur, pred):
-        ratio_pd = np.float64(T(cur / pred))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # pred can be 0 like the C (division yields inf/nan, which
+            # the cache lookup maps to the escape state)
+            ratio_pd = np.float64(T(cur / pred))
         state = cache.lookup(float(ratio_pd))
         if state:
             types[idx] = state
@@ -328,7 +331,8 @@ def compress_msst19(data: np.ndarray, pw_ratio: float, fmax, near_zero, *,
         for i in range(2, n):
             # 1D MSST19: pred stays previous value; state multiplies pred
             cur = flat[i]
-            ratio_pd = np.float64(T(cur / pred))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio_pd = np.float64(T(cur / pred))
             state = cache.lookup(float(ratio_pd))
             if state:
                 types[i] = state

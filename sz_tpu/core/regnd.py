@@ -301,6 +301,202 @@ def quantize_coeff_chain(coeffs, use_reg, real_precision, dbs, spec: _Spec,
     return ctypes, unpred, qcoeffs, precision
 
 
+# ---------------------------------------------------------------------------
+# Vectorized host encoder/decoder (numpy fixpoint — the engine's lattice
+# formulation, sz_tpu/tpu/engine.py, evaluated with numpy; numpy rounds
+# per-op exactly like the serial C, so the fixpoint converges to the
+# bit-exact serial result).  The per-point Python loops below
+# (_encode_points_3d/_2d, _decode_points_3d/_2d) remain as the oracle
+# the fast path is tested against.
+# ---------------------------------------------------------------------------
+
+def _np_geometry(dbs, shape):
+    """(bflat, pos) lattices: block id per point and stream position."""
+    rank = len(shape)
+    bid, loc, cnt = [], [], []
+    for db in dbs:
+        counts = db.counts()
+        bid.append(np.repeat(np.arange(db.num, dtype=np.int64), counts))
+        loc.append((np.arange(db.r)
+                    - np.repeat(db.starts(), counts)).astype(np.int64))
+        cnt.append(np.repeat(counts, counts).astype(np.int64))
+    if rank == 3:
+        bsizes = (dbs[0].counts()[:, None, None]
+                  * dbs[1].counts()[None, :, None]
+                  * dbs[2].counts()[None, None, :]).ravel()
+        bflat = ((bid[0][:, None, None] * dbs[1].num
+                  + bid[1][None, :, None]) * dbs[2].num
+                 + bid[2][None, None, :])
+        intra = ((loc[0][:, None, None] * cnt[1][None, :, None]
+                  + loc[1][None, :, None]) * cnt[2][None, None, :]
+                 + loc[2][None, None, :])
+    else:
+        bsizes = (dbs[0].counts()[:, None]
+                  * dbs[1].counts()[None, :]).ravel()
+        bflat = bid[0][:, None] * dbs[1].num + bid[1][None, :]
+        intra = loc[0][:, None] * cnt[1][None, :] + loc[1][None, :]
+    offsets = np.concatenate([[0], np.cumsum(bsizes)[:-1]])
+    pos = offsets[bflat] + intra
+    return bflat, pos, loc
+
+
+def _np_quant(cur, pred, rp, recip, capf, radius, T):
+    """Vectorized _quant_point (engine._quant numpy twin)."""
+    diff = cur - pred
+    itv = np.abs(diff) * recip + T(1)
+    within = itv < capf
+    itv = np.where(diff < 0, -itv, itv)
+    t = (itv / T(2)).astype(np.int32) + np.int32(radius)
+    rec = pred + (2 * (t - radius)).astype(T) * rp
+    ok = within & (np.abs(cur - rec) <= rp)
+    return np.where(ok, t, 0), np.where(ok, rec, cur)
+
+
+def _lorenzo_pred_np(R, rank, T):
+    if rank == 3:
+        Rp = np.zeros((R.shape[0] + 1, R.shape[1] + 1, R.shape[2] + 1),
+                      dtype=T)
+        Rp[1:, 1:, 1:] = R
+        p = Rp[1:, 1:, :-1] + Rp[1:, :-1, 1:]
+        p = p + Rp[:-1, 1:, 1:]
+        p = p - Rp[1:, :-1, :-1]
+        p = p - Rp[:-1, 1:, :-1]
+        p = p - Rp[:-1, :-1, 1:]
+        p = p + Rp[:-1, :-1, :-1]
+        return p
+    Rp = np.zeros((R.shape[0] + 1, R.shape[1] + 1), dtype=T)
+    Rp[1:, 1:] = R
+    return Rp[1:, :-1] + Rp[:-1, 1:] - Rp[:-1, :-1]
+
+
+def _encode_points_fast(data, dbs, spec, use_reg, qcoeffs, rp, recip,
+                        intervals, use_mean, mean):
+    """Vectorized twin of _encode_points_3d/_2d (bit-identical output)."""
+    T = spec.T
+    rank = spec.rank
+    shape = data.shape
+    bflat, pos, loc = _np_geometry(dbs, shape)
+    nblocks = int(np.prod([db.num for db in dbs]))
+    lc_full = np.zeros((nblocks, spec.ncoeff), dtype=T)
+    lc_full[np.flatnonzero(use_reg)] = qcoeffs
+    reg_pts = np.asarray(use_reg, bool)[bflat]
+    cap = np.int64(intervals)
+    capf = T(cap)
+    cap_szf = T(cap - 2)
+    radius = int(intervals) // 2
+
+    fl = [l.astype(T) for l in loc]
+    if rank == 3:
+        pred_reg = (lc_full[:, 0][bflat] * fl[0][:, None, None]
+                    + lc_full[:, 1][bflat] * fl[1][None, :, None]
+                    + lc_full[:, 2][bflat] * fl[2][None, None, :]
+                    + lc_full[:, 3][bflat])
+    else:
+        pred_reg = (lc_full[:, 0][bflat] * fl[0][:, None]
+                    + lc_full[:, 1][bflat] * fl[1][None, :]
+                    + lc_full[:, 2][bflat])
+    t_reg, rec_reg = _np_quant(data, pred_reg, T(rp), T(recip), capf,
+                               radius, T)
+    mean_mask = None
+    if use_mean:
+        mean_mask = (~reg_pts) & (np.abs(data - T(mean)) <= T(rp))
+
+    def step(R):
+        p = _lorenzo_pred_np(R, rank, T)
+        t_l, rec_l = _np_quant(data, p, T(rp), T(recip), cap_szf,
+                               radius, T)
+        if use_mean:
+            t_l = np.where((t_l != 0) & (t_l <= radius), t_l - 1, t_l)
+            t_l = np.where(mean_mask, radius, t_l)
+            rec_l = np.where(mean_mask, T(mean), rec_l)
+        t = np.where(reg_pts, t_reg, t_l)
+        R_new = np.where(reg_pts, rec_reg, rec_l)
+        return t, R_new
+
+    R = data
+    # transient inf/nan in not-yet-converged regions is expected (the
+    # wavefront overwrites them); silence the numpy warnings
+    with np.errstate(all="ignore"):
+        for _ in range(int(sum(shape)) + 4):
+            _t, R_new = step(R)
+            if np.array_equal(R_new, R):
+                break
+            R = R_new
+        t, _ = step(R)
+
+    result_type = np.zeros(data.size, np.int32)
+    result_type[pos.reshape(-1)] = t.reshape(-1)
+    esc_stream = np.flatnonzero(result_type == 0)
+    iperm = np.zeros(data.size, np.int64)
+    iperm[pos.reshape(-1)] = np.arange(data.size)
+    unpred_arr = data.reshape(-1)[iperm[esc_stream]].astype(T)
+    return result_type, unpred_arr
+
+
+def _decode_points_fast(shape, T, dbs, indicator, qcoeffs, types, unpred,
+                        intervals, rp, use_mean, mean):
+    """Vectorized twin of _decode_points_3d/_2d."""
+    rank = len(shape)
+    bflat, pos, loc = _np_geometry(dbs, shape)
+    nblocks = int(np.prod([db.num for db in dbs]))
+    use_reg = (np.asarray(indicator) == 0)
+    nc = 4 if rank == 3 else 3
+    lc_full = np.zeros((nblocks, nc), dtype=T)
+    if np.count_nonzero(use_reg):
+        lc_full[np.flatnonzero(use_reg)] = qcoeffs
+    reg_pts = use_reg[bflat]
+    radius = int(intervals) // 2
+    rp = T(rp)
+
+    n = int(np.prod(shape))
+    t_arr = np.asarray(types, np.int32)
+    # gather: lattice cell takes the code at its stream position
+    t_lat = t_arr[pos.reshape(-1)].reshape(shape)
+    unpred_lat = np.zeros(n, T)
+    esc_stream = np.flatnonzero(t_arr == 0)
+    iperm = np.zeros(n, np.int64)
+    iperm[pos.reshape(-1)] = np.arange(n)
+    unpred_lat[iperm[esc_stream]] = np.asarray(unpred, T)
+    unpred_lat = unpred_lat.reshape(shape)
+
+    fl = [l.astype(T) for l in loc]
+    if rank == 3:
+        pred_reg = (lc_full[:, 0][bflat] * fl[0][:, None, None]
+                    + lc_full[:, 1][bflat] * fl[1][None, :, None]
+                    + lc_full[:, 2][bflat] * fl[2][None, None, :]
+                    + lc_full[:, 3][bflat])
+    else:
+        pred_reg = (lc_full[:, 0][bflat] * fl[0][:, None]
+                    + lc_full[:, 1][bflat] * fl[1][None, :]
+                    + lc_full[:, 2][bflat])
+
+    esc = t_lat == 0
+    t_adj = t_lat
+    if use_mean:
+        t_adj = np.where((~reg_pts) & (t_lat < radius), t_lat + 1, t_lat)
+    q_lor = (2 * (t_adj - radius)).astype(T) * rp
+    q_reg = (2 * (t_lat - radius)).astype(T) * rp
+    reg_val = pred_reg + q_reg
+    if use_mean:
+        mean_pts = (~reg_pts) & (t_lat == radius)
+    else:
+        mean_pts = np.zeros(shape, bool)
+    known_mask = esc | reg_pts | mean_pts
+    known = np.where(esc, unpred_lat,
+                     np.where(reg_pts, reg_val, T(mean)))
+
+    R = np.where(known_mask, known, np.zeros(shape, T))
+    with np.errstate(all="ignore"):
+        for _ in range(int(sum(shape)) + 4):
+            p = _lorenzo_pred_np(R, rank, T)
+            val = p + q_lor
+            R_new = np.where(known_mask, known, val)
+            if np.array_equal(R_new, R):
+                break
+            R = R_new
+    return R
+
+
 def _quant_point(cur, pred, rp, recip, capacity, radius, T):
     diff = T(cur - pred)
     itv = T(T(abs(diff)) * recip + T(1))
@@ -321,7 +517,12 @@ def _quant_point(cur, pred, rp, recip, capacity, radius, T):
 
 def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
              sample_distance: int, pred_threshold, opt_quant_mode: int = 1,
-             fixed_intervals: int = 0, size_type: int = 8) -> EncodeResult:
+             fixed_intervals: int = 0, size_type: int = 8,
+             oracle: bool = False) -> EncodeResult:
+    """Host (numpy) encoder.  By default the point quantization runs the
+    vectorized fixpoint (_encode_points_fast, ~100x the per-point Python
+    loops); oracle=True forces the serial loop implementation the fast
+    path and the TPU engine are tested against."""
     rank = data.ndim
     spec = _spec(rank, data.dtype)
     T = spec.T
@@ -370,12 +571,17 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
         coeffs, use_reg, rp, dbs, spec, use_mean)
     reg_count = int(use_reg.sum())
 
-    if rank == 3:
-        result_type, unpred_arr = _encode_points_3d(
-            data, dbs, spec, use_reg, qcoeffs, rp, recip, intervals,
-            use_mean, mean)
+    if oracle:
+        if rank == 3:
+            result_type, unpred_arr = _encode_points_3d(
+                data, dbs, spec, use_reg, qcoeffs, rp, recip, intervals,
+                use_mean, mean)
+        else:
+            result_type, unpred_arr = _encode_points_2d(
+                data, dbs, spec, use_reg, qcoeffs, rp, recip, intervals,
+                use_mean, mean)
     else:
-        result_type, unpred_arr = _encode_points_2d(
+        result_type, unpred_arr = _encode_points_fast(
             data, dbs, spec, use_reg, qcoeffs, rp, recip, intervals,
             use_mean, mean)
 
@@ -629,8 +835,14 @@ class ParsedBody:
     unpred: np.ndarray     # escape values, stream order
 
 
-def decompress(body: bytes, shape, dtype, size_type: int = 8) -> np.ndarray:
+def decompress(body: bytes, shape, dtype, size_type: int = 8,
+               oracle: bool = False) -> np.ndarray:
     p = parse_body(body, shape, dtype, size_type)
+    if not oracle:
+        return _decode_points_fast(tuple(shape), p.spec.T, p.dbs,
+                                   p.indicator, p.qcoeffs, p.types,
+                                   p.unpred, p.intervals, p.rp,
+                                   p.use_mean, p.mean)
     if p.spec.rank == 3:
         return _decode_points_3d(shape, p.spec.T, p.dbs, p.indicator,
                                  p.qcoeffs, p.types, p.unpred, p.intervals,

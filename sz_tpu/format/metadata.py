@@ -200,6 +200,17 @@ class ParsedHeader:
 
 def parse_header(blob: bytes, data_type: DataType) -> ParsedHeader:
     version = tuple(blob[0:3])
+    # checkVersion2 (conf.c:427, enforced TightDataPointStorageF.c:63):
+    # any producer >= 2.1.8 is accepted; older streams must match the
+    # current version exactly (they never do — the enforcement rejects
+    # pre-2.1.8 streams and garbage inputs)
+    given = version[0] * 10000 + version[1] * 100 + version[2]
+    from sz_tpu.config import VERSION
+    if given < 20108 and version != tuple(VERSION):
+        raise ValueError(
+            f"unsupported stream version {version[0]}.{version[1]}."
+            f"{version[2]} (pre-2.1.8 streams are rejected, "
+            "TightDataPointStorageF.c:63)")
     flag = blob[3]
     mlen = meta_length(data_type)
     params = parse_params(blob[4:4 + mlen], data_type)
