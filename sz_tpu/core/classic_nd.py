@@ -155,10 +155,220 @@ def _optimize_intervals_subblock(data, origin, rp, max_range_radius,
     return max(opt.round_up_to_power_of_2(2 * (i0 + 1)), 32)
 
 
+# ---------------------------------------------------------------------------
+# Vectorized classic encoder/decoder (numpy fixpoint over the lattice
+# with the classic kernels' POSITIONAL predictors; same convergence
+# argument as the regnd fixpoint — the dependency DAG is acyclic raster
+# order and numpy rounds per-op like the serial C).  The per-point
+# loops below remain as the oracle (oracle=True).
+# ---------------------------------------------------------------------------
+
+def _plane_pred_np(P, prev, T):
+    """Positional classic predictor for one (r2, r3) plane.
+
+    prev=None: the layer-0 scheme (== the 2D kernel): (0,0) escape,
+    (0,1) prev-value, row 0 j>=2 linear 2a-b, (i>=1,0) up, else 2D
+    Lorenzo.  prev given: the layer-k>=1 scheme: (0,0) below,
+    (0,j>=1)/(i>=1,0) 2D Lorenzo in the mixed plane, else 7-point.
+    Operand order matches the serial C expressions."""
+    r2, r3 = P.shape
+    Pp = np.zeros((r2 + 1, r3 + 1), dtype=T)
+    Pp[1:, 1:] = P
+    A = Pp[1:, :-1]    # (i, j-1)
+    B = Pp[:-1, 1:]    # (i-1, j)
+    D = Pp[:-1, :-1]   # (i-1, j-1)
+    i0 = np.zeros((r2, 1), bool)
+    i0[0] = True
+    j0 = np.zeros((1, r3), bool)
+    j0[:, 0] = True
+    if prev is None:
+        A2 = np.zeros((r2, r3), dtype=T)
+        A2[:, 2:] = P[:, :-2]
+        lin = T(2) * A - A2
+        j1 = np.zeros((1, r3), bool)
+        if r3 > 1:
+            j1[:, 1] = True
+        return np.where(i0 & j1, A,
+                np.where(i0, lin,
+                 np.where(j0, B, A + B - D)))
+    Qp = np.zeros((r2 + 1, r3 + 1), dtype=T)
+    Qp[1:, 1:] = prev
+    C_ = Qp[1:, 1:]    # (k-1, i, j)
+    E = Qp[:-1, 1:]    # (k-1, i-1, j)
+    F = Qp[1:, :-1]    # (k-1, i, j-1)
+    G = Qp[:-1, :-1]   # (k-1, i-1, j-1)
+    p3 = A + B         # interior op order (sz_float.c:1086-1090)
+    p3 = p3 + C_
+    p3 = p3 - D
+    p3 = p3 - E
+    p3 = p3 - F
+    p3 = p3 + G
+    return np.where(i0 & j0, C_,
+            np.where(i0, A + C_ - F,
+             np.where(j0, B + C_ - E, p3)))
+
+
+def _esc_recon_vec(data, enc, T):
+    """Vectorized ExactEncoder reconstruction (binary truncation after
+    the median offset) — the lead-byte dedup only affects stream bytes,
+    not the reconstructed value."""
+    norm = (data - enc.median).astype(T)
+    if T is np.float32:
+        bits = norm.view(np.uint32) & np.uint32(enc._mask & 0xFFFFFFFF)
+        rec = bits.view(np.float32)
+    else:
+        bits = norm.view(np.uint64) \
+            & np.uint64(enc._mask & 0xFFFFFFFFFFFFFFFF)
+        rec = bits.view(np.float64)
+    return (rec + enc.median).astype(T)
+
+
+def _encode_fast_nd(data, T, RT, IT, rp, recip, intervals, radius, enc):
+    """Vectorized classic encode: plane scan over the slowest axis with
+    a per-plane fixpoint (initial guess = the data plane), sharing the
+    positional predictors with the decoder.  The 2a-b linear predictor
+    on the first row amplifies perturbations, so that one row is solved
+    serially and pinned.  Returns the raster-order type array; escapes
+    are replayed through the ExactEncoder for the byte streams.  4D
+    runs as independent 3D slices (sz_float.c:1479)."""
+    shape = data.shape
+    ndim = data.ndim
+    esc_recon = _esc_recon_vec(data, enc, T)
+    rp64 = np.float64(rp)
+    recip64 = np.float64(recip)
+
+    def quant_scalar(cur, pred):
+        diff = T(cur - pred)
+        itv = IT(np.float64(abs(np.float64(diff))) * recip64 + 1.0)
+        if itv < intervals:
+            if diff < 0:
+                itv = -itv
+            t = int(itv / IT(2)) + radius
+            rec = T(pred + RT(2 * (t - radius)) * rp)
+            if not np.float64(abs(np.float64(T(cur - rec)))) > rp64:
+                return t, rec
+        return 0, None
+
+    def quant_plane(d, pred, er, forced_esc):
+        diff = d - pred
+        itv = (np.abs(diff.astype(np.float64)) * recip64
+               + 1.0).astype(IT)
+        within = itv < intervals
+        itv = np.where(diff < 0, -itv, itv)
+        t = (itv / IT(2)).astype(np.int32) + np.int32(radius)
+        rec = (pred + (2 * (t - radius)).astype(RT) * rp).astype(T)
+        ok = within & ~(np.abs((d - rec).astype(T)
+                               .astype(np.float64)) > rp64) & ~forced_esc
+        return np.where(ok, t, 0), np.where(ok, rec, er)
+
+    def solve_row0(row_data, row_er, out_t, out_rec):
+        r = len(row_data)
+        out_t[0] = 0
+        out_rec[0] = row_er[0]
+        if r > 1:
+            t, rec = quant_scalar(row_data[1], out_rec[0])
+            out_t[1] = t
+            out_rec[1] = rec if t else row_er[1]
+        for j in range(2, r):
+            pred = T(T(2) * out_rec[j - 1] - out_rec[j - 2])
+            t, rec = quant_scalar(row_data[j], pred)
+            out_t[j] = t
+            out_rec[j] = rec if t else row_er[j]
+
+    def encode_volume(vol, vol_er, out_t):
+        """One 3D volume (or a 2D grid as a single layer-0 plane)."""
+        vshape = vol.shape
+        if len(vshape) == 2:
+            planes = [(vol, vol_er, out_t)]
+            r2, r3 = vshape
+        else:
+            planes = [(vol[k], vol_er[k], out_t[k])
+                      for k in range(vshape[0])]
+            r2, r3 = vshape[1:]
+        prev = None
+        for k, (d, er, tk) in enumerate(planes):
+            pin = np.zeros((r2, r3), bool)
+            t_pin = np.zeros((r2, r3), np.int32)
+            rec_pin = np.zeros((r2, r3), T)
+            if prev is None:
+                pin[0, :] = True
+                solve_row0(d[0], er[0], t_pin[0], rec_pin[0])
+            forced = np.zeros((r2, r3), bool)  # first elem is in pin
+            P = d
+            for _ in range(r2 + r3 + 4):
+                pred = _plane_pred_np(P, prev, T)
+                t, rec = quant_plane(d, pred, er, forced)
+                t = np.where(pin, t_pin, t)
+                rec = np.where(pin, rec_pin, rec)
+                if np.array_equal(rec, P):
+                    break
+                P = rec
+            pred = _plane_pred_np(P, prev, T)
+            t, rec = quant_plane(d, pred, er, forced)
+            tk[...] = np.where(pin, t_pin, t)
+            prev = np.where(pin, rec_pin, rec)
+
+    types = np.zeros(shape, np.int32)
+    with np.errstate(all="ignore"):
+        if ndim == 4:
+            for s in range(shape[0]):
+                encode_volume(data[s], esc_recon[s], types[s])
+        else:
+            encode_volume(data, esc_recon, types)
+    types = types.reshape(-1)
+    flat = data.reshape(-1)
+    for idx in np.flatnonzero(types == 0):
+        enc.add(flat[idx])
+    return types
+
+
+def _decode_fast_nd(types, unpred, shape, T, RT, rp, radius, dec):
+    """Vectorized classic decode (plane scan, shared predictors)."""
+    n = int(np.prod(shape))
+    t_lat = np.asarray(types, np.int32).reshape(shape)
+    esc = t_lat == 0
+    known = np.zeros(shape, T)
+    esc_idx = np.flatnonzero(esc.reshape(-1))
+    vals = np.array([dec.next() for _ in esc_idx], dtype=T)
+    known.reshape(-1)[esc_idx] = vals
+    q = (2 * (t_lat - radius)).astype(RT) * rp
+
+    def solve_plane(prev, km, kv, qx):
+        r2, r3 = km.shape
+        P = np.where(km, kv, np.zeros((r2, r3), T))
+        for _ in range(r2 + r3 + 4):
+            pred = _plane_pred_np(P, prev, T)
+            P_new = np.where(km, kv, (pred + qx).astype(T))
+            if np.array_equal(P_new, P):
+                break
+            P = P_new
+        return P
+
+    with np.errstate(all="ignore"):
+        if len(shape) == 2:
+            return solve_plane(None, esc, known, q).reshape(shape)
+        if len(shape) == 4:
+            out = np.zeros(shape, T)
+            for s in range(shape[0]):
+                prev = None
+                for k in range(shape[1]):
+                    out[s, k] = solve_plane(prev, esc[s, k],
+                                            known[s, k], q[s, k])
+                    prev = out[s, k]
+            return out
+        out = np.zeros(shape, T)
+        prev = None
+        for k in range(shape[0]):
+            out[k] = solve_plane(prev, esc[k], known[k], q[k])
+            prev = out[k]
+        return out
+
+
 def compress_nd(data: np.ndarray, real_precision: float, value_range,
                 median, *, max_range_radius: int, sample_distance: int,
                 pred_threshold: float, opt_quant_mode: int = 1,
-                fixed_intervals: int = 0, subblock_origin=None) -> TDPS:
+                fixed_intervals: int = 0, subblock_origin=None,
+                oracle: bool = False) -> TDPS:
     """Classic 2D/3D/4D MDQ encode -> TDPS.
 
     subblock_origin: when set (SZ_compress_args3 path), the kernel is
@@ -245,7 +455,10 @@ def compress_nd(data: np.ndarray, real_precision: float, value_range,
             types[idx] = 0
             return enc.add(cur)
 
-    if data.ndim == 4:
+    if not subblock and not oracle:
+        types = _encode_fast_nd(data, T, RT, IT, rp, recip, intervals,
+                                radius, enc)
+    elif data.ndim == 4:
         # SZ_compress_float_4D_MDQ (sz_float.c:1479): the 3D scheme run
         # independently per outermost slice (each slice restarts with an
         # escaped first value)
@@ -329,7 +542,8 @@ def _encode_3d_block(data3, base, flat, types, quant, enc, T):
         P1, P0 = P0, P1
 
 
-def decompress_nd(tdps: TDPS, shape, dtype) -> np.ndarray:
+def decompress_nd(tdps: TDPS, shape, dtype,
+                  oracle: bool = False) -> np.ndarray:
     """Classic 2D/3D MDQ decode (szd_float.c:284/600 and double analogs)."""
     T = np.float32 if np.dtype(dtype) == np.float32 else np.float64
     n = int(np.prod(shape))
@@ -339,6 +553,10 @@ def decompress_nd(tdps: TDPS, shape, dtype) -> np.ndarray:
     radius = tdps.intervals // 2
     RT = np.float64 if (T is np.float64 or len(shape) == 4) else T
     rp = RT(tdps.real_precision)
+
+    if not oracle:
+        return _decode_fast_nd(types, None, tuple(int(s) for s in shape),
+                               T, RT, rp, radius, dec).reshape(shape)
 
     def rec(idx, pred):
         t = int(types[idx])

@@ -485,8 +485,35 @@ def _decode_points_fast(shape, T, dbs, indicator, qcoeffs, types, unpred,
     known = np.where(esc, unpred_lat,
                      np.where(reg_pts, reg_val, T(mean)))
 
-    R = np.where(known_mask, known, np.zeros(shape, T))
     with np.errstate(all="ignore"):
+        if rank == 3:
+            # plane scan (see engine._decode_fn): the x-recurrence is
+            # forward-only, so each plane needs at most r2+r3 sweeps of
+            # a small 2D map instead of sum(shape) full-lattice sweeps
+            R = np.zeros(shape, T)
+            prev = np.zeros(shape[1:], T)
+            for x in range(shape[0]):
+                km, kv, qx = known_mask[x], known[x], q_lor[x]
+                P = np.where(km, kv, np.zeros(shape[1:], T))
+                Qp = np.zeros((shape[1] + 1, shape[2] + 1), T)
+                Qp[1:, 1:] = prev
+                for _ in range(shape[1] + shape[2] + 4):
+                    Pp = np.zeros((shape[1] + 1, shape[2] + 1), T)
+                    Pp[1:, 1:] = P
+                    p = Pp[1:, :-1] + Pp[:-1, 1:]
+                    p = p + Qp[1:, 1:]
+                    p = p - Pp[:-1, :-1]
+                    p = p - Qp[1:, :-1]
+                    p = p - Qp[:-1, 1:]
+                    p = p + Qp[:-1, :-1]
+                    P_new = np.where(km, kv, p + qx)
+                    if np.array_equal(P_new, P):
+                        break
+                    P = P_new
+                R[x] = P
+                prev = P
+            return R
+        R = np.where(known_mask, known, np.zeros(shape, T))
         for _ in range(int(sum(shape)) + 4):
             p = _lorenzo_pred_np(R, rank, T)
             val = p + q_lor

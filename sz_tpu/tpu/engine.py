@@ -772,6 +772,49 @@ def _decode_fn(shape: tuple, dtype_str: str, block_size: int,
                           jnp.where(reg_pts, reg_val,
                                     jnp.asarray(mean, T)))
 
+        if rank == 3:
+            # plane-scan reconstruction: the x-recurrence is strictly
+            # forward, so scan over planes and run the (cheap) 2D
+            # fixpoint per plane — worst case r2+r3 sweeps of an
+            # (r2, r3) map instead of r1+r2+r3 sweeps of the full
+            # lattice (decode starts from zeros, unlike encode whose
+            # initial guess is the data itself)
+            plane_iter = shape[1] + shape[2] + 4
+
+            def plane(prev, xs):
+                km, kv, qx = xs
+
+                def pred2d(P):
+                    Pp = jnp.pad(P, ((1, 0), (1, 0)))
+                    Qp = jnp.pad(prev, ((1, 0), (1, 0)))
+                    p = Pp[1:, :-1] + Pp[:-1, 1:]   # (x,y,z-1)+(x,y-1,z)
+                    p = p + Qp[1:, 1:]              # (x-1,y,z)
+                    p = p - Pp[:-1, :-1]            # (x,y-1,z-1)
+                    p = p - Qp[1:, :-1]             # (x-1,y,z-1)
+                    p = p - Qp[:-1, 1:]             # (x-1,y-1,z)
+                    p = p + Qp[:-1, :-1]            # (x-1,y-1,z-1)
+                    return p
+
+                def pbody(c):
+                    P, it, _ = c
+                    P_new = jnp.where(km, kv, pred2d(P) + qx)
+                    return P_new, it + 1, _same_bits(P_new, P)
+
+                def pcond(c):
+                    _, it, done = c
+                    return (~done) & (it < plane_iter)
+
+                P0 = jnp.where(km, kv, jnp.zeros(shape[1:], T))
+                P, it, _ = jax.lax.while_loop(
+                    pcond, pbody, (P0, jnp.asarray(0),
+                                   jnp.asarray(False)))
+                return P, (P, it)
+
+            _, (R, its) = jax.lax.scan(
+                plane, jnp.zeros(shape[1:], T),
+                (known_mask, known, q_lor))
+            return R, jnp.max(its)
+
         def body(carry):
             R, it, _ = carry
             p = _lorenzo_pred(R, rank)
