@@ -1,0 +1,109 @@
+"""sz_omp byte-format parity (SZ_compress_float_3D_MDQ_openmp).
+
+Goldens come from libSZ via ctypes with OMP_NUM_THREADS pinned.  Note
+an upstream race: the reference indexes blocks by omp_get_thread_num()
+inside the parallel loop (sz_omp.c:169), so under thread starvation
+iterations can map to the wrong block and the reference output becomes
+nondeterministic — byte comparisons retry once, and cross-decode parity
+is the hard gate.
+"""
+
+import ctypes as C
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+from sz_tpu.parallel import ompsz
+
+LIBSZ = pathlib.Path("/tmp/szref/build/sz/libSZ.so")
+
+
+def _lib_has_openmp():
+    if not LIBSZ.exists():
+        return False
+    import subprocess
+    out = subprocess.run(["ldd", str(LIBSZ)], capture_output=True,
+                         text=True).stdout
+    return "libgomp" in out
+
+
+need_ref = pytest.mark.skipif(not _lib_has_openmp(),
+                              reason="libSZ without OpenMP")
+
+
+def synth(shape, seed=3):
+    rng = np.random.default_rng(seed)
+    axes = [np.linspace(0, 4 * np.pi, n) for n in shape]
+    grids = np.meshgrid(*axes, indexing="ij")
+    field = np.sin(grids[0]) * np.cos(grids[1]) * np.sin(grids[2])
+    return (field + 0.05 * rng.standard_normal(shape)).astype(np.float32)
+
+
+def _ref(shape, nthreads):
+    os.environ["OMP_NUM_THREADS"] = str(nthreads)
+    lib = C.CDLL(str(LIBSZ))
+    # libgomp latches OMP_NUM_THREADS at first use in the process;
+    # set it explicitly so successive tests can change it
+    try:
+        C.CDLL("libgomp.so.1").omp_set_num_threads(C.c_int(nthreads))
+    except OSError:  # pragma: no cover
+        pass
+    assert lib.SZ_Init(None) == 0
+    S = C.c_size_t
+
+    def compress(data):
+        f = lib.SZ_compress_float_3D_MDQ_openmp
+        f.restype = C.POINTER(C.c_ubyte)
+        outsize = S(0)
+        buf = f(data.ctypes.data_as(C.c_void_p), S(shape[0]),
+                S(shape[1]), S(shape[2]), C.c_float(1e-3),
+                C.byref(outsize))
+        return bytes(bytearray(buf[i] for i in range(outsize.value)))
+
+    def decompress(blob):
+        body = blob[32:]
+        g = lib.decompressDataSeries_float_3D_openmp
+        dptr = C.POINTER(C.c_float)()
+        g(C.byref(dptr), S(shape[0]), S(shape[1]), S(shape[2]),
+          (C.c_ubyte * len(body)).from_buffer_copy(body))
+        n = int(np.prod(shape))
+        return np.ctypeslib.as_array(dptr, shape=(n,)).reshape(
+            shape).copy()
+
+    return compress, decompress
+
+
+def _norm(blob):
+    b = bytearray(blob)
+    for i in range(4, 32):  # params block: uninitialized fields
+        b[i] = 0
+    return bytes(b)
+
+
+@need_ref
+@pytest.mark.parametrize("nthreads,shape", [
+    (1, (34, 26, 22)), (4, (34, 26, 22)), (4, (64, 32, 16)),
+    (8, (40, 24, 20))])
+def test_omp_bytes_and_cross_decode(nthreads, shape):
+    data = synth(shape)
+    ref_c, ref_d = _ref(shape, nthreads)
+    golden = ref_c(data)
+    ours = ompsz.compress_omp(data, 1e-3, thread_num=nthreads)
+    if _norm(golden) != _norm(ours):
+        golden = ref_c(data)  # retry once: upstream scheduling race
+    assert _norm(golden) == _norm(ours), "sz_omp stream bytes diverge"
+    assert np.array_equal(ref_d(ours), ompsz.decompress_omp(ours, shape))
+    assert np.array_equal(ompsz.decompress_omp(golden, shape),
+                          ref_d(golden))
+    assert np.abs(ompsz.decompress_omp(ours, shape)
+                  - data).max() <= 1e-3 * (1 + 1e-6)
+
+
+def test_omp_roundtrip_no_ref():
+    shape = (24, 20, 16)
+    data = synth(shape, seed=9)
+    blob = ompsz.compress_omp(data, 1e-3, thread_num=4)
+    out = ompsz.decompress_omp(blob, shape)
+    assert np.abs(out - data).max() <= 1e-3 * (1 + 1e-6)
