@@ -173,26 +173,26 @@ def compress_1d_ts(data: np.ndarray, prev: np.ndarray,
     check_radius = (intervals - 1) * rp  # double
     interval2 = 2 * rp  # double
 
-    for i in range(2, n):
-        cur = flat[i]
-        pred = prev[i]
-        pae = T(abs(np.float64(T(cur - pred))))
-        if pae <= check_radius:
-            state = int((np.float64(pae) / rp + 1) / 2)
-            if cur >= pred:
-                types[i] = radius + state
-                pred = T(np.float64(pred) + state * interval2)
-            else:
-                types[i] = radius - state
-                pred = T(np.float64(pred) - state * interval2)
-            if np.float64(abs(np.float64(T(cur - pred)))) > rp:
-                types[i] = 0
-                recon[i] = enc.add(cur)
-            else:
-                recon[i] = pred
-        else:
-            types[i] = 0
-            recon[i] = enc.add(cur)
+    # the previous-step predictor is elementwise (no intra-step
+    # recurrence, sz_float_ts.c:139-183) — fully vectorized; only the
+    # escape byte streams replay serially
+    cur = flat[2:]
+    pr = prev[2:]
+    pae = np.abs((cur - pr).astype(T))
+    within = pae.astype(np.float64) <= check_radius
+    state = ((pae.astype(np.float64) / rp + 1) / 2).astype(np.int64)
+    ge = cur >= pr
+    t_v = np.where(ge, radius + state, radius - state).astype(np.int32)
+    rec = (pr.astype(np.float64)
+           + np.where(ge, state, -state) * interval2).astype(T)
+    ok = within & ~(np.abs((cur - rec).astype(T)
+                           .astype(np.float64)) > rp)
+    from sz_tpu.core.classic_nd import _esc_recon_vec
+    esc_rec = _esc_recon_vec(cur, enc, T)
+    types[2:] = np.where(ok, t_v, 0)
+    recon[2:] = np.where(ok, rec, esc_rec)
+    for i in np.flatnonzero(~ok):
+        enc.add(cur[i])
 
     type_array = huffman.encode_with_tree(types, 2 * intervals)
     t = TDPS(
@@ -212,15 +212,13 @@ def decompress_1d_ts(tdps: TDPS, prev: np.ndarray, n: int,
     T = np.float32 if np.dtype(dtype) == np.float32 else np.float64
     types = huffman.decode_with_tree(tdps.type_array, n)
     dec = classic.ExactDecoder(tdps, T)
-    out = np.zeros(n, dtype=T)
     radius = tdps.intervals // 2
     interval2 = tdps.real_precision * 2  # double
-    for i in range(n):
-        t = int(types[i])
-        if t == 0:
-            out[i] = dec.next()
-        else:
-            out[i] = T(np.float64(prev[i]) + (t - radius) * interval2)
+    t_arr = np.asarray(types, np.int64)
+    out = (np.asarray(prev, T).astype(np.float64)
+           + (t_arr - radius) * interval2).astype(T)
+    esc = np.flatnonzero(t_arr == 0)
+    out[esc] = np.array([dec.next() for _ in esc], dtype=T)
     return out
 
 
