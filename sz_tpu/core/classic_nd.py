@@ -210,9 +210,9 @@ def _plane_pred_np(P, prev, T):
 
 def _esc_recon_vec(data, enc, T):
     """Vectorized ExactEncoder reconstruction (binary truncation after
-    the median offset) — the lead-byte dedup only affects stream bytes,
-    not the reconstructed value."""
-    norm = (data - enc.median).astype(T)
+    the median offset; raw MSST19 encoders skip the offset) — the
+    lead-byte dedup only affects stream bytes, not the value."""
+    norm = data.astype(T) if enc.raw else (data - enc.median).astype(T)
     if T is np.float32:
         bits = norm.view(np.uint32) & np.uint32(enc._mask & 0xFFFFFFFF)
         rec = bits.view(np.float32)
@@ -220,6 +220,8 @@ def _esc_recon_vec(data, enc, T):
         bits = norm.view(np.uint64) \
             & np.uint64(enc._mask & 0xFFFFFFFFFFFFFFFF)
         rec = bits.view(np.float64)
+    if enc.raw:
+        return rec.astype(T)
     return (rec + enc.median).astype(T)
 
 

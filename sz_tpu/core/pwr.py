@@ -131,6 +131,18 @@ class CacheTable:
             return int(self.table[expo, manti])
         return 0
 
+    def lookup_vec(self, ratios: np.ndarray) -> np.ndarray:
+        """Vectorized lookup (NaN/inf/out-of-range ratios -> state 0)."""
+        bits = np.ascontiguousarray(ratios, np.float64).view(np.uint64)
+        expo = ((bits & np.uint64(0x7FFFFFFFFFFFFFFF))
+                >> np.uint64(52)).astype(np.int64) - self.base_index
+        manti = ((bits & np.uint64(0x000FFFFFFFFFFFFF))
+                 >> np.uint64(52 - self.bits)).astype(np.int64)
+        inr = (expo >= 0) & (expo <= self.top_index - self.base_index)
+        state = self.table[np.clip(expo, 0,
+                                   self.table.shape[0] - 1), manti]
+        return np.where(inr, state, 0).astype(np.int32)
+
 
 def _precision_table(intervals: int, ratio: float,
                      plus_bits: int) -> np.ndarray:
@@ -273,7 +285,7 @@ def compress_msst19(data: np.ndarray, pw_ratio: float, fmax, near_zero, *,
                     max_range_radius: int, sample_distance: int,
                     pred_threshold: float, plus_bits: int = 3,
                     opt_quant_mode: int = 1,
-                    fixed_intervals: int = 0) -> TDPS:
+                    fixed_intervals: int = 0, oracle: bool = False) -> TDPS:
     """SZ_compress_float_{1,2,3}D_MDQ_MSST19 + pre_log_MSST19 driver
     pieces (zero replacement is done by the caller's copy).  `data` must
     already have zeros replaced with nearZero*multiplier."""
@@ -325,7 +337,10 @@ def compress_msst19(data: np.ndarray, pw_ratio: float, fmax, near_zero, *,
             return T(np.float64(abs(pred)) * ptable[state])
         return escape(idx, cur)
 
-    if data.ndim == 1:
+    if data.ndim in (2, 3) and not oracle:
+        types = _encode_msst19_fast(data, cache, ptable, intervals,
+                                    enc, T)
+    elif data.ndim == 1:
         rec0 = escape(0, flat[0])
         pred = escape(1, flat[1])
         for i in range(2, n):
@@ -413,15 +428,144 @@ def compress_msst19(data: np.ndarray, pw_ratio: float, fmax, near_zero, *,
         is_pwr=True, msst19=True, plus_bits=plus_bits, max_bits=max_bits)
 
 
-def decompress_msst19(tdps: TDPS, shape, dtype) -> np.ndarray:
+# ---------------------------------------------------------------------------
+# Vectorized MSST19: anti-diagonal wavefront.  Cells with i+j+k == d
+# depend only on cells with smaller index sums, so each diagonal is one
+# exact vectorized step (identical IEEE elementwise arithmetic to the
+# per-point oracle loops above) -- no fixpoint iteration needed.  2D
+# inputs run as a single-layer (1, r1, r2) volume: the 3D layer-0 rules
+# are exactly the 2D kernel's rules; `dbl` keeps the float-vs-double
+# temp-chain distinction (2D float kernel chains in float, 3D float
+# kernel in double temps, sz_float.c MSST19).
+# ---------------------------------------------------------------------------
+
+def _diag_indices(d, r1, r2, r3):
+    """(i, j, k) index vectors of all cells with i + j + k == d."""
+    i_lo = max(0, d - (r2 - 1) - (r3 - 1))
+    i_hi = min(r1 - 1, d)
+    ivals = np.arange(i_lo, i_hi + 1)
+    e = d - ivals
+    j_lo = np.maximum(0, e - (r3 - 1))
+    j_hi = np.minimum(r2 - 1, e)
+    lens = j_hi - j_lo + 1
+    total = int(lens.sum())
+    starts = np.zeros(len(ivals), np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    seg = np.repeat(np.arange(len(ivals)), lens)
+    js = j_lo[seg] + (np.arange(total) - starts[seg])
+    is_ = ivals[seg]
+    return is_, js, d - is_ - js
+
+
+def _msst19_diag_pred(R, fi, is_, js, ks, r3, r23, T, dbl):
+    """Positional multiplicative predictor for the cells of one
+    diagonal.  Layer 0 (i==0): (0,0,1) left, row0 k>=2: A*A/A2,
+    col0: up, interior: A*B/D.  Layers i>=1: (0,0) below (C), row0:
+    A*C/F, col0: B*C/E, interior: A*B*C*G/(D*E*F).  Out-of-bounds
+    gathers wrap harmlessly -- every lane's selected formula only
+    reads already-final neighbors (index sums d-1..d-3)."""
+    D64 = np.float64
+    n = R.size
+
+    def g(off):  # masked-out lanes may index anywhere in range
+        return R[(fi - off) % n]
+
+    A = g(1)
+    B = g(r3)
+    Dg = g(r3 + 1)
+    A2 = g(2)
+    C = g(r23)
+    E = g(r23 + r3)
+    F = g(r23 + 1)
+    G = g(r23 + r3 + 1)
+    i0 = is_ == 0
+    j0 = js == 0
+    k0 = ks == 0
+    k1 = ks == 1
+    if dbl:
+        lin = (D64(1) * A * A / A2).astype(T)
+        p2 = (D64(1) * A * B / Dg).astype(T)
+    else:
+        lin = ((A * A).astype(T) / A2).astype(T)
+        p2 = ((A * B).astype(T) / Dg).astype(T)
+    pred0 = np.where(j0 & k1, A,
+             np.where(j0, lin,
+              np.where(k0, B, p2)))
+    predk = np.where(j0 & k0, C,
+             np.where(j0, (D64(1) * A * C / F).astype(T),
+              np.where(k0, (D64(1) * B * C / E).astype(T),
+               ((D64(1) * A * B * C * G)
+                / (D64(1) * Dg * E * F)).astype(T))))
+    return np.where(i0, pred0, predk)
+
+
+def _encode_msst19_fast(data, cache, ptable, intervals, enc, T):
+    """Vectorized 2D/3D MSST19 encode -> raster type array; escapes are
+    replayed through the raw ExactEncoder at the end (raster order)."""
+    from sz_tpu.core.classic_nd import _esc_recon_vec
+
+    dbl = data.ndim == 3
+    vol = data if data.ndim == 3 else data[None]
+    r1, r2, r3 = vol.shape
+    r23 = r2 * r3
+    esc = _esc_recon_vec(data, enc, T).reshape(-1)
+    flat = vol.reshape(-1)
+    R = np.zeros(flat.size, T)
+    types = np.zeros(flat.size, np.int32)
+    with np.errstate(all="ignore"):
+        for d in range(r1 + r2 + r3 - 2):
+            is_, js, ks = _diag_indices(d, r1, r2, r3)
+            fi = is_ * r23 + js * r3 + ks
+            pred = _msst19_diag_pred(R, fi, is_, js, ks, r3, r23, T, dbl)
+            cur = flat[fi]
+            ratio = (cur / pred).astype(T).astype(np.float64)
+            state = cache.lookup_vec(ratio)
+            if d == 0:
+                state[...] = 0  # forced first escape
+            rec = (np.abs(pred.astype(np.float64))
+                   * ptable[state]).astype(T)
+            R[fi] = np.where(state != 0, rec, esc[fi])
+            types[fi] = state
+    for idx in np.flatnonzero(types == 0):
+        enc.add(flat[idx])
+    return types
+
+
+def _decode_msst19_fast(types, shape, T, ptable, dec):
+    """Vectorized 2D/3D MSST19 decode (anti-diagonal wavefront)."""
+    t_flat = np.asarray(types, np.int32).reshape(-1)
+    esc_idx = np.flatnonzero(t_flat == 0)
+    known = np.zeros(t_flat.size, T)
+    known[esc_idx] = np.array([dec.next() for _ in esc_idx], dtype=T)
+    km = t_flat == 0
+    dbl = len(shape) == 3
+    r1, r2, r3 = shape if len(shape) == 3 else (1,) + tuple(shape)
+    r23 = r2 * r3
+    R = np.zeros(t_flat.size, T)
+    with np.errstate(all="ignore"):
+        for d in range(r1 + r2 + r3 - 2):
+            is_, js, ks = _diag_indices(d, r1, r2, r3)
+            fi = is_ * r23 + js * r3 + ks
+            pred = _msst19_diag_pred(R, fi, is_, js, ks, r3, r23, T, dbl)
+            val = (np.abs(pred.astype(np.float64))
+                   * ptable[t_flat[fi]]).astype(T)
+            R[fi] = np.where(km[fi], known[fi], val)
+    return R
+
+
+def decompress_msst19(tdps: TDPS, shape, dtype, *,
+                      oracle: bool = False) -> np.ndarray:
     """decompressDataSeries_float_{1,2,3}D_MSST19."""
     T = np.float32 if np.dtype(dtype) == np.float32 else np.float64
     n = int(np.prod(shape))
     types = huffman.decode_with_tree(tdps.type_array, n)
     dec = classic.ExactDecoder(tdps, T, raw=True)
-    out = np.zeros(n, dtype=T)
     ptable = _precision_table(tdps.intervals, tdps.real_precision,
                               tdps.plus_bits)
+    if len(shape) in (2, 3) and not oracle:
+        return _decode_msst19_fast(types, tuple(shape), T, ptable,
+                                   dec).reshape(shape)
+    out = np.zeros(n, dtype=T)
 
     def rec(idx, pred):
         t = int(types[idx])

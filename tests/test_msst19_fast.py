@@ -1,0 +1,51 @@
+"""Vectorized MSST19 (anti-diagonal wavefront) vs the per-point oracle.
+
+The fast path must produce byte-identical TDPS streams and bit-identical
+reconstructions: it is the default for 2D/3D PW_REL MSST19 compression,
+while the oracle loops mirror SZ_compress_float_{2,3}D_MDQ_MSST19
+(sz_float.c) statement by statement.
+"""
+
+import numpy as np
+import pytest
+
+from sz_tpu.core import pwr
+from sz_tpu.format import tdps as tdps_mod
+
+KW = dict(max_range_radius=32768, sample_distance=100,
+          pred_threshold=0.99, plus_bits=3)
+
+
+def synth(shape, T, seed):
+    rng = np.random.default_rng(seed)
+    axes = [np.linspace(0.1, 4 * np.pi, n) for n in shape]
+    g = np.meshgrid(*axes, indexing="ij")
+    f = np.exp(np.sin(g[0]) * (np.cos(g[-1]) if len(g) > 1 else 1.0))
+    f = f * (1 + 0.05 * rng.standard_normal(shape))
+    return np.abs(f).astype(T) + T(0.01)
+
+
+@pytest.mark.parametrize("shape", [
+    (48, 37), (24, 19, 23), (7, 5), (3, 3, 3), (1, 40), (2, 2),
+    (33, 1, 17)])
+@pytest.mark.parametrize("T", [np.float32, np.float64])
+def test_fast_matches_oracle(shape, T):
+    data = synth(shape, T, seed=len(shape))
+    fmax = data.max()
+    nz = np.abs(data[data != 0]).min()
+    a = pwr.compress_msst19(data, 1e-3, fmax, nz, oracle=True, **KW)
+    b = pwr.compress_msst19(data, 1e-3, fmax, nz, oracle=False, **KW)
+    assert tdps_mod.to_bytes(a) == tdps_mod.to_bytes(b)
+    da = pwr.decompress_msst19(a, shape, T, oracle=True)
+    db = pwr.decompress_msst19(a, shape, T, oracle=False)
+    assert np.array_equal(da, db)
+
+
+def test_fast_bound_large():
+    shape = (40, 48, 56)
+    data = synth(shape, np.float32, seed=7)
+    b = pwr.compress_msst19(data, 1e-3, data.max(),
+                            np.abs(data).min(), **KW)
+    out = pwr.decompress_msst19(b, shape, np.float32)
+    rel = np.abs(out - data) / np.abs(data)
+    assert rel.max() <= 1e-3 * (1 + 1e-5)
