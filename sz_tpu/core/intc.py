@@ -198,6 +198,18 @@ def compress_int(data: np.ndarray, real_precision: float, *,
         exact.extend(_encode_exact(cur, mn, byte_size, spec.esize))
         nexact += 1
 
+    if data.ndim == 1 and n >= 2 and rp == 0.5 and spec.esize <= 4:
+        fast = _int1d_fast_half(flat, spec, rp, intervals, radius,
+                                mn, byte_size)
+        if fast is not None:
+            types, exact, nexact = fast
+            type_array = huffman.encode_with_tree(types, 2 * intervals)
+            return ITDPS(data_type=spec.dt, ds_length=n,
+                         intervals=intervals, min_value=mn,
+                         real_precision=rp, exact_byte_size=byte_size,
+                         type_array=type_array, exact_bytes=bytes(exact),
+                         exact_data_num=nexact,
+                         max_quant_intervals=max_range_radius * 2)
     if data.ndim == 1:
         esc(0, flat[0])
         esc(1, flat[1])
@@ -245,6 +257,43 @@ def compress_int(data: np.ndarray, real_precision: float, *,
                  exact_byte_size=byte_size, type_array=type_array,
                  exact_bytes=bytes(exact), exact_data_num=num_field,
                  max_quant_intervals=max_range_radius * 2)
+
+
+def _int1d_fast_half(flat, spec, rp, intervals, radius, mn, byte_size):
+    """Vectorized 1D integer encode for rp == 0.5 (the nested-stream
+    config of the random-access format, sz_float.c:10052).
+
+    At this bound every in-range integer diff quantizes exactly, so the
+    reconstruction chain equals the data and the whole pass is one
+    elementwise sweep.  Returns None (caller falls back to the serial
+    loop) if any point's A1-wrapped |diff| would land in-range while
+    the true |diff| does not match it -- there the serial recon chain
+    diverges from the data and the closed form no longer holds."""
+    A1 = spec.arith_1d
+    n = flat.size
+    check_radius = (intervals - 1) * rp
+    types = np.zeros(n, dtype=np.int32)
+    if n > 2:
+        cur = flat[2:].astype(np.int64)
+        prev = flat[1:-1].astype(np.int64)
+        pae64 = np.abs(cur - prev)
+        pae = pae64.astype(A1)
+        inr = pae.astype(np.float64) < check_radius
+        if bool((inr & (pae.astype(np.int64) != pae64)).any()):
+            return None
+        state = np.trunc((pae.astype(np.float64) / rp + 1.0)
+                         / 2.0).astype(np.int64)
+        t = np.where(cur >= prev, radius + state, radius - state)
+        types[2:] = np.where(inr, t, 0).astype(np.int32)
+        esc_idx = np.concatenate(
+            [np.array([0, 1], np.int64), 2 + np.flatnonzero(~inr)])
+    else:
+        esc_idx = np.arange(n, dtype=np.int64)
+    vals = flat[esc_idx].astype(np.int64)
+    off = (vals - int(mn)) & ((1 << (spec.esize * 8)) - 1)
+    be = off.astype(f">u{spec.esize}").view(np.uint8) \
+        .reshape(-1, spec.esize)[:, spec.esize - byte_size:]
+    return types, be.tobytes(), len(esc_idx)
 
 
 def _int_nd_loop(data, types, esc, spec, rp, intervals, radius,

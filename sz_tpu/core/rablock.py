@@ -373,6 +373,19 @@ def _encode_blocks(blocks, indicator, qcoeffs_full, rank, bs, rp,
     return types
 
 
+def _encode_block_streams(types: np.ndarray, tables):
+    """Per-block byte-aligned Huffman streams with the shared table
+    (sizes u32[nb], concatenated bytes)."""
+    try:
+        from sz_tpu.native import huff_encode_blocks
+        return huff_encode_blocks(types, tables.code_hi, tables.code_lo,
+                                  tables.code_len)
+    except Exception:  # pragma: no cover - native unavailable
+        streams = [huffman.encode(tables, t) for t in types]
+        return (np.array([len(s) for s in streams], np.uint32),
+                b"".join(streams))
+
+
 # ---------------------------------------------------------------------------
 # Encode driver
 # ---------------------------------------------------------------------------
@@ -454,11 +467,11 @@ def compress_ra(data: np.ndarray, real_precision, cfg) -> RAStream:
     unpred_arr = blocks.reshape(nb, ncell)[esc_mask]
     total_unpred = int(bw_counts.sum())
 
-    # shared Huffman table + per-block streams
+    # shared Huffman table + per-block streams (batched native encode)
     state_num = 2 * int(intervals)
     tables = huffman.build_tables(types.reshape(-1), state_num)
-    block_streams = [huffman.encode(tables, types[b]) for b in range(nb)]
-    bsizes = np.array([len(s) for s in block_streams], np.uint16)
+    sizes_u32, streams_blob = _encode_block_streams(types, tables)
+    bsizes = sizes_u32.astype(np.uint16)
 
     # nested SZ integer streams (sz_float.c:10052-10095)
     cfg_int = dataclasses.replace(cfg, error_bound_mode=ErrorBoundMode.ABS,
@@ -498,8 +511,7 @@ def compress_ra(data: np.ndarray, real_precision, cfg) -> RAStream:
     out += unpred_arr.astype("<f4").tobytes()
     out += struct.pack("<Q", len(sizes_blob))
     out += sizes_blob
-    for s in block_streams:
-        out += s
+    out += streams_blob
     return RAStream(body=bytes(out), intervals=int(intervals),
                     use_mean=use_mean, reg_count=reg_count,
                     total_unpred=total_unpred)

@@ -274,12 +274,30 @@ def build_tables(type_codes: np.ndarray, state_num: int,
         if len(freq) < 2 * state_num:
             freq = np.concatenate(
                 [freq, np.zeros(2 * state_num - len(freq), freq.dtype)])
-    root, left, right, sym, leaf = _build_tree(freq)
-    code_hi, code_lo, code_len = _assign_codes(
-        root, left, right, sym, leaf, state_num)
     node_count = int(np.count_nonzero(freq)) * 2 - 1
-    tree_bytes, L, R, C, T = _serialize_tree(
-        root, left, right, sym, leaf, node_count)
+    native_t = None
+    if _native is not None and node_count >= 1:
+        try:
+            native_t = _native.huff_build_tree(freq, state_num, node_count)
+        except Exception:  # pragma: no cover - native unavailable
+            native_t = None
+    if native_t is not None:
+        code_hi, code_lo, code_len, L, R, C, T = native_t
+        if node_count <= 256:
+            lr_dtype = np.uint8
+        elif node_count <= 65536:
+            lr_dtype = np.uint16
+        else:
+            lr_dtype = np.uint32
+        tree_bytes = (b"\x00" + L.astype(lr_dtype).tobytes()
+                      + R.astype(lr_dtype).tobytes()
+                      + C.tobytes() + T.tobytes())
+    else:
+        root, left, right, sym, leaf = _build_tree(freq)
+        code_hi, code_lo, code_len = _assign_codes(
+            root, left, right, sym, leaf, state_num)
+        tree_bytes, L, R, C, T = _serialize_tree(
+            root, left, right, sym, leaf, node_count)
     return HuffmanTables(state_num=state_num, node_count=node_count,
                          code_hi=code_hi, code_lo=code_lo, code_len=code_len,
                          tree_bytes=tree_bytes, L=L, R=R, C=C, T=T)

@@ -165,3 +165,53 @@ def v_exp2(x: np.ndarray) -> np.ndarray:
     out = np.empty_like(x)
     _lib.v_exp2_f64(_ptr(x), _ptr(out), ctypes.c_int64(x.size))
     return out
+
+
+_lib.huff_block_sizes.restype = ctypes.c_int64
+
+
+def huff_encode_blocks(syms: np.ndarray, code_hi: np.ndarray,
+                       code_lo: np.ndarray, code_len: np.ndarray):
+    """Encode (nb, ncell) int32 symbols with one shared table into
+    byte-aligned per-block streams.  Returns (sizes u32[nb], bytes)."""
+    syms = np.ascontiguousarray(syms, dtype=np.int32)
+    nb, ncell = syms.shape
+    code_hi = np.ascontiguousarray(code_hi, dtype=np.uint64)
+    code_lo = np.ascontiguousarray(code_lo, dtype=np.uint64)
+    lens = np.ascontiguousarray(code_len, dtype=np.uint8)
+    sizes = np.zeros(nb, dtype=np.uint32)
+    total = int(_lib.huff_block_sizes(_ptr(syms), ctypes.c_int64(nb),
+                                      ctypes.c_int64(ncell), _ptr(lens),
+                                      _ptr(sizes)))
+    out = np.zeros(total, dtype=np.uint8)
+    if total:
+        _lib.huff_encode_blocks(_ptr(syms), ctypes.c_int64(nb),
+                                ctypes.c_int64(ncell), _ptr(code_hi),
+                                _ptr(code_lo), _ptr(lens), _ptr(sizes),
+                                _ptr(out))
+    return sizes, out.tobytes()
+
+
+_lib.huff_build_tree.restype = ctypes.c_int64
+
+
+def huff_build_tree(freq: np.ndarray, state_num: int, node_count: int):
+    """Reference-exact Huffman tree build.  Returns
+    (code_hi, code_lo, code_len, L, R, C, T) or None if the stream has
+    no symbols (caller falls back)."""
+    freq = np.ascontiguousarray(freq, dtype=np.int64)
+    code_hi = np.zeros(state_num, dtype=np.uint64)
+    code_lo = np.zeros(state_num, dtype=np.uint64)
+    code_len = np.zeros(state_num, dtype=np.uint8)
+    L = np.zeros(node_count, dtype=np.uint32)
+    R = np.zeros(node_count, dtype=np.uint32)
+    C = np.zeros(node_count, dtype=np.uint32)
+    T = np.zeros(node_count, dtype=np.uint8)
+    rc = int(_lib.huff_build_tree(
+        _ptr(freq), ctypes.c_int64(freq.size), ctypes.c_int64(state_num),
+        _ptr(code_hi), _ptr(code_lo), _ptr(code_len),
+        _ptr(L), _ptr(R), _ptr(C), _ptr(T)))
+    if rc < 0:
+        return None
+    assert rc == node_count
+    return code_hi, code_lo, code_len, L, R, C, T
