@@ -488,7 +488,30 @@ def decompress_int(t: ITDPS, shape, dtype) -> np.ndarray:
         for l in range(dims[0]):
             decode_3d(sub, l * stride)
         return out.reshape(shape)
-    if len(dims) == 1:
+    if len(dims) == 1 and rp == 0.5 and spec.esize <= 4 and n > 0:
+        # closed-form inverse of the rp==0.5 chain: every in-range step
+        # adds exactly (t - radius); escapes reset the chain.  Wrapping
+        # is 2-adic, so one final dtype cast equals the serial per-step
+        # wrap, and all float64 intermediates are exact for esize<=4.
+        esz = spec.esize
+        eb = t.exact_byte_size
+        esc_pos = np.flatnonzero(types == 0)
+        k = len(esc_pos)
+        raw = np.frombuffer(t.exact_bytes, np.uint8,
+                            count=k * eb).reshape(k, eb)
+        full = np.zeros((k, esz), np.uint8)
+        full[:, esz - eb:] = raw
+        v = full.view(f">u{esz}").ravel().astype(np.int64)
+        v = (v + int(t.min_value)) & mask
+        if signed:
+            v = np.where(v >= 1 << (bits - 1), v - (1 << bits), v)
+        d = np.where(types == 0, 0, types.astype(np.int64) - radius)
+        c = np.cumsum(d)
+        seg = np.cumsum((types == 0).astype(np.int64))
+        base_per_seg = np.concatenate(
+            [np.zeros(1, np.int64), v - c[esc_pos]])
+        out[:] = (c + base_per_seg[seg]).astype(T)
+    elif len(dims) == 1:
         prev = rec(0, 0)
         for i in range(1, n):
             prev = rec(i, prev)

@@ -334,8 +334,23 @@ def _lorenzo_cell(R, cell, rank):
 
 def _encode_blocks(blocks, indicator, qcoeffs_full, rank, bs, rp,
                    intervals, use_mean, mean):
-    """Quantize every block (types + per-block escapes), vectorized
-    across blocks with the serial within-block raster order."""
+    """Quantize every block (types + per-block escapes): native C
+    per-block raster kernel, with the vectorized numpy path as the
+    oracle/fallback."""
+    try:
+        from sz_tpu.native import ra_encode_blocks
+        return ra_encode_blocks(
+            blocks.reshape(blocks.shape[0], bs ** rank), rank, bs,
+            indicator, qcoeffs_full, float(rp), int(intervals),
+            int(intervals) // 2, bool(use_mean), float(mean))
+    except ImportError:  # pragma: no cover - native unavailable
+        pass
+    return _encode_blocks_np(blocks, indicator, qcoeffs_full, rank, bs,
+                             rp, intervals, use_mean, mean)
+
+
+def _encode_blocks_np(blocks, indicator, qcoeffs_full, rank, bs, rp,
+                      intervals, use_mean, mean):
     nb = blocks.shape[0]
     ncell = bs ** rank
     rp64 = F64(rp)
@@ -628,24 +643,69 @@ def decompress_ra(body: bytes, shape, dtype=np.float32, start=None,
     nsel = len(sel)
 
     # decode types of selected blocks (shared tree)
-    types = np.zeros((nsel, ncell), np.int32)
-    for n, b in enumerate(sel):
-        a = stream_base + int(stream_offsets[b])
-        types[n] = huffman.decode(L, R_, C, Tt,
-                                  body[a:a + int(bsizes[b])], ncell)
-
-    # vectorized reconstruction of selected blocks
     rp64 = F64(rp)
     radius = int(intervals) // 2
     lor_sel = indicator[sel]
     reg_sel = ~lor_sel
     qc_sel = qc_full[sel]
+    esc_base = unpred_offsets[sel]
+    mean32 = F32(mean)
+    native_blocks = None
+    if Tt[0]:  # constant stream: root is a leaf
+        types = np.full((nsel, ncell), int(C[0]), np.int32)
+    else:
+        try:
+            from sz_tpu import native as _nat
+            types = _nat.huff_tree_decode_blocks(
+                L, R_, C, Tt, body,
+                stream_base + stream_offsets[sel], bsizes[sel], ncell)
+        except ImportError:  # pragma: no cover
+            types = np.zeros((nsel, ncell), np.int32)
+            for n, b in enumerate(sel):
+                a = stream_base + int(stream_offsets[b])
+                types[n] = huffman.decode(L, R_, C, Tt,
+                                          body[a:a + int(bsizes[b])],
+                                          ncell)
+    try:
+        from sz_tpu.native import ra_decode_blocks
+        native_blocks = ra_decode_blocks(
+            types, rank, bs, lor_sel, qc_sel, float(rp), radius,
+            bool(use_mean), float(mean32), unpred, esc_base)
+    except ImportError:  # pragma: no cover
+        pass
+    if native_blocks is not None:
+        out_blocks = native_blocks
+    else:
+        out_blocks = _decode_blocks_np(
+            types, nsel, rank, bs, lor_sel, reg_sel, qc_sel, rp64,
+            radius, use_mean, mean32, unpred, esc_base)
+
+    # assemble the block-aligned region, then crop to [start, end)
+    blk_shape = tuple((b - a) * bs for a, b in zip(sb, eb))
+    grid_dims = tuple(b - a for a, b in zip(sb, eb))
+    shp = []
+    for g in grid_dims:
+        shp += [g]
+    full = out_blocks.reshape(*grid_dims, *([bs] * rank))
+    # interleave block and cell axes -> spatial layout
+    perm = []
+    for d in range(rank):
+        perm += [d, rank + d]
+    full = full.transpose(perm).reshape(blk_shape)
+    crop = tuple(slice(s - a * bs, e - a * bs)
+                 for s, e, a in zip(start, end, sb))
+    out = full[crop]
+    return np.ascontiguousarray(out).astype(dtype, copy=False)
+
+
+def _decode_blocks_np(types, nsel, rank, bs, lor_sel, reg_sel, qc_sel,
+                      rp64, radius, use_mean, mean32, unpred, esc_base):
+    """Vectorized numpy oracle for the per-block reconstruction."""
+    ncell = bs ** rank
     R = np.zeros((nsel,) + tuple([bs + 1] * rank), F32)
     out_blocks = np.zeros((nsel, ncell), F32)
     # per-selected-block escape cursors: consume unpred in cell order
-    esc_base = unpred_offsets[sel]
     esc_cursor = np.zeros(nsel, np.int64)
-    mean32 = F32(mean)
     for ci, cell in enumerate(_cells(rank, bs)):
         t = types[:, ci]
         pred_r = _reg_pred(qc_sel, cell, rank)
@@ -666,20 +726,4 @@ def decompress_ra(body: bytes, shape, dtype=np.float32, start=None,
         out_blocks[:, ci] = val
         idx = (slice(None),) + tuple(c + 1 for c in cell)
         R[idx] = val
-
-    # assemble the block-aligned region, then crop to [start, end)
-    blk_shape = tuple((b - a) * bs for a, b in zip(sb, eb))
-    grid_dims = tuple(b - a for a, b in zip(sb, eb))
-    shp = []
-    for g in grid_dims:
-        shp += [g]
-    full = out_blocks.reshape(*grid_dims, *([bs] * rank))
-    # interleave block and cell axes -> spatial layout
-    perm = []
-    for d in range(rank):
-        perm += [d, rank + d]
-    full = full.transpose(perm).reshape(blk_shape)
-    crop = tuple(slice(s - a * bs, e - a * bs)
-                 for s, e, a in zip(start, end, sb))
-    out = full[crop]
-    return np.ascontiguousarray(out).astype(dtype, copy=False)
+    return out_blocks

@@ -958,18 +958,25 @@ def parse_body(body: bytes, shape, dtype, size_type: int = 8) -> ParsedBody:
     num_elements = int(np.prod(shape))
     types = huffman.decode(L, R, C, Tt, body[pos:], num_elements)
 
-    qcoeffs = np.zeros((reg_count, nc), dtype=T)
-    cu_cnt = [0] * nc
-    last = [T(0)] * nc
-    for n in range(reg_count):
-        for e in range(nc):
-            t = int(coeff_types[e, n])
-            if t != 0:
-                last[e] = T(last[e] + T(2 * (t - cradius[e])) * cprec[e])
-            else:
-                last[e] = coeff_unpred[e][cu_cnt[e]]
-                cu_cnt[e] += 1
-            qcoeffs[n, e] = last[e]
+    try:
+        from sz_tpu.native import coeff_chain_decode
+        qcoeffs = coeff_chain_decode(coeff_types[:, :reg_count]
+                                     if reg_count else coeff_types[:, :0],
+                                     cprec, cradius, coeff_unpred, T)
+    except ImportError:  # pragma: no cover - native unavailable
+        qcoeffs = np.zeros((reg_count, nc), dtype=T)
+        cu_cnt = [0] * nc
+        last = [T(0)] * nc
+        for n in range(reg_count):
+            for e in range(nc):
+                t = int(coeff_types[e, n])
+                if t != 0:
+                    last[e] = T(last[e]
+                                + T(2 * (t - cradius[e])) * cprec[e])
+                else:
+                    last[e] = coeff_unpred[e][cu_cnt[e]]
+                    cu_cnt[e] += 1
+                qcoeffs[n, e] = last[e]
 
     return ParsedBody(spec=spec, dbs=dbs, rp=rp, intervals=intervals,
                       use_mean=use_mean, mean=mean, indicator=indicator,

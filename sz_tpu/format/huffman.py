@@ -360,8 +360,11 @@ def decode(tree_L, tree_R, tree_C, tree_T, data: bytes,
     n_nodes = len(tree_L)
     out = np.empty(count, dtype=np.int32)
     if _native is not None:
-        # small stream or big tree: direct bit walk beats FSM build cost
-        if count < 4096 or n_nodes * 256 > 64_000_000:
+        # The FSM build is Python (~0.1 ms per internal node); it only
+        # pays off when the stream is long relative to the tree, or a
+        # cached FSM already exists for this tree.
+        key = (tree_L.tobytes(), tree_R.tobytes(), tree_C.tobytes())
+        if key not in _fsm_cache and count < n_nodes * 64:
             return _native.huff_tree_decode(
                 tree_L, tree_R, tree_C, tree_T,
                 np.frombuffer(data, dtype=np.uint8), count)

@@ -215,3 +215,65 @@ def huff_build_tree(freq: np.ndarray, state_num: int, node_count: int):
         return None
     assert rc == node_count
     return code_hi, code_lo, code_len, L, R, C, T
+
+
+def ra_encode_blocks(blocks: np.ndarray, rank: int, bs: int,
+                     lor: np.ndarray, qc: np.ndarray, rp: float,
+                     cap: int, radius: int, use_mean: bool,
+                     mean: float) -> np.ndarray:
+    """Random-access per-block quantize (types out)."""
+    blocks = np.ascontiguousarray(blocks, dtype=np.float32)
+    nb, ncell = blocks.shape
+    lor = np.ascontiguousarray(lor, dtype=np.uint8)
+    qc = np.ascontiguousarray(qc, dtype=np.float32)
+    types = np.zeros((nb, ncell), dtype=np.int32)
+    _lib.ra_encode_blocks_f32(
+        _ptr(blocks), ctypes.c_int64(nb), ctypes.c_int(rank),
+        ctypes.c_int(bs), _ptr(lor), _ptr(qc),
+        ctypes.c_int(qc.shape[1]), ctypes.c_double(rp),
+        ctypes.c_int(cap), ctypes.c_int(radius),
+        ctypes.c_int(1 if use_mean else 0), ctypes.c_float(mean),
+        _ptr(types))
+    return types
+
+
+def ra_decode_blocks(types: np.ndarray, rank: int, bs: int,
+                     lor: np.ndarray, qc: np.ndarray, rp: float,
+                     radius: int, use_mean: bool, mean: float,
+                     unpred: np.ndarray,
+                     esc_base: np.ndarray) -> np.ndarray:
+    """Random-access per-block reconstruct."""
+    types = np.ascontiguousarray(types, dtype=np.int32)
+    nsel, ncell = types.shape
+    lor = np.ascontiguousarray(lor, dtype=np.uint8)
+    qc = np.ascontiguousarray(qc, dtype=np.float32)
+    unpred = np.ascontiguousarray(unpred, dtype=np.float32)
+    esc_base = np.ascontiguousarray(esc_base, dtype=np.int64)
+    out = np.zeros((nsel, ncell), dtype=np.float32)
+    _lib.ra_decode_blocks_f32(
+        _ptr(types), ctypes.c_int64(nsel), ctypes.c_int(rank),
+        ctypes.c_int(bs), _ptr(lor), _ptr(qc),
+        ctypes.c_int(qc.shape[1]), ctypes.c_double(rp),
+        ctypes.c_int(radius), ctypes.c_int(1 if use_mean else 0),
+        ctypes.c_float(mean), _ptr(unpred), _ptr(esc_base), _ptr(out))
+    return out
+
+
+def huff_tree_decode_blocks(L, R, C, T, data: bytes, offsets: np.ndarray,
+                            sizes: np.ndarray, count: int) -> np.ndarray:
+    """Decode nsel per-block bitstreams of `count` symbols each."""
+    L = np.ascontiguousarray(L, dtype=np.int32)
+    R = np.ascontiguousarray(R, dtype=np.int32)
+    C = np.ascontiguousarray(C, dtype=np.int32)
+    T = np.ascontiguousarray(T, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    sizes = np.ascontiguousarray(sizes, dtype=np.uint16)
+    nsel = offsets.size
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros((nsel, count), dtype=np.int32)
+    _lib.huff_tree_decode_blocks(
+        _ptr(L), _ptr(R), _ptr(C), _ptr(T), _ptr(buf), _ptr(offsets),
+        _ptr(sizes), ctypes.c_int64(nsel), ctypes.c_int64(count),
+        _ptr(out))
+    return out
+

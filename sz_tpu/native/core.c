@@ -500,3 +500,177 @@ int64_t huff_build_tree(const int64_t *freq, int64_t freq_len,
     free(pn); free(pp); free(pr);
     return node_count;
 }
+
+/* ------------------------------------------------------------------ */
+/* Random-access block kernels (sz_float.c RA variants): per-block     */
+/* raster quantize/reconstruct with the kernels' double arithmetic.    */
+/* rank in {1,2,3}; bordered recon buffer (bs+1)^rank zeroed per block.*/
+/* ------------------------------------------------------------------ */
+
+static inline float ra_reg_pred(const float *q, int nc,
+                                int ii, int jj, int kk) {
+    if (nc == 4) return q[0]*(float)ii + q[1]*(float)jj + q[2]*(float)kk + q[3];
+    if (nc == 3) return q[0]*(float)ii + q[1]*(float)jj + q[2];
+    return q[0]*(float)ii + q[1];
+}
+
+void ra_encode_blocks_f32(const float *blocks, int64_t nb, int rank, int bs,
+                          const uint8_t *lor, const float *qc, int nc,
+                          double rp, int cap, int radius,
+                          int use_mean, float mean, int32_t *types) {
+    int b1 = bs + 1;
+    int64_t ncell = 1;
+    for (int r = 0; r < rank; r++) ncell *= bs;
+    int64_t rsz = 1;
+    for (int r = 0; r < rank; r++) rsz *= b1;
+    float *R = malloc(rsz * sizeof(float));
+    int cap_sz = cap - 2;
+    for (int64_t b = 0; b < nb; b++) {
+        const float *blk = blocks + b * ncell;
+        const float *q = qc + b * nc;
+        int32_t *tb = types + b * ncell;
+        int is_lor = lor[b];
+        memset(R, 0, rsz * sizeof(float));
+        int64_t ci = 0;
+        int ie = rank >= 1 ? bs : 1, je = rank >= 2 ? bs : 1,
+            ke = rank >= 3 ? bs : 1;
+        /* cells iterate (ii, jj, kk) raster; for rank<3 the trailing
+         * loops collapse and the predictor indices shift accordingly */
+        for (int ii = 0; ii < ie; ii++)
+        for (int jj = 0; jj < je; jj++)
+        for (int kk = 0; kk < ke; kk++, ci++) {
+            float cur = blk[ci];
+            int t; float rec;
+            float pred;
+            int ccap;
+            if (!is_lor) {
+                if (rank == 3) pred = ra_reg_pred(q, nc, ii, jj, kk);
+                else if (rank == 2) pred = ra_reg_pred(q, nc, ii, jj, 0);
+                else pred = ra_reg_pred(q, nc, ii, 0, 0);
+                ccap = cap;
+            } else {
+                if (rank == 3) {
+                    const float *Rb = R;
+                    int i1 = ii + 1, j1 = jj + 1, k1 = kk + 1;
+                    float p = Rb[(i1*b1 + j1)*b1 + k1-1]
+                            + Rb[(i1*b1 + j1-1)*b1 + k1];
+                    p = p + Rb[((i1-1)*b1 + j1)*b1 + k1];
+                    p = p - Rb[(i1*b1 + j1-1)*b1 + k1-1];
+                    p = p - Rb[((i1-1)*b1 + j1)*b1 + k1-1];
+                    p = p - Rb[((i1-1)*b1 + j1-1)*b1 + k1];
+                    p = p + Rb[((i1-1)*b1 + j1-1)*b1 + k1-1];
+                    pred = p;
+                } else if (rank == 2) {
+                    int i1 = ii + 1, j1 = jj + 1;
+                    pred = R[i1*b1 + j1-1] + R[(i1-1)*b1 + j1]
+                         - R[(i1-1)*b1 + j1-1];
+                } else {
+                    pred = R[ii];  /* bordered 1D: R[i1-1] with i1=ii+1 */
+                }
+                ccap = cap_sz;
+            }
+            {
+                float d32 = cur - pred;
+                double diff = (double)d32;
+                double itv = fabs(diff) / rp + 1.0;
+                if (itv < (double)ccap) {
+                    if (diff < 0) itv = -itv;
+                    t = (int)(itv / 2) + radius;
+                    rec = (float)((double)pred
+                                  + (double)(2 * (t - radius)) * rp);
+                    if (fabs((double)(cur - rec)) > rp) { t = 0; rec = cur; }
+                } else { t = 0; rec = cur; }
+            }
+            if (use_mean && is_lor) {
+                if (fabs((double)(cur - mean)) <= rp) { t = 1; rec = mean; }
+            }
+            tb[ci] = t;
+            float stored = is_lor ? rec : cur;
+            if (rank == 3)
+                R[((ii+1)*b1 + jj+1)*b1 + kk+1] = stored;
+            else if (rank == 2)
+                R[(ii+1)*b1 + jj+1] = stored;
+            else
+                R[ii + 1] = stored;
+        }
+    }
+    free(R);
+}
+
+void ra_decode_blocks_f32(const int32_t *types, int64_t nsel, int rank, int bs,
+                          const uint8_t *lor, const float *qc, int nc,
+                          double rp, int radius, int use_mean, float mean,
+                          const float *unpred, const int64_t *esc_base,
+                          float *out) {
+    int b1 = bs + 1;
+    int64_t ncell = 1;
+    for (int r = 0; r < rank; r++) ncell *= bs;
+    int64_t rsz = 1;
+    for (int r = 0; r < rank; r++) rsz *= b1;
+    float *R = malloc(rsz * sizeof(float));
+    for (int64_t b = 0; b < nsel; b++) {
+        const int32_t *tb = types + b * ncell;
+        const float *q = qc + b * nc;
+        float *ob = out + b * ncell;
+        int is_lor = lor[b];
+        int64_t cursor = esc_base[b];
+        memset(R, 0, rsz * sizeof(float));
+        int64_t ci = 0;
+        int ie = rank >= 1 ? bs : 1, je = rank >= 2 ? bs : 1,
+            ke = rank >= 3 ? bs : 1;
+        for (int ii = 0; ii < ie; ii++)
+        for (int jj = 0; jj < je; jj++)
+        for (int kk = 0; kk < ke; kk++, ci++) {
+            int t = tb[ci];
+            float pred;
+            if (!is_lor) {
+                if (rank == 3) pred = ra_reg_pred(q, nc, ii, jj, kk);
+                else if (rank == 2) pred = ra_reg_pred(q, nc, ii, jj, 0);
+                else pred = ra_reg_pred(q, nc, ii, 0, 0);
+            } else {
+                if (rank == 3) {
+                    int i1 = ii + 1, j1 = jj + 1, k1 = kk + 1;
+                    float p = R[(i1*b1 + j1)*b1 + k1-1]
+                            + R[(i1*b1 + j1-1)*b1 + k1];
+                    p = p + R[((i1-1)*b1 + j1)*b1 + k1];
+                    p = p - R[(i1*b1 + j1-1)*b1 + k1-1];
+                    p = p - R[((i1-1)*b1 + j1)*b1 + k1-1];
+                    p = p - R[((i1-1)*b1 + j1-1)*b1 + k1];
+                    p = p + R[((i1-1)*b1 + j1-1)*b1 + k1-1];
+                    pred = p;
+                } else if (rank == 2) {
+                    int i1 = ii + 1, j1 = jj + 1;
+                    pred = R[i1*b1 + j1-1] + R[(i1-1)*b1 + j1]
+                         - R[(i1-1)*b1 + j1-1];
+                } else {
+                    pred = R[ii];
+                }
+            }
+            float val = (float)((double)pred
+                                + (double)(2 * (t - radius)) * rp);
+            if (use_mean && is_lor && t == 1) val = mean;
+            if (t == 0) val = unpred[cursor++];
+            ob[ci] = val;
+            if (rank == 3)
+                R[((ii+1)*b1 + jj+1)*b1 + kk+1] = val;
+            else if (rank == 2)
+                R[(ii+1)*b1 + jj+1] = val;
+            else
+                R[ii + 1] = val;
+        }
+    }
+    free(R);
+}
+
+/* Batched per-block tree-walk decode: nsel blocks of `count` symbols,
+ * block b's bitstream at data + offsets[b] (sizes[b] bytes). */
+void huff_tree_decode_blocks(const int32_t *L, const int32_t *R,
+                             const int32_t *C, const uint8_t *T,
+                             const uint8_t *data, const int64_t *offsets,
+                             const uint16_t *sizes, int64_t nsel,
+                             int64_t count, int32_t *out) {
+    for (int64_t b = 0; b < nsel; b++)
+        huff_tree_decode(L, R, C, T, data + offsets[b], sizes[b],
+                         out + b * count, count);
+}
+

@@ -580,34 +580,90 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
         else:
             mean_mask = None
 
-        def step(R):
-            """One sweep of the predict+quantize map (reconstruction only
-            — types are derived in a single pass after convergence, which
-            keeps a 4-byte-per-point lattice out of the loop carry)."""
-            p = _lorenzo_pred(R, rank)
-            t_l, rec_l = _quant(data, p, rp, recip, cap_szf, radius)
-            if use_mean:
-                t_l = jnp.where((t_l != 0) & (t_l <= radius), t_l - 1, t_l)
-                t_l = jnp.where(mean_mask, radius, t_l)
-                rec_l = jnp.where(mean_mask, mean, rec_l)
-            t = jnp.where(reg_pts, t_reg, t_l)
-            R_new = jnp.where(reg_pts, rec_reg, rec_l)
-            return t, R_new
+        if rank == 3:
+            # plane-scan encode: the x-recurrence is strictly forward, so
+            # scan over x-planes and run the per-plane 2D fixpoint with
+            # the data plane as the initial guess.  Each plane stays
+            # VMEM-resident across its sweeps instead of 20 full-lattice
+            # HBM passes.
+            plane_iter = shape[1] + shape[2] + 4
 
-        def body(carry):
-            R, it, _ = carry
-            _, R_new = step(R)
-            return R_new, it + 1, _same_bits(R_new, R)
+            def plane(prev, xs):
+                d, t_regp, rec_regp, regp, meanp = xs
 
-        def cond(carry):
-            _, it, done = carry
-            return (~done) & (it < max_iter)
+                def pred2d(P):
+                    Pp = jnp.pad(P, ((1, 0), (1, 0)))
+                    Qp = jnp.pad(prev, ((1, 0), (1, 0)))
+                    p = Pp[1:, :-1] + Pp[:-1, 1:]   # (x,y,z-1)+(x,y-1,z)
+                    p = p + Qp[1:, 1:]              # (x-1,y,z)
+                    p = p - Pp[:-1, :-1]            # (x,y-1,z-1)
+                    p = p - Qp[1:, :-1]             # (x-1,y,z-1)
+                    p = p - Qp[:-1, 1:]             # (x-1,y-1,z)
+                    p = p + Qp[:-1, :-1]            # (x-1,y-1,z-1)
+                    return p
 
-        init = (data, jnp.asarray(0), jnp.asarray(False))
-        R, iters, _ = jax.lax.while_loop(cond, body, init)
-        # R is the bit-exact fixpoint: one more application leaves it
-        # unchanged and yields the matching type codes
-        t, R = step(R)
+                def pstep(P):
+                    t_l, rec_l = _quant(d, pred2d(P), rp, recip,
+                                        cap_szf, radius)
+                    if use_mean:
+                        t_l = jnp.where((t_l != 0) & (t_l <= radius),
+                                        t_l - 1, t_l)
+                        t_l = jnp.where(meanp, radius, t_l)
+                        rec_l = jnp.where(meanp, mean, rec_l)
+                    tp = jnp.where(regp, t_regp, t_l)
+                    P_new = jnp.where(regp, rec_regp, rec_l)
+                    return tp, P_new
+
+                def pbody(c):
+                    P, it, _ = c
+                    _, P_new = pstep(P)
+                    return P_new, it + 1, _same_bits(P_new, P)
+
+                def pcond(c):
+                    _, it, done = c
+                    return (~done) & (it < plane_iter)
+
+                P, it, _ = jax.lax.while_loop(
+                    pcond, pbody, (d, jnp.asarray(0), jnp.asarray(False)))
+                tp, P = pstep(P)
+                return P, (tp, P, it)
+
+            mm = mean_mask if use_mean else reg_pts  # unused when off
+            _, (t, R, its) = jax.lax.scan(
+                plane, jnp.zeros(shape[1:], T),
+                (data, t_reg, rec_reg, reg_pts, mm))
+            iters = jnp.max(its)
+        else:
+            def step(R):
+                """One sweep of the predict+quantize map (reconstruction
+                only — types are derived in a single pass after
+                convergence, which keeps a 4-byte-per-point lattice out
+                of the loop carry)."""
+                p = _lorenzo_pred(R, rank)
+                t_l, rec_l = _quant(data, p, rp, recip, cap_szf, radius)
+                if use_mean:
+                    t_l = jnp.where((t_l != 0) & (t_l <= radius),
+                                    t_l - 1, t_l)
+                    t_l = jnp.where(mean_mask, radius, t_l)
+                    rec_l = jnp.where(mean_mask, mean, rec_l)
+                t = jnp.where(reg_pts, t_reg, t_l)
+                R_new = jnp.where(reg_pts, rec_reg, rec_l)
+                return t, R_new
+
+            def body(carry):
+                R, it, _ = carry
+                _, R_new = step(R)
+                return R_new, it + 1, _same_bits(R_new, R)
+
+            def cond(carry):
+                _, it, done = carry
+                return (~done) & (it < max_iter)
+
+            init = (data, jnp.asarray(0), jnp.asarray(False))
+            R, iters, _ = jax.lax.while_loop(cond, body, init)
+            # R is the bit-exact fixpoint: one more application leaves it
+            # unchanged and yields the matching type codes
+            t, R = step(R)
 
         # fused epilogue (single device call: the tunnel's per-dispatch
         # latency dwarfs the compute): stream reorder + histogram +
