@@ -113,6 +113,24 @@ class ExactEncoder:
         self.prev = cur
         return recon
 
+    def add_batch(self, values) -> np.ndarray:
+        """Batched adds via the native stream (bit-identical to add());
+        returns the reconstruction array."""
+        vals = np.ascontiguousarray(values, dtype=self.T)
+        if vals.size == 0:
+            return vals
+        try:
+            from sz_tpu.native import exact_stream
+        except ImportError:  # pragma: no cover - native unavailable
+            return np.array([self.add(v) for v in vals], dtype=self.T)
+        lead, mid, resi, recon, prev = exact_stream(
+            vals, self.req_length, self.median, self.raw, self.prev)
+        self.lead_nums.extend(lead.tolist())
+        self.mid_bytes += mid
+        self.resi_bits.extend(resi.tolist())
+        self.prev = prev
+        return recon
+
     def lead_packed(self) -> bytes:
         return bu.pack_bits_2(np.array(self.lead_nums, dtype=np.uint8))
 
@@ -144,8 +162,27 @@ class ExactDecoder:
         if self.resi_bits_len:
             self.resi = np.unpackbits(
                 np.frombuffer(tdps.residual_mid_bits, dtype=np.uint8))
+        self.resi_raw = tdps.residual_mid_bits
+        self.req_length = tdps.req_length
         self.resi_pos = 0
         self.n = 0
+
+    def next_batch(self, k: int) -> np.ndarray:
+        """Drain all k == exact_data_num escape values at once (native);
+        only valid as the decoder's first and only read."""
+        if k == 0:
+            return np.zeros(0, dtype=self.T)
+        if self.n == 0 and k == len(self.lead):
+            try:
+                from sz_tpu.native import classic1d_decode
+                self.n = k
+                return classic1d_decode(
+                    np.zeros(k, np.int32), self.T(0), 0, self.req_length,
+                    self.median, self.raw, self.lead, self.mid,
+                    self.resi_raw, self.T)
+            except ImportError:  # pragma: no cover
+                self.n = 0
+        return np.array([self.next() for _ in range(k)], dtype=self.T)
 
     def next(self):
         T = self.T
@@ -261,6 +298,34 @@ def compress_1d(data: np.ndarray, real_precision: float, value_range,
         median = T(0)
 
     enc = ExactEncoder(req_length, median, T)
+
+    native_1d = None
+    if n >= 2:
+        try:
+            from sz_tpu.native import classic1d_encode
+            native_1d = classic1d_encode(
+                flat, rp, float(real_precision), int(intervals), radius,
+                req_length, median, subblock)
+        except ImportError:  # pragma: no cover - native unavailable
+            native_1d = None
+    if native_1d is not None:
+        types, lead, mid, resi, cnt = native_1d
+        enc.lead_nums = lead.tolist()
+        enc.mid_bytes = bytearray(mid)
+        enc.resi_bits = resi.tolist()
+        type_array = huffman.encode_with_tree(types, 2 * intervals)
+        return TDPS(
+            data_type=dt, ds_length=n, intervals=intervals,
+            median_value=float(median), req_length=req_length,
+            real_precision=float(real_precision) if subblock
+            else float(rp),
+            type_array=type_array,
+            lead_num=enc.lead_packed(),
+            exact_mid_bytes=bytes(enc.mid_bytes),
+            residual_mid_bits=enc.resi_packed(),
+            exact_data_num=cnt,
+            max_quant_intervals=max_range_radius * 2)
+
     types = np.zeros(n, dtype=np.int32)
 
     # first two values are always exact
@@ -349,12 +414,20 @@ def compress_1d(data: np.ndarray, real_precision: float, value_range,
 def decompress_1d(tdps: TDPS, n: int, dtype) -> np.ndarray:
     T = np.float32 if np.dtype(dtype) == np.float32 else np.float64
     types = huffman.decode_with_tree(tdps.type_array, n)
-    dec = ExactDecoder(tdps, T)
-    out = np.zeros(n, dtype=T)
     radius = tdps.intervals // 2
-    rp = T(tdps.real_precision)
     interval2 = T(tdps.real_precision * 2) if T is np.float64 \
         else T(np.float32(tdps.real_precision) * np.float32(2))
+    try:
+        from sz_tpu.native import classic1d_decode
+        lead = bu.unpack_bits_2(tdps.lead_num, tdps.exact_data_num)
+        return classic1d_decode(
+            types, interval2, radius, tdps.req_length,
+            T(tdps.median_value), False, lead, tdps.exact_mid_bytes,
+            tdps.residual_mid_bits, T)
+    except ImportError:  # pragma: no cover - native unavailable
+        pass
+    dec = ExactDecoder(tdps, T)
+    out = np.zeros(n, dtype=T)
     prev = T(0)
     for i in range(n):
         t = int(types[i])

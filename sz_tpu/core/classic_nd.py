@@ -319,8 +319,7 @@ def _encode_fast_nd(data, T, RT, IT, rp, recip, intervals, radius, enc):
             encode_volume(data, esc_recon, types)
     types = types.reshape(-1)
     flat = data.reshape(-1)
-    for idx in np.flatnonzero(types == 0):
-        enc.add(flat[idx])
+    enc.add_batch(flat[np.flatnonzero(types == 0)])
     return types
 
 
@@ -331,7 +330,7 @@ def _decode_fast_nd(types, unpred, shape, T, RT, rp, radius, dec):
     esc = t_lat == 0
     known = np.zeros(shape, T)
     esc_idx = np.flatnonzero(esc.reshape(-1))
-    vals = np.array([dec.next() for _ in esc_idx], dtype=T)
+    vals = dec.next_batch(len(esc_idx))
     known.reshape(-1)[esc_idx] = vals
     q = (2 * (t_lat - radius)).astype(RT) * rp
 

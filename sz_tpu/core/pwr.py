@@ -526,8 +526,7 @@ def _encode_msst19_fast(data, cache, ptable, intervals, enc, T):
                    * ptable[state]).astype(T)
             R[fi] = np.where(state != 0, rec, esc[fi])
             types[fi] = state
-    for idx in np.flatnonzero(types == 0):
-        enc.add(flat[idx])
+    enc.add_batch(flat[np.flatnonzero(types == 0)])
     return types
 
 
@@ -536,7 +535,7 @@ def _decode_msst19_fast(types, shape, T, ptable, dec):
     t_flat = np.asarray(types, np.int32).reshape(-1)
     esc_idx = np.flatnonzero(t_flat == 0)
     known = np.zeros(t_flat.size, T)
-    known[esc_idx] = np.array([dec.next() for _ in esc_idx], dtype=T)
+    known[esc_idx] = dec.next_batch(len(esc_idx))
     km = t_flat == 0
     dbl = len(shape) == 3
     r1, r2, r3 = shape if len(shape) == 3 else (1,) + tuple(shape)

@@ -219,6 +219,17 @@ def _select(blocks, coeffs, rank, bs, noise, use_mean, mean):
 def _coeff_chain(coeffs: np.ndarray, precision) -> tuple:
     """Serial delta-quantization of regression coefficients
     (sz_float.c:9677-9712): double division, float last values."""
+    try:
+        from sz_tpu.native import ra_coeff_chain
+        ct, ulist, qc = ra_coeff_chain(coeffs, precision, COEFF_CAP,
+                                       COEFF_RADIUS)
+        return ct, [list(u) for u in ulist], qc
+    except ImportError:  # pragma: no cover - native unavailable
+        pass
+    return _coeff_chain_np(coeffs, precision)
+
+
+def _coeff_chain_np(coeffs: np.ndarray, precision) -> tuple:
     reg_count, nc = coeffs.shape
     ctypes = np.zeros((nc, reg_count), np.int32)
     unpred = [[] for _ in range(nc)]
@@ -255,6 +266,19 @@ def _coeff_chain_decode(ctypes, cunpred, precision, cradius,
     nc = ctypes.shape[0]
     if reg_count is None:
         reg_count = ctypes.shape[1]
+    try:
+        from sz_tpu.native import ra_coeff_chain_decode
+        return ra_coeff_chain_decode(ctypes, precision, cradius,
+                                     cunpred, reg_count)
+    except ImportError:  # pragma: no cover - native unavailable
+        pass
+    return _coeff_chain_decode_np(ctypes, cunpred, precision, cradius,
+                                  reg_count)
+
+
+def _coeff_chain_decode_np(ctypes, cunpred, precision, cradius,
+                           reg_count):
+    nc = ctypes.shape[0]
     qcoeffs = np.zeros((reg_count, nc), F32)
     last = [F32(0)] * nc
     cnt = [0] * nc

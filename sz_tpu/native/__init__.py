@@ -277,3 +277,144 @@ def huff_tree_decode_blocks(L, R, C, T, data: bytes, offsets: np.ndarray,
         _ptr(out))
     return out
 
+
+
+_lib.classic1d_encode_f32.restype = ctypes.c_int64
+_lib.classic1d_encode_f64.restype = ctypes.c_int64
+
+
+def exact_stream(vals: np.ndarray, req_length: int, median, raw: bool,
+                 prev: bytes):
+    """Batched exact-value escape stream.  Returns
+    (lead u8[n], mid bytes, resi u8[<=n], recon, new_prev)."""
+    T = vals.dtype.type
+    vals = np.ascontiguousarray(vals)
+    n = vals.size
+    rb = req_length // 8
+    lead = np.zeros(max(n, 1), np.uint8)
+    mid = np.zeros(max(n * max(rb, 1), 1), np.uint8)
+    resi = np.zeros(max(n, 1), np.uint8)
+    recon = np.zeros(n, vals.dtype)
+    prev_io = np.zeros(8, np.uint8)
+    prev_io[:len(prev)] = np.frombuffer(prev, np.uint8)
+    nmid = np.zeros(1, np.int64)
+    if T is np.float32:
+        _lib.exact_stream_f32(_ptr(vals), ctypes.c_int64(n),
+                              ctypes.c_int(req_length),
+                              ctypes.c_float(median),
+                              ctypes.c_int(1 if raw else 0), _ptr(prev_io),
+                              _ptr(lead), _ptr(mid), _ptr(nmid),
+                              _ptr(resi), _ptr(recon))
+        esize = 4
+    else:
+        _lib.exact_stream_f64(_ptr(vals), ctypes.c_int64(n),
+                              ctypes.c_int(req_length),
+                              ctypes.c_double(median),
+                              ctypes.c_int(1 if raw else 0), _ptr(prev_io),
+                              _ptr(lead), _ptr(mid), _ptr(nmid),
+                              _ptr(resi), _ptr(recon))
+        esize = 8
+    has_resi = (req_length % 8) != 0 and rb < esize
+    return (lead[:n], mid[:int(nmid[0])].tobytes(),
+            resi[:n] if has_resi else resi[:0],
+            recon, prev_io[:esize].tobytes())
+
+
+def classic1d_encode(x: np.ndarray, rp, rp64: float, intervals: int,
+                     radius: int, req_length: int, median,
+                     subblock: bool):
+    """Classic 1D MDQ encode.  Returns (types, lead u8, mid bytes,
+    resi u8 entries, n_exact)."""
+    T = x.dtype.type
+    x = np.ascontiguousarray(x)
+    n = x.size
+    rb = req_length // 8
+    types = np.zeros(n, np.int32)
+    lead = np.zeros(max(n, 1), np.uint8)
+    mid = np.zeros(max(n * max(rb, 1), 1), np.uint8)
+    resi = np.zeros(max(n, 1), np.uint8)
+    nmid = np.zeros(1, np.int64)
+    if T is np.float32:
+        cnt = int(_lib.classic1d_encode_f32(
+            _ptr(x), ctypes.c_int64(n), ctypes.c_float(rp),
+            ctypes.c_double(rp64), ctypes.c_int(intervals),
+            ctypes.c_int(radius), ctypes.c_int(req_length),
+            ctypes.c_float(median), ctypes.c_int(1 if subblock else 0),
+            _ptr(types), _ptr(lead), _ptr(mid), _ptr(nmid), _ptr(resi)))
+        esize = 4
+    else:
+        cnt = int(_lib.classic1d_encode_f64(
+            _ptr(x), ctypes.c_int64(n), ctypes.c_double(rp),
+            ctypes.c_double(rp64), ctypes.c_int(intervals),
+            ctypes.c_int(radius), ctypes.c_int(req_length),
+            ctypes.c_double(median), ctypes.c_int(1 if subblock else 0),
+            _ptr(types), _ptr(lead), _ptr(mid), _ptr(nmid), _ptr(resi)))
+        esize = 8
+    has_resi = (req_length % 8) != 0 and rb < esize
+    return (types, lead[:cnt], mid[:int(nmid[0])].tobytes(),
+            resi[:cnt] if has_resi else resi[:0], cnt)
+
+
+def classic1d_decode(types: np.ndarray, interval2, radius: int,
+                     req_length: int, median, raw: bool, lead: np.ndarray,
+                     mid: bytes, resi: bytes, T) -> np.ndarray:
+    types = np.ascontiguousarray(types, np.int32)
+    n = types.size
+    lead = np.ascontiguousarray(lead, np.uint8)
+    midb = np.frombuffer(mid, np.uint8) if len(mid) else np.zeros(1, np.uint8)
+    resb = (np.frombuffer(resi, np.uint8) if len(resi)
+            else np.zeros(1, np.uint8))
+    out = np.zeros(n, T)
+    if T is np.float32:
+        _lib.classic1d_decode_f32(
+            _ptr(types), ctypes.c_int64(n), ctypes.c_float(interval2),
+            ctypes.c_int(radius), ctypes.c_int(req_length),
+            ctypes.c_float(median), ctypes.c_int(1 if raw else 0),
+            _ptr(lead), _ptr(midb), _ptr(resb), _ptr(out))
+    else:
+        _lib.classic1d_decode_f64(
+            _ptr(types), ctypes.c_int64(n), ctypes.c_double(interval2),
+            ctypes.c_int(radius), ctypes.c_int(req_length),
+            ctypes.c_double(median), ctypes.c_int(1 if raw else 0),
+            _ptr(lead), _ptr(midb), _ptr(resb), _ptr(out))
+    return out
+
+
+def ra_coeff_chain(coeffs: np.ndarray, prec, cap: int, radius: int):
+    """RA coefficient chain (double division).  Returns
+    (ctypes (nc,nreg), unpred list, qcoeffs (nreg,nc))."""
+    coeffs = np.ascontiguousarray(coeffs, np.float32)
+    nreg, nc = coeffs.shape
+    prec = np.ascontiguousarray(prec, np.float64)
+    ct = np.zeros((nc, max(nreg, 1)), np.int32)
+    unpred = np.zeros((nc, max(nreg, 1)), np.float32)
+    ucnt = np.zeros(nc, np.int64)
+    qc = np.zeros((nreg, nc), np.float32)
+    _lib.ra_coeff_chain_f32(_ptr(coeffs), ctypes.c_int64(nreg),
+                            ctypes.c_int(nc), _ptr(prec),
+                            ctypes.c_int(cap), ctypes.c_int(radius),
+                            _ptr(ct), _ptr(unpred), _ptr(ucnt), _ptr(qc))
+    ulist = [unpred[e, :ucnt[e]].copy() for e in range(nc)]
+    return ct[:, :nreg], ulist, qc
+
+
+def ra_coeff_chain_decode(ctypes_arr: np.ndarray, prec, cradius,
+                          unpred_list, nreg: int) -> np.ndarray:
+    ctypes_arr = np.ascontiguousarray(ctypes_arr, np.int32)
+    nc = ctypes_arr.shape[0]
+    prec = np.ascontiguousarray(prec, np.float64)
+    rad = np.ascontiguousarray(cradius, np.int32)
+    lens = [len(u) for u in unpred_list]
+    off = np.zeros(nc, np.int64)
+    np.cumsum(lens[:-1], out=off[1:])
+    flat = (np.concatenate([np.asarray(u, np.float32)
+                            for u in unpred_list])
+            if sum(lens) else np.zeros(1, np.float32))
+    qc = np.zeros((nreg, nc), np.float32)
+    if ctypes_arr.shape[1] != nreg:
+        ctypes_arr = np.ascontiguousarray(ctypes_arr[:, :nreg])
+    _lib.ra_coeff_chain_decode_f32(_ptr(ctypes_arr),
+                                   ctypes.c_int64(nreg), ctypes.c_int(nc),
+                                   _ptr(prec), _ptr(rad), _ptr(flat),
+                                   _ptr(off), _ptr(qc))
+    return qc

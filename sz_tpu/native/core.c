@@ -674,3 +674,386 @@ void huff_tree_decode_blocks(const int32_t *L, const int32_t *R,
                          out + b * count, count);
 }
 
+
+/* ------------------------------------------------------------------ */
+/* Exact-value escape stream (addExactData dataCompression.c:575,      */
+/* updateLossyCompElement CompressElement.c:230) — batched, and the    */
+/* classic 1D MDQ kernels built on it.                                 */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    int esize, req_bytes, resi_len;
+    uint8_t prev[8];
+    uint8_t *lead;  int64_t nlead;
+    uint8_t *mid;   int64_t nmid;
+    uint8_t *resi;  int64_t nresi;
+} xenc;
+
+static inline float xenc_add_f32(xenc *E, float value, float median,
+                                 int raw, uint32_t mask) {
+    float norm = raw ? value : value - median;
+    uint32_t ival;
+    memcpy(&ival, &norm, 4);
+    uint8_t cur[4] = { (uint8_t)(ival >> 24), (uint8_t)(ival >> 16),
+                       (uint8_t)(ival >> 8), (uint8_t)ival };
+    uint32_t rbits = ival & mask;
+    float recon;
+    memcpy(&recon, &rbits, 4);
+    if (!raw) recon = recon + median;
+    int lead = 0;
+    while (lead < 3 && cur[lead] == E->prev[lead]) lead++;
+    E->lead[E->nlead++] = (uint8_t)lead;
+    for (int b = lead; b < E->req_bytes; b++) E->mid[E->nmid++] = cur[b];
+    if (E->resi_len && E->req_bytes < 4)
+        E->resi[E->nresi++] = cur[E->req_bytes] >> (8 - E->resi_len);
+    memcpy(E->prev, cur, 4);
+    return recon;
+}
+
+static inline double xenc_add_f64(xenc *E, double value, double median,
+                                  int raw, uint64_t mask) {
+    double norm = raw ? value : value - median;
+    uint64_t ival;
+    memcpy(&ival, &norm, 8);
+    uint8_t cur[8];
+    for (int b = 0; b < 8; b++) cur[b] = (uint8_t)(ival >> (56 - 8 * b));
+    uint64_t rbits = ival & mask;
+    double recon;
+    memcpy(&recon, &rbits, 8);
+    if (!raw) recon = recon + median;
+    int lead = 0;
+    while (lead < 3 && cur[lead] == E->prev[lead]) lead++;
+    E->lead[E->nlead++] = (uint8_t)lead;
+    for (int b = lead; b < E->req_bytes; b++) E->mid[E->nmid++] = cur[b];
+    if (E->resi_len && E->req_bytes < 8)
+        E->resi[E->nresi++] = cur[E->req_bytes] >> (8 - E->resi_len);
+    memcpy(E->prev, cur, 8);
+    return recon;
+}
+
+static inline uint64_t xenc_mask(int esize, int req_length) {
+    int ign = esize * 8 - req_length;
+    if (ign < 0) ign = 0;
+    uint64_t full = esize == 4 ? 0xFFFFFFFFull : 0xFFFFFFFFFFFFFFFFull;
+    return (~((1ull << ign) - 1ull)) & full;
+}
+
+/* Batched escape stream: state passed in/out so Python can interleave
+ * batches with its own adds.  prev_io: 8 bytes.  Returns new lead
+ * count (== entries appended so far in this call: n). */
+void exact_stream_f32(const float *vals, int64_t n, int req_length,
+                      float median, int raw, uint8_t *prev_io,
+                      uint8_t *lead, uint8_t *mid, int64_t *nmid,
+                      uint8_t *resi, float *recon) {
+    xenc E;
+    E.esize = 4; E.req_bytes = req_length / 8; E.resi_len = req_length % 8;
+    if (E.req_bytes > 4) E.req_bytes = 4;
+    memcpy(E.prev, prev_io, 8);
+    E.lead = lead; E.nlead = 0;
+    E.mid = mid; E.nmid = 0;
+    E.resi = resi; E.nresi = 0;
+    uint32_t mask = (uint32_t)xenc_mask(4, req_length);
+    for (int64_t i = 0; i < n; i++) {
+        float r = xenc_add_f32(&E, vals[i], median, raw, mask);
+        if (recon) recon[i] = r;
+    }
+    memcpy(prev_io, E.prev, 8);
+    *nmid = E.nmid;
+}
+
+void exact_stream_f64(const double *vals, int64_t n, int req_length,
+                      double median, int raw, uint8_t *prev_io,
+                      uint8_t *lead, uint8_t *mid, int64_t *nmid,
+                      uint8_t *resi, double *recon) {
+    xenc E;
+    E.esize = 8; E.req_bytes = req_length / 8; E.resi_len = req_length % 8;
+    if (E.req_bytes > 8) E.req_bytes = 8;
+    memcpy(E.prev, prev_io, 8);
+    E.lead = lead; E.nlead = 0;
+    E.mid = mid; E.nmid = 0;
+    E.resi = resi; E.nresi = 0;
+    uint64_t mask = xenc_mask(8, req_length);
+    for (int64_t i = 0; i < n; i++) {
+        double r = xenc_add_f64(&E, vals[i], median, raw, mask);
+        if (recon) recon[i] = r;
+    }
+    memcpy(prev_io, E.prev, 8);
+    *nmid = E.nmid;
+}
+
+/* Classic 1D MDQ encode (SZ_compress_float_1D_MDQ sz_float.c:353-524;
+ * subblock variant :3444).  Returns the exact-value count. */
+int64_t classic1d_encode_f32(const float *x, int64_t n, float rp,
+                             double rp64, int intervals, int radius,
+                             int req_length, float median, int subblock,
+                             int32_t *types, uint8_t *lead, uint8_t *mid,
+                             int64_t *nmid, uint8_t *resi) {
+    xenc E;
+    E.esize = 4; E.req_bytes = req_length / 8; E.resi_len = req_length % 8;
+    if (E.req_bytes > 4) E.req_bytes = 4;
+    memset(E.prev, 0, 8);
+    E.lead = lead; E.nlead = 0; E.mid = mid; E.nmid = 0;
+    E.resi = resi; E.nresi = 0;
+    uint32_t mask = (uint32_t)xenc_mask(4, req_length);
+    float last1 = 0.0f, pred = 0.0f;
+    for (int i = 0; i < 2 && i < n; i++) {
+        float rec = xenc_add_f32(&E, x[i], median, 0, mask);
+        types[i] = 0;
+        last1 = pred;
+        pred = rec;
+    }
+    float check_radius = (float)(intervals - 1) * rp;
+    float interval2 = 2.0f * rp;
+    float recip = 1.0f / rp;
+    if (subblock) {
+        double check64 = (intervals - 1) * rp64;
+        double interval64 = 2.0 * rp64;
+        float last0 = pred;
+        for (int64_t i = 2; i < n; i++) {
+            float cur = x[i];
+            float p = 2.0f * last0 - last1;
+            float pae = fabsf(cur - p);
+            if ((double)pae <= check64) {
+                int state = (int)(((double)pae / rp64 + 1.0) / 2.0);
+                if (cur >= p) {
+                    types[i] = radius + state;
+                    p = (float)((double)p + state * interval64);
+                } else {
+                    types[i] = radius - state;
+                    p = (float)((double)p - state * interval64);
+                }
+                last1 = last0; last0 = p;
+            } else {
+                types[i] = 0;
+                last1 = last0;
+                last0 = xenc_add_f32(&E, cur, median, 0, mask);
+            }
+        }
+    } else {
+        for (int64_t i = 2; i < n; i++) {
+            float cur = x[i];
+            float err = fabsf(cur - pred);
+            if (err < check_radius) {
+                int state = ((int)(err * recip + 1.0f)) >> 1;
+                if (cur >= pred) {
+                    types[i] = radius + state;
+                    pred = pred + (float)state * interval2;
+                } else {
+                    types[i] = radius - state;
+                    pred = pred - (float)state * interval2;
+                }
+                if (fabsf(cur - pred) > rp) {
+                    types[i] = 0;
+                    pred = xenc_add_f32(&E, cur, median, 0, mask);
+                }
+            } else {
+                types[i] = 0;
+                pred = xenc_add_f32(&E, cur, median, 0, mask);
+            }
+        }
+    }
+    *nmid = E.nmid;
+    return E.nlead;
+}
+
+int64_t classic1d_encode_f64(const double *x, int64_t n, double rp,
+                             double rp64, int intervals, int radius,
+                             int req_length, double median, int subblock,
+                             int32_t *types, uint8_t *lead, uint8_t *mid,
+                             int64_t *nmid, uint8_t *resi) {
+    xenc E;
+    E.esize = 8; E.req_bytes = req_length / 8; E.resi_len = req_length % 8;
+    if (E.req_bytes > 8) E.req_bytes = 8;
+    memset(E.prev, 0, 8);
+    E.lead = lead; E.nlead = 0; E.mid = mid; E.nmid = 0;
+    E.resi = resi; E.nresi = 0;
+    uint64_t mask = xenc_mask(8, req_length);
+    double last1 = 0.0, pred = 0.0;
+    for (int i = 0; i < 2 && i < n; i++) {
+        double rec = xenc_add_f64(&E, x[i], median, 0, mask);
+        types[i] = 0;
+        last1 = pred;
+        pred = rec;
+    }
+    double check_radius = (double)(intervals - 1) * rp;
+    double interval2 = 2.0 * rp;
+    double recip = 1.0 / rp;
+    if (subblock) {
+        double check64 = (intervals - 1) * rp64;
+        double interval64 = 2.0 * rp64;
+        double last0 = pred;
+        for (int64_t i = 2; i < n; i++) {
+            double cur = x[i];
+            double p = 2.0 * last0 - last1;
+            double pae = fabs(cur - p);
+            if (pae <= check64) {
+                int state = (int)((pae / rp64 + 1.0) / 2.0);
+                if (cur >= p) {
+                    types[i] = radius + state;
+                    p = p + state * interval64;
+                } else {
+                    types[i] = radius - state;
+                    p = p - state * interval64;
+                }
+                last1 = last0; last0 = p;
+            } else {
+                types[i] = 0;
+                last1 = last0;
+                last0 = xenc_add_f64(&E, cur, median, 0, mask);
+            }
+        }
+    } else {
+        for (int64_t i = 2; i < n; i++) {
+            double cur = x[i];
+            double err = fabs(cur - pred);
+            if (err < check_radius) {
+                int state = (int)((err * recip + 1.0) * 0.5);
+                if (cur >= pred) {
+                    types[i] = radius + state;
+                    pred = pred + (double)state * interval2;
+                } else {
+                    types[i] = radius - state;
+                    pred = pred - (double)state * interval2;
+                }
+            } else {
+                types[i] = 0;
+                pred = xenc_add_f64(&E, cur, median, 0, mask);
+            }
+        }
+    }
+    *nmid = E.nmid;
+    return E.nlead;
+}
+
+/* Classic 1D decode (decompressDataSeries_float_1D szd_float.c:185).
+ * lead: unpacked 2-bit values; resi consumed as a bit cursor. */
+void classic1d_decode_f32(const int32_t *types, int64_t n, float interval2,
+                          int radius, int req_length, float median, int raw,
+                          const uint8_t *lead, const uint8_t *mid,
+                          const uint8_t *resi, float *out) {
+    int req_bytes = req_length / 8, resi_len = req_length % 8;
+    if (req_bytes > 4) req_bytes = 4;
+    uint8_t prev[4] = {0};
+    int64_t midp = 0, bitp = 0;
+    float cur = 0.0f;
+    for (int64_t i = 0, k = 0; i < n; i++) {
+        int t = types[i];
+        if (t == 0) {
+            uint8_t b[4] = {0};
+            int ln = lead[k++];
+            for (int j = 0; j < ln; j++) b[j] = prev[j];
+            for (int j = ln; j < req_bytes; j++) b[j] = mid[midp++];
+            if (resi_len && req_bytes < 4) {
+                int v = 0;
+                for (int w = 0; w < resi_len; w++) {
+                    v = (v << 1) | ((resi[bitp >> 3] >> (7 - (bitp & 7))) & 1);
+                    bitp++;
+                }
+                b[req_bytes] = (uint8_t)(v << (8 - resi_len));
+            }
+            memcpy(prev, b, 4);
+            uint32_t ival = ((uint32_t)b[0] << 24) | ((uint32_t)b[1] << 16)
+                          | ((uint32_t)b[2] << 8) | b[3];
+            float val;
+            memcpy(&val, &ival, 4);
+            cur = raw ? val : val + median;
+        } else {
+            cur = cur + (float)(t - radius) * interval2;
+        }
+        out[i] = cur;
+    }
+}
+
+void classic1d_decode_f64(const int32_t *types, int64_t n, double interval2,
+                          int radius, int req_length, double median, int raw,
+                          const uint8_t *lead, const uint8_t *mid,
+                          const uint8_t *resi, double *out) {
+    int req_bytes = req_length / 8, resi_len = req_length % 8;
+    if (req_bytes > 8) req_bytes = 8;
+    uint8_t prev[8] = {0};
+    int64_t midp = 0, bitp = 0;
+    double cur = 0.0;
+    for (int64_t i = 0, k = 0; i < n; i++) {
+        int t = types[i];
+        if (t == 0) {
+            uint8_t b[8] = {0};
+            int ln = lead[k++];
+            for (int j = 0; j < ln; j++) b[j] = prev[j];
+            for (int j = ln; j < req_bytes; j++) b[j] = mid[midp++];
+            if (resi_len && req_bytes < 8) {
+                int v = 0;
+                for (int w = 0; w < resi_len; w++) {
+                    v = (v << 1) | ((resi[bitp >> 3] >> (7 - (bitp & 7))) & 1);
+                    bitp++;
+                }
+                b[req_bytes] = (uint8_t)(v << (8 - resi_len));
+            }
+            memcpy(prev, b, 8);
+            uint64_t ival = 0;
+            for (int j = 0; j < 8; j++) ival = (ival << 8) | b[j];
+            double val;
+            memcpy(&val, &ival, 8);
+            cur = raw ? val : val + median;
+        } else {
+            cur = cur + (double)(t - radius) * interval2;
+        }
+        out[i] = cur;
+    }
+}
+
+/* Random-access coefficient chain (sz_float.c:9677-9712): double
+ * division with float last values — distinct from the regnd float
+ * chain above. */
+void ra_coeff_chain_f32(const float *coeffs, int64_t nreg, int nc,
+                        const double *prec, int cap, int radius,
+                        int32_t *ctypes, float *unpred, int64_t *ucnt,
+                        float *qcoeffs) {
+    float last[8] = {0};
+    for (int e = 0; e < nc; e++) ucnt[e] = 0;
+    for (int64_t n = 0; n < nreg; n++) {
+        for (int e = 0; e < nc; e++) {
+            float cur = coeffs[n * nc + e];
+            double diff = (double)(cur - last[e]);
+            double itv = fabs(diff) / prec[e] + 1.0;
+            if (itv < (double)cap) {
+                if (diff < 0) itv = -itv;
+                int t = (int)(itv / 2) + radius;
+                float rec = (float)((double)last[e]
+                                    + (double)(2 * (t - radius)) * prec[e]);
+                if (fabs((double)(cur - rec)) > prec[e]) {
+                    ctypes[e * nreg + n] = 0;
+                    last[e] = cur;
+                    unpred[e * nreg + ucnt[e]++] = cur;
+                } else {
+                    ctypes[e * nreg + n] = t;
+                    last[e] = rec;
+                }
+            } else {
+                ctypes[e * nreg + n] = 0;
+                last[e] = cur;
+                unpred[e * nreg + ucnt[e]++] = cur;
+            }
+            qcoeffs[n * nc + e] = last[e];
+        }
+    }
+}
+
+void ra_coeff_chain_decode_f32(const int32_t *ctypes, int64_t nreg, int nc,
+                               const double *prec, const int32_t *radius,
+                               const float *unpred_flat, const int64_t *off,
+                               float *qcoeffs) {
+    float last[8] = {0};
+    int64_t cur[8];
+    for (int e = 0; e < nc; e++) cur[e] = off[e];
+    for (int64_t n = 0; n < nreg; n++) {
+        for (int e = 0; e < nc; e++) {
+            int32_t t = ctypes[e * nreg + n];
+            if (t != 0)
+                last[e] = (float)((double)last[e]
+                                  + (double)(2 * (t - radius[e])) * prec[e]);
+            else
+                last[e] = unpred_flat[cur[e]++];
+            qcoeffs[n * nc + e] = last[e];
+        }
+    }
+}

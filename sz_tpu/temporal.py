@@ -218,7 +218,7 @@ def decompress_1d_ts(tdps: TDPS, prev: np.ndarray, n: int,
     out = (np.asarray(prev, T).astype(np.float64)
            + (t_arr - radius) * interval2).astype(T)
     esc = np.flatnonzero(t_arr == 0)
-    out[esc] = np.array([dec.next() for _ in esc], dtype=T)
+    out[esc] = dec.next_batch(len(esc))
     return out
 
 
