@@ -182,9 +182,79 @@ def _decode_block(types, unpred, shape, mean, rp, radius):
     return out
 
 
+def _encode_block_d(block, rp64, recip64, intervals, radius):
+    """SZ_compress_double_3D_MDQ_RA_block (sz_double.c:4396): same
+    scheme as the float kernel, all arithmetic in double."""
+    T = np.float64
+    shape = block.shape
+
+    def quant_scalar(cur, pred):
+        diff = T(cur - pred)
+        itv = T(abs(diff) * recip64 + 1.0)
+        if itv < intervals:
+            if diff < 0:
+                itv = -itv
+            t = int(itv / 2) + radius
+            rec = T(pred + 2 * (t - radius) * rp64)
+            if not abs(T(cur - rec)) > rp64:
+                return t, rec
+        return 0, cur
+
+    def quant_plane(d, pred):
+        diff = d - pred
+        itv = np.abs(diff) * recip64 + 1.0
+        within = itv < intervals
+        itv = np.where(diff < 0, -itv, itv)
+        t = np.trunc(itv / 2).astype(np.int32) + np.int32(radius)
+        rec = pred + 2 * (t - radius).astype(T) * rp64
+        ok = within & ~(np.abs(d - rec) > rp64)
+        return np.where(ok, t, 0), np.where(ok, rec, d)
+
+    r1, r2, r3 = shape
+    types = np.zeros(shape, np.int32)
+    prev = None
+    with np.errstate(all="ignore"):
+        for k in range(r1):
+            d = block[k]
+            pin = np.zeros((r2, r3), bool)
+            t_pin = np.zeros((r2, r3), np.int32)
+            rec_pin = np.zeros((r2, r3), T)
+            if prev is None:
+                pin[0, :] = True
+                t0, rec0 = quant_scalar(d[0, 0], d[0, 0])
+                t_pin[0, 0] = t0
+                rec_pin[0, 0] = rec0 if t0 else d[0, 0]
+                if r3 > 1:
+                    t1, rec1 = quant_scalar(d[0, 1], rec_pin[0, 0])
+                    t_pin[0, 1] = t1
+                    rec_pin[0, 1] = rec1 if t1 else d[0, 1]
+                for j in range(2, r3):
+                    pred = T(2 * rec_pin[0, j - 1] - rec_pin[0, j - 2])
+                    tj, recj = quant_scalar(d[0, j], pred)
+                    t_pin[0, j] = tj
+                    rec_pin[0, j] = recj if tj else d[0, j]
+            P = d
+            for _ in range(r2 + r3 + 4):
+                pred = classic_nd._plane_pred_np(P, prev, T)
+                t, rec = quant_plane(d, pred)
+                t = np.where(pin, t_pin, t)
+                rec = np.where(pin, rec_pin, rec)
+                if np.array_equal(rec, P):
+                    break
+                P = rec
+            pred = classic_nd._plane_pred_np(P, prev, T)
+            t, rec = quant_plane(d, pred)
+            types[k] = np.where(pin, t_pin, t)
+            prev = np.where(pin, rec_pin, rec)
+    unpred = block.reshape(-1)[types.reshape(-1) == 0]
+    return types.reshape(-1), unpred
+
+
 def compress_omp(data: np.ndarray, real_precision, thread_num: int = 4,
                  cfg: SZConfig = DEFAULT_CONFIG) -> bytes:
-    """SZ_compress_float_3D_MDQ_openmp byte-format analog (float 3D)."""
+    """SZ_compress_{float,double}_3D_MDQ_openmp byte-format analog."""
+    if data.dtype == np.float64:
+        return _compress_omp_d(data, real_precision, thread_num, cfg)
     data = np.ascontiguousarray(data, F32)
     assert data.ndim == 3, "the reference OpenMP float codec is 3D-only"
     r1, r2, r3 = data.shape
@@ -250,8 +320,167 @@ def compress_omp(data: np.ndarray, real_precision, thread_num: int = 4,
     return bytes(out)
 
 
-def decompress_omp(blob: bytes, shape) -> np.ndarray:
+def _compress_omp_d(data: np.ndarray, real_precision, thread_num: int,
+                    cfg: SZConfig) -> bytes:
+    """SZ_compress_double_3D_MDQ_openmp (sz_omp.c:578).  Upstream
+    quirk replicated: initRandomAccessBytes writes the 36-byte double
+    params block but the payload starts at 3+1+MetaDataByteLength
+    (the FLOAT length, 28) — the params tail is overwritten
+    (sz_omp.c:733 `meta_data_offset = 3 + 1 + MetaDataByteLength`)."""
+    data = np.ascontiguousarray(data, np.float64)
+    assert data.ndim == 3
+    r1, r2, r3 = data.shape
+    rp64 = np.float64(real_precision)
+    recip64 = np.float64(1.0 / rp64)
+
+    if cfg.quantization_intervals == 0:
+        intervals = classic_nd._optimize_intervals_nd(
+            data, float(real_precision), cfg.max_range_radius,
+            cfg.sample_distance, np.float64(cfg.pred_threshold))
+    else:
+        intervals = cfg.quantization_intervals
+    radius = intervals // 2
+
+    nx, ny, nz = thread_grid(thread_num)
+    thread_num = nx * ny * nz
+    xo, xc = _block_ranges(r1, nx)
+    yo, yc = _block_ranges(r2, ny)
+    zo, zc = _block_ranges(r3, nz)
+
+    num_elements = r1 * r2 * r3
+    result_type = np.zeros(num_elements, np.int32)
+    block_types = []
+    unpreds = []
+    means = np.zeros(thread_num, np.float64)
+    for tid in range(thread_num):
+        i = tid // (ny * nz)
+        j = (tid % (ny * nz)) // nz
+        k = tid % nz
+        block = np.ascontiguousarray(
+            data[xo[i]:xo[i] + xc[i], yo[j]:yo[j] + yc[j],
+                 zo[k]:zo[k] + zc[k]])
+        means[tid] = block[0, 0, 0]
+        t, u = _encode_block_d(block, rp64, recip64, intervals, radius)
+        block_types.append(t)
+        unpreds.append(u)
+        toff = (xo[i] * r2 * r3 + yo[j] * xc[i] * r3
+                + zo[k] * xc[i] * yc[j])
+        result_type[toff:toff + t.size] = t
+
+    state_num = 2 * int(intervals)
+    tables = huffman.build_tables(result_type, state_num)
+
+    out = bytearray()
+    out += md.make_header(cfg, DataType.DOUBLE, np.float64(0),
+                          np.float64(0), regression=True)[:32]
+    out += bu.i32_be(thread_num)
+    out += bu.f64_be(rp64)
+    out += bu.i32_be(int(intervals))
+    out += bu.i32_be(len(tables.tree_bytes))
+    out += bu.i32_be(tables.node_count)
+    out += tables.tree_bytes
+    out += np.array([len(u) for u in unpreds], dtype="<u4").tobytes()
+    out += means.astype("<f8").tobytes()
+    for u in unpreds:
+        out += u.astype("<f8").tobytes()
+    streams = [huffman.encode(tables, t) for t in block_types]
+    out += np.array([len(s) for s in streams], dtype="<u8").tobytes()
+    for s in streams:
+        out += s
+    return bytes(out)
+
+
+def _decode_block_d(types, unpred, shape, mean, rp64, radius):
+    """decompressDataSeries_double_3D_RA_block replay (double)."""
+    T = np.float64
+    t_lat = types.reshape(shape)
+    esc = t_lat == 0
+    known = np.zeros(shape, T)
+    known.reshape(-1)[np.flatnonzero(esc.reshape(-1))] = unpred
+    q = 2 * (t_lat - radius).astype(T) * rp64
+    first_val = T(T(mean) + q[0, 0, 0])
+    r1, r2, r3 = shape
+    out = np.zeros(shape, T)
+    prev = None
+    with np.errstate(all="ignore"):
+        for k in range(r1):
+            km = esc[k].copy()
+            kv = np.where(km, known[k], T(0))
+            if k == 0 and not km[0, 0]:
+                km = km.copy()
+                km[0, 0] = True
+                kv[0, 0] = first_val
+            P = np.where(km, kv, np.zeros((r2, r3), T))
+            for _ in range(r2 + r3 + 4):
+                pred = classic_nd._plane_pred_np(P, prev, T)
+                P_new = np.where(km, kv, pred + q[k])
+                if np.array_equal(P_new, P):
+                    break
+                P = P_new
+            out[k] = P
+            prev = P
+    return out
+
+
+def _decompress_omp_d(blob: bytes, shape) -> np.ndarray:
+    """decompressDataSeries_double_3D_openmp analog (sz_omp.c:872)."""
+    r1, r2, r3 = (int(s) for s in shape)
+    pos = 32  # 3 + 1 + MetaDataByteLength (float length — see quirk)
+    thread_num = bu.read_i32_be(blob, pos)
+    pos += 4
+    rp64 = np.float64(bu.read_f64_be(blob, pos))
+    pos += 8
+    intervals = bu.read_i32_be(blob, pos)
+    pos += 4
+    tree_size = bu.read_i32_be(blob, pos)
+    pos += 4
+    node_count = bu.read_i32_be(blob, pos)
+    pos += 4
+    L, R, C, Tt = huffman.deserialize_tree(blob[pos:pos + tree_size],
+                                           node_count)
+    pos += tree_size
+    radius = intervals // 2
+
+    nx, ny, nz = thread_grid(thread_num)
+    nb = nx * ny * nz
+    xo, xc = _block_ranges(r1, nx)
+    yo, yc = _block_ranges(r2, ny)
+    zo, zc = _block_ranges(r3, nz)
+
+    ucnt = np.frombuffer(blob, dtype="<u4", count=nb, offset=pos)
+    pos += 4 * nb
+    means = np.frombuffer(blob, dtype="<f8", count=nb, offset=pos)
+    pos += 8 * nb
+    total_unpred = int(ucnt.sum())
+    unpred = np.frombuffer(blob, dtype="<f8", count=total_unpred,
+                           offset=pos)
+    pos += 8 * total_unpred
+    uoff = np.concatenate([[0], np.cumsum(ucnt.astype(np.int64))])
+    bsizes = np.frombuffer(blob, dtype="<u8", count=nb, offset=pos)
+    pos += 8 * nb
+    boff = np.concatenate([[0], np.cumsum(bsizes.astype(np.int64))])
+
+    out = np.zeros((r1, r2, r3), np.float64)
+    for tid in range(nb):
+        i = tid // (ny * nz)
+        j = (tid % (ny * nz)) // nz
+        k = tid % nz
+        bshape = (xc[i], yc[j], zc[k])
+        n = int(np.prod(bshape))
+        a = pos + int(boff[tid])
+        types = huffman.decode(L, R, C, Tt,
+                               blob[a:a + int(bsizes[tid])], n)
+        u = unpred[int(uoff[tid]):int(uoff[tid + 1])]
+        out[xo[i]:xo[i] + bshape[0], yo[j]:yo[j] + bshape[1],
+            zo[k]:zo[k] + bshape[2]] = _decode_block_d(
+            types, u, bshape, means[tid], rp64, radius)
+    return out
+
+
+def decompress_omp(blob: bytes, shape, dtype=np.float32) -> np.ndarray:
     """decompressDataSeries_float_3D_openmp analog (sz_omp.c:366)."""
+    if np.dtype(dtype) == np.float64:
+        return _decompress_omp_d(blob, shape)
     r1, r2, r3 = (int(s) for s in shape)
     mlen = md.meta_length(DataType.FLOAT)
     pos = 4 + mlen

@@ -107,3 +107,59 @@ def test_omp_roundtrip_no_ref():
     blob = ompsz.compress_omp(data, 1e-3, thread_num=4)
     out = ompsz.decompress_omp(blob, shape)
     assert np.abs(out - data).max() <= 1e-3 * (1 + 1e-6)
+
+
+def _ref_double(shape, nthreads):
+    os.environ["OMP_NUM_THREADS"] = str(nthreads)
+    lib = C.CDLL(str(LIBSZ))
+    try:
+        C.CDLL("libgomp.so.1").omp_set_num_threads(C.c_int(nthreads))
+    except OSError:  # pragma: no cover
+        pass
+    assert lib.SZ_Init(None) == 0
+    S = C.c_size_t
+
+    def compress(data):
+        f = lib.SZ_compress_double_3D_MDQ_openmp
+        f.restype = C.POINTER(C.c_ubyte)
+        outsize = S(0)
+        buf = f(data.ctypes.data_as(C.c_void_p), S(shape[0]),
+                S(shape[1]), S(shape[2]), C.c_double(1e-6),
+                C.byref(outsize))
+        return bytes(bytearray(buf[i] for i in range(outsize.value)))
+
+    def decompress(blob):
+        body = blob[32:]
+        g = lib.decompressDataSeries_double_3D_openmp
+        dptr = C.POINTER(C.c_double)()
+        g(C.byref(dptr), S(shape[0]), S(shape[1]), S(shape[2]),
+          (C.c_ubyte * len(body)).from_buffer_copy(body))
+        n = int(np.prod(shape))
+        return np.ctypeslib.as_array(dptr, shape=(n,)).reshape(
+            shape).copy()
+
+    return compress, decompress
+
+
+@need_ref
+@pytest.mark.parametrize("nthreads,shape", [
+    (1, (30, 26, 22)), (4, (34, 26, 22))])
+def test_omp_double_bytes(nthreads, shape):
+    """Compressor byte parity + our decode of the reference stream.
+
+    The reference's own double openmp DECODER is broken upstream: after
+    reading the 4-byte intervals field it advances sizeof(double)
+    (sz_omp.c:945-946), misparsing the tree header of its own streams
+    (and crashing) — so cross-decode is checked one-way only: our
+    decoder on the reference's bytes."""
+    data = synth(shape).astype(np.float64)
+    ref_c, _ = _ref_double(shape, nthreads)
+    golden = ref_c(data)
+    ours = ompsz.compress_omp(data, 1e-6, thread_num=nthreads)
+    if _norm(golden) != _norm(ours):
+        golden = ref_c(data)  # retry once: upstream scheduling race
+    assert _norm(golden) == _norm(ours), "double sz_omp bytes diverge"
+    out = ompsz.decompress_omp(golden, shape, np.float64)
+    assert np.abs(out - data).max() <= 1e-6 * (1 + 1e-9)
+    assert np.array_equal(
+        out, ompsz.decompress_omp(ours, shape, np.float64))
