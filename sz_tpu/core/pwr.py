@@ -46,21 +46,25 @@ def range_size_msst19(data: np.ndarray):
     smaller nonzero magnitudes."""
     T = data.dtype.type
     flat = data.reshape(-1)
-    n = flat.size
-    signs = np.zeros(n, dtype=np.uint8)
-    signs[1:] = flat[1:] < 0
-    positive = not bool(signs[1:].any())
-    near = flat[0]
-    rest = flat[1:]
-    nz = rest[rest != 0]
-    # strictly-smaller-magnitude updates, first occurrence wins; if
-    # data[0]==0 the |x|<|0| test never fires and nearZero stays 0
-    if len(nz):
-        m = np.abs(nz).min()
-        if m < abs(near):
-            near = nz[np.argmin(np.abs(nz))]
-    fmin = T(flat.min())
-    fmax = T(flat.max())
+    try:
+        from sz_tpu.native import range_scan
+        fmin, fmax, near, signs, positive = range_scan(flat)
+    except ImportError:  # pragma: no cover - native unavailable
+        n = flat.size
+        signs = np.zeros(n, dtype=np.uint8)
+        signs[1:] = flat[1:] < 0
+        positive = not bool(signs[1:].any())
+        near = flat[0]
+        rest = flat[1:]
+        # strictly-smaller-magnitude updates, first occurrence wins; if
+        # data[0]==0 the |x|<|0| test never fires and nearZero stays 0
+        am = np.where(rest != 0, np.abs(rest), np.inf)
+        if am.size:
+            k = int(np.argmin(am))  # first occurrence of the minimum
+            if am[k] < abs(near):
+                near = rest[k]
+        fmin = T(flat.min())
+        fmax = T(flat.max())
     vrange = T(fmax - fmin)
     median = T(fmin + vrange / T(2))
     return fmin, vrange, median, signs, positive, T(near)
@@ -183,9 +187,122 @@ def _finish_intervals(hist, total, max_range_radius, pred_threshold):
     return max(round_up_to_power_of_2(2 * (i + 1)), 32)
 
 
+def _walk_positions(shape, sample_distance: int) -> list:
+    """The MSST19 optimizers' sampling-walk positions (pure control
+    flow of the loops below, which is data-independent when no sampled
+    value is zero — guaranteed after the driver's zero replacement)."""
+    n = 1
+    for r in shape:
+        n *= r
+    out = []
+    if len(shape) == 1:
+        pos = 2
+        while pos < n:
+            out.append(pos)
+            pos += sample_distance
+    elif len(shape) == 2:
+        r1, r2 = shape
+        offset_count = sample_distance - 1
+        pos = r2 + offset_count
+        n1 = 1
+        while pos < n:
+            out.append(pos)
+            offset_count += sample_distance
+            if offset_count >= r2:
+                n1 += 1
+                oc2 = n1 % sample_distance
+                pos += (r2 + sample_distance - offset_count) \
+                    + (sample_distance - oc2)
+                offset_count = sample_distance - oc2
+                if offset_count == 0:
+                    offset_count += 1
+            else:
+                pos += sample_distance
+    else:
+        r1, r2, r3 = shape
+        r23 = r2 * r3
+        offset_count = sample_distance - 2
+        pos = r23 + r3 + offset_count
+        n1 = n2 = 1
+        while pos < n:
+            out.append(pos)
+            offset_count += sample_distance
+            if offset_count >= r3:
+                n2 += 1
+                if n2 == r2:
+                    n1 += 1
+                    n2 = 1
+                    pos += r3
+                oc2 = (n1 + n2) % sample_distance
+                pos += (r3 + sample_distance - offset_count) \
+                    + (sample_distance - oc2)
+                offset_count = sample_distance - oc2
+                if offset_count == 0:
+                    offset_count += 1
+            else:
+                pos += sample_distance
+    return out
+
+
+def _radius_index_vec(v: np.ndarray, mrr: int) -> np.ndarray:
+    """Vectorized _radius_index (the C (uint64_t) cast semantics)."""
+    with np.errstate(all="ignore"):
+        bad = ~np.isfinite(v) | (v >= mrr) | (v < 0)
+        idx = np.trunc(np.where(bad, 0, v)).astype(np.int64)
+    return np.where(bad, mrr - 1, np.minimum(idx, mrr - 1))
+
+
+def _optimize_intervals_msst19_fast(data, ratio, max_range_radius,
+                                    sample_distance, pred_threshold):
+    """Vectorized optimizer; returns None (fall back to the serial
+    walk) if any sampled value is zero — there the reference's walk
+    becomes data-dependent."""
+    pos = np.asarray(_walk_positions(data.shape, sample_distance),
+                     np.int64)
+    if pos.size == 0:
+        return _finish_intervals(np.zeros(max_range_radius, np.int64),
+                                 0, max_range_radius, pred_threshold)
+    divider = np.float64(np.float32(np.log2(1 + ratio) * 2))
+    mrr = max_range_radius
+    f = data.reshape(-1)
+    cur = f[pos]
+    if bool((cur == 0).any()):
+        return None
+    with np.errstate(all="ignore"):
+        if data.ndim == 1:
+            cur64 = cur.astype(np.float64)
+            pred = f[pos - 1].astype(np.float64)
+            perr = np.abs(cur64 / pred)
+            v = np.abs(np.log2(perr) / divider + 0.5)
+        elif data.ndim == 2:
+            r2 = data.shape[1]
+            pred = f[pos - 1] + f[pos - r2] - f[pos - r2 - 1]
+            perr = np.abs(pred.astype(np.float64)
+                          / cur.astype(np.float64)).astype(np.float32)
+            v = np.abs(np.log2(perr.astype(np.float64)) / divider + 0.5)
+        else:
+            r2, r3 = data.shape[1:]
+            r23 = r2 * r3
+            p = f[pos - 1] + f[pos - r3]
+            p = (p + f[pos - r23]).astype(np.float32)
+            p = (p - f[pos - 1 - r23]).astype(np.float32)
+            p = (p - f[pos - r3 - 1]).astype(np.float32)
+            p = (p - f[pos - r3 - r23]).astype(np.float32)
+            p = (p + f[pos - r3 - r23 - 1]).astype(np.float32)
+            perr = np.abs(cur.astype(np.float64)
+                          / p.astype(np.float64)).astype(np.float32)
+            v = np.abs(np.log2(perr.astype(np.float64)) / divider + 0.5)
+    hist = np.bincount(_radius_index_vec(v, mrr), minlength=mrr)
+    return _finish_intervals(hist, len(pos), mrr, pred_threshold)
+
+
 def _optimize_intervals_msst19(data: np.ndarray, ratio: float,
                                max_range_radius: int, sample_distance: int,
                                pred_threshold: float) -> int:
+    fast = _optimize_intervals_msst19_fast(
+        data, ratio, max_range_radius, sample_distance, pred_threshold)
+    if fast is not None:
+        return fast
     flat = data.reshape(-1).astype(np.float64)
     divider = np.float64(np.float32(np.log2(1 + ratio) * 2))
     hist = np.zeros(max_range_radius, dtype=np.int64)
@@ -337,7 +454,21 @@ def compress_msst19(data: np.ndarray, pw_ratio: float, fmax, near_zero, *,
             return T(np.float64(abs(pred)) * ptable[state])
         return escape(idx, cur)
 
-    if data.ndim in (2, 3) and not oracle:
+    native_t = None
+    if not oracle and n >= 2:
+        try:
+            from sz_tpu.native import msst19_encode
+            native_t = msst19_encode(data, cache.table, cache.base_index,
+                                     cache.top_index, cache.bits,
+                                     ptable, req_length)
+        except ImportError:  # pragma: no cover - native unavailable
+            native_t = None
+    if native_t is not None:
+        types, lead, mid_b, resi, _cnt = native_t
+        enc.lead_nums = lead.tolist()
+        enc.mid_bytes = bytearray(mid_b)
+        enc.resi_bits = resi.tolist()
+    elif data.ndim in (2, 3) and not oracle:
         types = _encode_msst19_fast(data, cache, ptable, intervals,
                                     enc, T)
     elif data.ndim == 1:
@@ -444,17 +575,18 @@ def _diag_indices(d, r1, r2, r3):
     i_lo = max(0, d - (r2 - 1) - (r3 - 1))
     i_hi = min(r1 - 1, d)
     ivals = np.arange(i_lo, i_hi + 1)
+    IT = np.int32 if r1 * r2 * r3 < 2**31 else np.int64
     e = d - ivals
-    j_lo = np.maximum(0, e - (r3 - 1))
+    j_lo = np.maximum(0, e - (r3 - 1)).astype(IT)
     j_hi = np.minimum(r2 - 1, e)
     lens = j_hi - j_lo + 1
     total = int(lens.sum())
-    starts = np.zeros(len(ivals), np.int64)
+    starts = np.zeros(len(ivals), IT)
     np.cumsum(lens[:-1], out=starts[1:])
-    seg = np.repeat(np.arange(len(ivals)), lens)
-    js = j_lo[seg] + (np.arange(total) - starts[seg])
-    is_ = ivals[seg]
-    return is_, js, d - is_ - js
+    seg = np.repeat(np.arange(len(ivals), dtype=IT), lens)
+    js = j_lo[seg] + (np.arange(total, dtype=IT) - starts[seg])
+    is_ = ivals.astype(IT)[seg]
+    return is_, js, IT(d) - is_ - js
 
 
 def _msst19_diag_pred(R, fi, is_, js, ks, r3, r23, T, dbl):
@@ -465,19 +597,17 @@ def _msst19_diag_pred(R, fi, is_, js, ks, r3, r23, T, dbl):
     gathers wrap harmlessly -- every lane's selected formula only
     reads already-final neighbors (index sums d-1..d-3)."""
     D64 = np.float64
-    n = R.size
-
-    def g(off):  # masked-out lanes may index anywhere in range
-        return R[(fi - off) % n]
-
-    A = g(1)
-    B = g(r3)
-    Dg = g(r3 + 1)
-    A2 = g(2)
-    C = g(r23)
-    E = g(r23 + r3)
-    F = g(r23 + 1)
-    G = g(r23 + r3 + 1)
+    # R is guard-padded by the caller: index 0 of the lattice lives at
+    # R[_GUARD(r3, r23)], so fi - off never goes out of range and the
+    # masked-out lanes read harmless zeros from the guard region.
+    A = R[fi - 1]
+    B = R[fi - r3]
+    Dg = R[fi - r3 - 1]
+    A2 = R[fi - 2]
+    C = R[fi - r23]
+    E = R[fi - r23 - r3]
+    F = R[fi - r23 - 1]
+    G = R[fi - r23 - r3 - 1]
     i0 = is_ == 0
     j0 = js == 0
     k0 = ks == 0
@@ -508,15 +638,16 @@ def _encode_msst19_fast(data, cache, ptable, intervals, enc, T):
     vol = data if data.ndim == 3 else data[None]
     r1, r2, r3 = vol.shape
     r23 = r2 * r3
-    esc = _esc_recon_vec(data, enc, T).reshape(-1)
     flat = vol.reshape(-1)
-    R = np.zeros(flat.size, T)
+    guard = r23 + r3 + 2
+    R = np.zeros(guard + flat.size, T)
     types = np.zeros(flat.size, np.int32)
     with np.errstate(all="ignore"):
         for d in range(r1 + r2 + r3 - 2):
             is_, js, ks = _diag_indices(d, r1, r2, r3)
             fi = is_ * r23 + js * r3 + ks
-            pred = _msst19_diag_pred(R, fi, is_, js, ks, r3, r23, T, dbl)
+            fg = fi + guard
+            pred = _msst19_diag_pred(R, fg, is_, js, ks, r3, r23, T, dbl)
             cur = flat[fi]
             ratio = (cur / pred).astype(T).astype(np.float64)
             state = cache.lookup_vec(ratio)
@@ -524,7 +655,12 @@ def _encode_msst19_fast(data, cache, ptable, intervals, enc, T):
                 state[...] = 0  # forced first escape
             rec = (np.abs(pred.astype(np.float64))
                    * ptable[state]).astype(T)
-            R[fi] = np.where(state != 0, rec, esc[fi])
+            el = state == 0
+            # escape reconstructions computed lazily on the (few)
+            # escape lanes — _esc_recon_vec is positionally independent
+            if el.any():
+                rec[el] = _esc_recon_vec(cur[el], enc, T)
+            R[fg] = rec
             types[fi] = state
     enc.add_batch(flat[np.flatnonzero(types == 0)])
     return types
@@ -540,16 +676,22 @@ def _decode_msst19_fast(types, shape, T, ptable, dec):
     dbl = len(shape) == 3
     r1, r2, r3 = shape if len(shape) == 3 else (1,) + tuple(shape)
     r23 = r2 * r3
-    R = np.zeros(t_flat.size, T)
+    guard = r23 + r3 + 2
+    R = np.zeros(guard + t_flat.size, T)
     with np.errstate(all="ignore"):
         for d in range(r1 + r2 + r3 - 2):
             is_, js, ks = _diag_indices(d, r1, r2, r3)
             fi = is_ * r23 + js * r3 + ks
-            pred = _msst19_diag_pred(R, fi, is_, js, ks, r3, r23, T, dbl)
+            fg = fi + guard
+            pred = _msst19_diag_pred(R, fg, is_, js, ks, r3, r23, T, dbl)
+            t_d = t_flat[fi]
             val = (np.abs(pred.astype(np.float64))
-                   * ptable[t_flat[fi]]).astype(T)
-            R[fi] = np.where(km[fi], known[fi], val)
-    return R
+                   * ptable[t_d]).astype(T)
+            el = t_d == 0
+            if el.any():
+                val[el] = known[fi[el]]
+            R[fg] = val
+    return R[guard:]
 
 
 def decompress_msst19(tdps: TDPS, shape, dtype, *,
@@ -561,6 +703,17 @@ def decompress_msst19(tdps: TDPS, shape, dtype, *,
     dec = classic.ExactDecoder(tdps, T, raw=True)
     ptable = _precision_table(tdps.intervals, tdps.real_precision,
                               tdps.plus_bits)
+    if not oracle:
+        try:
+            from sz_tpu import native
+            from sz_tpu.format import bytes_util as bu
+            lead = bu.unpack_bits_2(tdps.lead_num, tdps.exact_data_num)
+            return native.msst19_decode(
+                types, tuple(shape), ptable, tdps.req_length, lead,
+                tdps.exact_mid_bytes, tdps.residual_mid_bits,
+                T).reshape(shape)
+        except ImportError:  # pragma: no cover - native unavailable
+            pass
     if len(shape) in (2, 3) and not oracle:
         return _decode_msst19_fast(types, tuple(shape), T, ptable,
                                    dec).reshape(shape)

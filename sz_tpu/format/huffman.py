@@ -268,7 +268,11 @@ def build_tables(type_codes: np.ndarray, state_num: int,
                  freq=None) -> HuffmanTables:
     """Histogram + tree + codes + serialized tree for one stream."""
     if freq is None:
-        freq = np.bincount(type_codes.ravel(), minlength=2 * state_num)
+        if _native is not None:
+            freq = _native.i32_hist(type_codes.ravel(), 2 * state_num)
+        if freq is None:
+            freq = np.bincount(type_codes.ravel(),
+                               minlength=2 * state_num)
     else:
         freq = np.asarray(freq)
         if len(freq) < 2 * state_num:

@@ -418,3 +418,105 @@ def ra_coeff_chain_decode(ctypes_arr: np.ndarray, prec, cradius,
                                    _ptr(prec), _ptr(rad), _ptr(flat),
                                    _ptr(off), _ptr(qc))
     return qc
+
+
+_lib.msst19_encode_f32.restype = ctypes.c_int64
+_lib.msst19_encode_f64.restype = ctypes.c_int64
+
+
+def msst19_encode(data: np.ndarray, table: np.ndarray, base_index: int,
+                  top_index: int, bits: int, ptable: np.ndarray,
+                  req_length: int):
+    """MSST19 multiplicative encode (1D/2D/3D).  Returns
+    (types, lead u8[cnt], mid bytes, resi u8 entries, cnt)."""
+    T = data.dtype.type
+    x = np.ascontiguousarray(data)
+    rank = x.ndim
+    if rank == 1:
+        r1, r2, r3 = 1, 1, x.shape[0]
+    elif rank == 2:
+        r1, r2, r3 = 1, x.shape[0], x.shape[1]
+    else:
+        r1, r2, r3 = x.shape
+    n = x.size
+    rb = req_length // 8
+    table = np.ascontiguousarray(table, np.uint16)
+    ptable = np.ascontiguousarray(ptable, np.float64)
+    types = np.zeros(n, np.int32)
+    lead = np.zeros(max(n, 1), np.uint8)
+    mid = np.zeros(max(n * max(rb, 1), 1), np.uint8)
+    resi = np.zeros(max(n, 1), np.uint8)
+    nmid = np.zeros(1, np.int64)
+    fn = _lib.msst19_encode_f32 if T is np.float32 \
+        else _lib.msst19_encode_f64
+    cnt = int(fn(_ptr(x), ctypes.c_int(rank), ctypes.c_int64(r1),
+                 ctypes.c_int64(r2), ctypes.c_int64(r3), _ptr(table),
+                 ctypes.c_int64(base_index), ctypes.c_int64(top_index),
+                 ctypes.c_int(bits), ctypes.c_int64(table.shape[1]),
+                 _ptr(ptable), ctypes.c_int(req_length), _ptr(types),
+                 _ptr(lead), _ptr(mid), _ptr(nmid), _ptr(resi)))
+    esize = 4 if T is np.float32 else 8
+    has_resi = (req_length % 8) != 0 and rb < esize
+    return (types, lead[:cnt], mid[:int(nmid[0])].tobytes(),
+            resi[:cnt] if has_resi else resi[:0], cnt)
+
+
+def msst19_decode(types: np.ndarray, shape, ptable: np.ndarray,
+                  req_length: int, lead: np.ndarray, mid: bytes,
+                  resi: bytes, T) -> np.ndarray:
+    types = np.ascontiguousarray(types, np.int32)
+    rank = len(shape)
+    if rank == 1:
+        r1, r2, r3 = 1, 1, shape[0]
+    elif rank == 2:
+        r1, r2, r3 = 1, shape[0], shape[1]
+    else:
+        r1, r2, r3 = shape
+    ptable = np.ascontiguousarray(ptable, np.float64)
+    lead = np.ascontiguousarray(lead, np.uint8)
+    midb = np.frombuffer(mid, np.uint8) if len(mid) else np.zeros(1, np.uint8)
+    resb = (np.frombuffer(resi, np.uint8) if len(resi)
+            else np.zeros(1, np.uint8))
+    out = np.zeros(types.size, T)
+    fn = _lib.msst19_decode_f32 if T is np.float32 \
+        else _lib.msst19_decode_f64
+    fn(_ptr(types), ctypes.c_int(rank), ctypes.c_int64(r1),
+       ctypes.c_int64(r2), ctypes.c_int64(r3), _ptr(ptable),
+       ctypes.c_int(req_length), _ptr(lead), _ptr(midb), _ptr(resb),
+       _ptr(out))
+    return out
+
+
+_lib.range_scan_f32.restype = ctypes.c_int
+_lib.range_scan_f64.restype = ctypes.c_int
+_lib.i32_hist.restype = ctypes.c_int64
+
+
+def range_scan(flat: np.ndarray):
+    """(fmin, fmax, near, signs u8[n], positive) in one native pass."""
+    T = flat.dtype.type
+    flat = np.ascontiguousarray(flat)
+    n = flat.size
+    signs = np.zeros(n, np.uint8)
+    if T is np.float32:
+        mn = ctypes.c_float(0); mx = ctypes.c_float(0)
+        nr = ctypes.c_float(0)
+        pos = _lib.range_scan_f32(_ptr(flat), ctypes.c_int64(n),
+                                  _ptr(signs), ctypes.byref(mn),
+                                  ctypes.byref(mx), ctypes.byref(nr))
+    else:
+        mn = ctypes.c_double(0); mx = ctypes.c_double(0)
+        nr = ctypes.c_double(0)
+        pos = _lib.range_scan_f64(_ptr(flat), ctypes.c_int64(n),
+                                  _ptr(signs), ctypes.byref(mn),
+                                  ctypes.byref(mx), ctypes.byref(nr))
+    return T(mn.value), T(mx.value), T(nr.value), signs, bool(pos)
+
+
+def i32_hist(x: np.ndarray, nbins: int):
+    """int32 histogram; None if any value falls outside [0, nbins)."""
+    x = np.ascontiguousarray(x, np.int32)
+    hist = np.zeros(nbins, np.int64)
+    rc = int(_lib.i32_hist(_ptr(x), ctypes.c_int64(x.size), _ptr(hist),
+                           ctypes.c_int64(nbins)))
+    return None if rc < 0 else hist

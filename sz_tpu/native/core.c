@@ -1057,3 +1057,560 @@ void ra_coeff_chain_decode_f32(const int32_t *ctypes, int64_t nreg, int nc,
         }
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* MSST19 multiplicative kernels (SZ_compress_float_{1,2,3}D_MDQ_MSST19*/
+/* sz_float.c:1824+, decompressDataSeries_*_MSST19 szd_float.c) —      */
+/* statement-level ports of the Python oracle loops in core/pwr.py.    */
+/* ------------------------------------------------------------------ */
+
+static inline int msst19_lookup(double ratio, const uint16_t *table,
+                                int64_t base_index, int64_t top_index,
+                                int bits, int64_t row_size) {
+    uint64_t b;
+    memcpy(&b, &ratio, 8);
+    int64_t expo = (int64_t)((b & 0x7FFFFFFFFFFFFFFFull) >> 52)
+                   - base_index;
+    if (expo < 0 || expo > top_index - base_index) return 0;
+    uint64_t manti = (b & 0x000FFFFFFFFFFFFFull) >> (52 - bits);
+    return table[expo * row_size + manti];
+}
+
+/* rank in {1,2,3}; for rank<3 pass r1=1 (and r2=1 for rank 1) so the
+ * volume is (r1, r2, r3) with r3 fastest.  Float chains: 2D kernels
+ * chain in float, 3D kernels route products through double temps
+ * (sz_float.c MSST19) — controlled by `rank`.  Returns escape count. */
+int64_t msst19_encode_f32(const float *x, int rank, int64_t r1,
+                          int64_t r2, int64_t r3,
+                          const uint16_t *table, int64_t base_index,
+                          int64_t top_index, int bits, int64_t row_size,
+                          const double *ptable, int req_length,
+                          int32_t *types, uint8_t *lead, uint8_t *mid,
+                          int64_t *nmid, uint8_t *resi) {
+    xenc E;
+    E.esize = 4; E.req_bytes = req_length / 8; E.resi_len = req_length % 8;
+    if (E.req_bytes > 4) E.req_bytes = 4;
+    memset(E.prev, 0, 8);
+    E.lead = lead; E.nlead = 0; E.mid = mid; E.nmid = 0;
+    E.resi = resi; E.nresi = 0;
+    uint32_t mask = (uint32_t)xenc_mask(4, req_length);
+    int64_t n = r1 * r2 * r3;
+    int64_t r23 = r2 * r3;
+
+#define Q32(cur_, pred_, out_)                                          \
+    do {                                                                \
+        float ratio_ = (cur_) / (pred_);                                \
+        int st_ = msst19_lookup((double)ratio_, table, base_index,      \
+                                top_index, bits, row_size);             \
+        if (st_) {                                                      \
+            types[idx_] = st_;                                          \
+            (out_) = (float)(fabs((double)(pred_)) * ptable[st_]);      \
+        } else {                                                        \
+            types[idx_] = 0;                                            \
+            (out_) = xenc_add_f32(&E, (cur_), 0.0f, 1, mask);           \
+        }                                                               \
+    } while (0)
+
+    if (rank == 1) {
+        int64_t idx_ = 0;
+        types[0] = 0;
+        float pred = xenc_add_f32(&E, x[0], 0.0f, 1, mask);
+        (void)pred;
+        types[1] = 0;
+        pred = xenc_add_f32(&E, x[1], 0.0f, 1, mask);
+        for (int64_t i = 2; i < n; i++) {
+            float cur = x[i];
+            float ratio = cur / pred;
+            int st = msst19_lookup((double)ratio, table, base_index,
+                                   top_index, bits, row_size);
+            if (st) {
+                types[i] = st;
+                pred = (float)((double)pred * ptable[st]);
+            } else {
+                types[i] = 0;
+                pred = xenc_add_f32(&E, cur, 0.0f, 1, mask);
+            }
+        }
+        *nmid = E.nmid;
+        return E.nlead;
+    }
+
+    float *P1 = malloc(r23 * sizeof(float));
+    float *P0 = malloc(r23 * sizeof(float));
+    if (rank == 2) {
+        /* 2D float kernel: float product chains */
+        int64_t idx_ = 0;
+        types[0] = 0;
+        P1[0] = xenc_add_f32(&E, x[0], 0.0f, 1, mask);
+        idx_ = 1;
+        Q32(x[1], P1[0], P1[1]);
+        for (int64_t j = 2; j < r3; j++) {
+            float pred = (float)(P1[j-1] * P1[j-1]) / P1[j-2];
+            idx_ = j;
+            Q32(x[j], pred, P1[j]);
+        }
+        for (int64_t i = 1; i < r2; i++) {
+            int64_t base = i * r3;
+            idx_ = base;
+            Q32(x[base], P1[0], P0[0]);
+            for (int64_t j = 1; j < r3; j++) {
+                float pred = (float)(P0[j-1] * P1[j]) / P1[j-1];
+                idx_ = base + j;
+                Q32(x[base+j], pred, P0[j]);
+            }
+            float *t = P1; P1 = P0; P0 = t;
+        }
+    } else {
+        /* 3D float kernel: double temps throughout */
+        int64_t idx_ = 0;
+        types[0] = 0;
+        P1[0] = xenc_add_f32(&E, x[0], 0.0f, 1, mask);
+        idx_ = 1;
+        Q32(x[1], P1[0], P1[1]);
+        for (int64_t j = 2; j < r3; j++) {
+            float pred = (float)((double)P1[j-1] * (double)P1[j-1]
+                                 / (double)P1[j-2]);
+            idx_ = j;
+            Q32(x[j], pred, P1[j]);
+        }
+        for (int64_t i = 1; i < r2; i++) {
+            int64_t ix = i * r3;
+            idx_ = ix;
+            Q32(x[ix], P1[ix - r3], P1[ix]);
+            for (int64_t j = 1; j < r3; j++) {
+                int64_t c = ix + j;
+                float pred = (float)((double)P1[c-1] * (double)P1[c-r3]
+                                     / (double)P1[c-r3-1]);
+                idx_ = c;
+                Q32(x[c], pred, P1[c]);
+            }
+        }
+        for (int64_t k = 1; k < r1; k++) {
+            int64_t index = k * r23;
+            idx_ = index;
+            Q32(x[index], P1[0], P0[0]);
+            for (int64_t j = 1; j < r3; j++) {
+                index++;
+                float pred = (float)((double)P0[j-1] * (double)P1[j]
+                                     / (double)P1[j-1]);
+                idx_ = index;
+                Q32(x[index], pred, P0[j]);
+            }
+            for (int64_t i = 1; i < r2; i++) {
+                index = k * r23 + i * r3;
+                int64_t i2 = i * r3;
+                float pred = (float)((double)P0[i2-r3] * (double)P1[i2]
+                                     / (double)P1[i2-r3]);
+                idx_ = index;
+                Q32(x[index], pred, P0[i2]);
+                for (int64_t j = 1; j < r3; j++) {
+                    index++;
+                    i2 = i * r3 + j;
+                    double num = (double)P0[i2-1] * (double)P0[i2-r3]
+                               * (double)P1[i2] * (double)P1[i2-r3-1];
+                    double den = (double)P0[i2-r3-1] * (double)P1[i2-r3]
+                               * (double)P1[i2-1];
+                    float pred2 = (float)(num / den);
+                    idx_ = index;
+                    Q32(x[index], pred2, P0[i2]);
+                }
+            }
+            float *t = P1; P1 = P0; P0 = t;
+        }
+    }
+#undef Q32
+    free(P1); free(P0);
+    *nmid = E.nmid;
+    return E.nlead;
+}
+
+int64_t msst19_encode_f64(const double *x, int rank, int64_t r1,
+                          int64_t r2, int64_t r3,
+                          const uint16_t *table, int64_t base_index,
+                          int64_t top_index, int bits, int64_t row_size,
+                          const double *ptable, int req_length,
+                          int32_t *types, uint8_t *lead, uint8_t *mid,
+                          int64_t *nmid, uint8_t *resi) {
+    xenc E;
+    E.esize = 8; E.req_bytes = req_length / 8; E.resi_len = req_length % 8;
+    if (E.req_bytes > 8) E.req_bytes = 8;
+    memset(E.prev, 0, 8);
+    E.lead = lead; E.nlead = 0; E.mid = mid; E.nmid = 0;
+    E.resi = resi; E.nresi = 0;
+    uint64_t mask = xenc_mask(8, req_length);
+    int64_t n = r1 * r2 * r3;
+    int64_t r23 = r2 * r3;
+
+#define Q64(cur_, pred_, out_)                                          \
+    do {                                                                \
+        double ratio_ = (cur_) / (pred_);                               \
+        int st_ = msst19_lookup(ratio_, table, base_index,              \
+                                top_index, bits, row_size);             \
+        if (st_) {                                                      \
+            types[idx_] = st_;                                          \
+            (out_) = fabs(pred_) * ptable[st_];                         \
+        } else {                                                        \
+            types[idx_] = 0;                                            \
+            (out_) = xenc_add_f64(&E, (cur_), 0.0, 1, mask);            \
+        }                                                               \
+    } while (0)
+
+    if (rank == 1) {
+        types[0] = 0;
+        double pred = xenc_add_f64(&E, x[0], 0.0, 1, mask);
+        types[1] = 0;
+        pred = xenc_add_f64(&E, x[1], 0.0, 1, mask);
+        for (int64_t i = 2; i < n; i++) {
+            double cur = x[i];
+            int st = msst19_lookup(cur / pred, table, base_index,
+                                   top_index, bits, row_size);
+            if (st) {
+                types[i] = st;
+                pred = pred * ptable[st];
+            } else {
+                types[i] = 0;
+                pred = xenc_add_f64(&E, cur, 0.0, 1, mask);
+            }
+        }
+        *nmid = E.nmid;
+        return E.nlead;
+    }
+
+    double *P1 = malloc(r23 * sizeof(double));
+    double *P0 = malloc(r23 * sizeof(double));
+    if (rank == 2) {
+        int64_t idx_ = 0;
+        types[0] = 0;
+        P1[0] = xenc_add_f64(&E, x[0], 0.0, 1, mask);
+        idx_ = 1;
+        Q64(x[1], P1[0], P1[1]);
+        for (int64_t j = 2; j < r3; j++) {
+            double pred = P1[j-1] * P1[j-1] / P1[j-2];
+            idx_ = j;
+            Q64(x[j], pred, P1[j]);
+        }
+        for (int64_t i = 1; i < r2; i++) {
+            int64_t base = i * r3;
+            idx_ = base;
+            Q64(x[base], P1[0], P0[0]);
+            for (int64_t j = 1; j < r3; j++) {
+                double pred = P0[j-1] * P1[j] / P1[j-1];
+                idx_ = base + j;
+                Q64(x[base+j], pred, P0[j]);
+            }
+            double *t = P1; P1 = P0; P0 = t;
+        }
+    } else {
+        int64_t idx_ = 0;
+        types[0] = 0;
+        P1[0] = xenc_add_f64(&E, x[0], 0.0, 1, mask);
+        idx_ = 1;
+        Q64(x[1], P1[0], P1[1]);
+        for (int64_t j = 2; j < r3; j++) {
+            double pred = P1[j-1] * P1[j-1] / P1[j-2];
+            idx_ = j;
+            Q64(x[j], pred, P1[j]);
+        }
+        for (int64_t i = 1; i < r2; i++) {
+            int64_t ix = i * r3;
+            idx_ = ix;
+            Q64(x[ix], P1[ix - r3], P1[ix]);
+            for (int64_t j = 1; j < r3; j++) {
+                int64_t c = ix + j;
+                double pred = P1[c-1] * P1[c-r3] / P1[c-r3-1];
+                idx_ = c;
+                Q64(x[c], pred, P1[c]);
+            }
+        }
+        for (int64_t k = 1; k < r1; k++) {
+            int64_t index = k * r23;
+            idx_ = index;
+            Q64(x[index], P1[0], P0[0]);
+            for (int64_t j = 1; j < r3; j++) {
+                index++;
+                double pred = P0[j-1] * P1[j] / P1[j-1];
+                idx_ = index;
+                Q64(x[index], pred, P0[j]);
+            }
+            for (int64_t i = 1; i < r2; i++) {
+                index = k * r23 + i * r3;
+                int64_t i2 = i * r3;
+                double pred = P0[i2-r3] * P1[i2] / P1[i2-r3];
+                idx_ = index;
+                Q64(x[index], pred, P0[i2]);
+                for (int64_t j = 1; j < r3; j++) {
+                    index++;
+                    i2 = i * r3 + j;
+                    double num = P0[i2-1] * P0[i2-r3] * P1[i2]
+                               * P1[i2-r3-1];
+                    double den = P0[i2-r3-1] * P1[i2-r3] * P1[i2-1];
+                    idx_ = index;
+                    Q64(x[index], num / den, P0[i2]);
+                }
+            }
+            double *t = P1; P1 = P0; P0 = t;
+        }
+    }
+#undef Q64
+    free(P1); free(P0);
+    *nmid = E.nmid;
+    return E.nlead;
+}
+
+/* Exact-stream reader state for the decode kernels. */
+typedef struct {
+    int esize, req_bytes, resi_len;
+    uint8_t prev[8];
+    const uint8_t *lead;  int64_t k;
+    const uint8_t *mid;   int64_t midp;
+    const uint8_t *resi;  int64_t bitp;
+} xdec;
+
+static inline float xdec_next_f32(xdec *D, float median, int raw) {
+    uint8_t b[4] = {0};
+    int ln = D->lead[D->k++];
+    for (int j = 0; j < ln; j++) b[j] = D->prev[j];
+    for (int j = ln; j < D->req_bytes; j++) b[j] = D->mid[D->midp++];
+    if (D->resi_len && D->req_bytes < 4) {
+        int v = 0;
+        for (int w = 0; w < D->resi_len; w++) {
+            v = (v << 1)
+              | ((D->resi[D->bitp >> 3] >> (7 - (D->bitp & 7))) & 1);
+            D->bitp++;
+        }
+        b[D->req_bytes] = (uint8_t)(v << (8 - D->resi_len));
+    }
+    memcpy(D->prev, b, 4);
+    uint32_t ival = ((uint32_t)b[0] << 24) | ((uint32_t)b[1] << 16)
+                  | ((uint32_t)b[2] << 8) | b[3];
+    float val;
+    memcpy(&val, &ival, 4);
+    return raw ? val : val + median;
+}
+
+static inline double xdec_next_f64(xdec *D, double median, int raw) {
+    uint8_t b[8] = {0};
+    int ln = D->lead[D->k++];
+    for (int j = 0; j < ln; j++) b[j] = D->prev[j];
+    for (int j = ln; j < D->req_bytes; j++) b[j] = D->mid[D->midp++];
+    if (D->resi_len && D->req_bytes < 8) {
+        int v = 0;
+        for (int w = 0; w < D->resi_len; w++) {
+            v = (v << 1)
+              | ((D->resi[D->bitp >> 3] >> (7 - (D->bitp & 7))) & 1);
+            D->bitp++;
+        }
+        b[D->req_bytes] = (uint8_t)(v << (8 - D->resi_len));
+    }
+    memcpy(D->prev, b, 8);
+    uint64_t ival = 0;
+    for (int j = 0; j < 8; j++) ival = (ival << 8) | b[j];
+    double val;
+    memcpy(&val, &ival, 8);
+    return raw ? val : val + median;
+}
+
+void msst19_decode_f32(const int32_t *types, int rank, int64_t r1,
+                       int64_t r2, int64_t r3, const double *ptable,
+                       int req_length, const uint8_t *lead,
+                       const uint8_t *mid, const uint8_t *resi,
+                       float *out) {
+    xdec D;
+    D.esize = 4; D.req_bytes = req_length / 8; D.resi_len = req_length % 8;
+    if (D.req_bytes > 4) D.req_bytes = 4;
+    memset(D.prev, 0, 8);
+    D.lead = lead; D.k = 0; D.mid = mid; D.midp = 0;
+    D.resi = resi; D.bitp = 0;
+    int64_t n = r1 * r2 * r3;
+    int64_t r23 = r2 * r3;
+
+#define R32(idx_, pred_)                                                \
+    do {                                                                \
+        int t_ = types[idx_];                                           \
+        out[idx_] = t_ ? (float)(fabs((double)(pred_)) * ptable[t_])    \
+                       : xdec_next_f32(&D, 0.0f, 1);                    \
+    } while (0)
+
+    if (rank == 1) {
+        R32(0, 0.0f);
+        for (int64_t i = 1; i < n; i++) R32(i, out[i-1]);
+    } else if (rank == 2) {
+        R32(0, 0.0f);
+        R32(1, out[0]);
+        for (int64_t j = 2; j < r3; j++)
+            R32(j, (float)(out[j-1] * out[j-1]) / out[j-2]);
+        for (int64_t i = 1; i < r2; i++) {
+            int64_t base = i * r3;
+            R32(base, out[base - r3]);
+            for (int64_t j = 1; j < r3; j++) {
+                int64_t ix = base + j;
+                R32(ix, (float)(out[ix-1] * out[ix-r3]) / out[ix-r3-1]);
+            }
+        }
+    } else {
+        R32(0, 0.0f);
+        R32(1, out[0]);
+        for (int64_t j = 2; j < r3; j++)
+            R32(j, (float)((double)out[j-1] * (double)out[j-1]
+                           / (double)out[j-2]));
+        for (int64_t i = 1; i < r2; i++) {
+            int64_t ix = i * r3;
+            R32(ix, out[ix - r3]);
+            for (int64_t j = 1; j < r3; j++) {
+                int64_t c = ix + j;
+                R32(c, (float)((double)out[c-1] * (double)out[c-r3]
+                               / (double)out[c-r3-1]));
+            }
+        }
+        for (int64_t k = 1; k < r1; k++) {
+            int64_t index = k * r23;
+            R32(index, out[index - r23]);
+            for (int64_t j = 1; j < r3; j++) {
+                int64_t c = index + j;
+                R32(c, (float)((double)out[c-1] * (double)out[c-r23]
+                               / (double)out[c-r23-1]));
+            }
+            for (int64_t i = 1; i < r2; i++) {
+                int64_t c = index + i * r3;
+                R32(c, (float)((double)out[c-r3] * (double)out[c-r23]
+                               / (double)out[c-r23-r3]));
+                for (int64_t j = 1; j < r3; j++) {
+                    c++;
+                    double num = (double)out[c-1] * (double)out[c-r3]
+                               * (double)out[c-r23]
+                               * (double)out[c-r23-r3-1];
+                    double den = (double)out[c-r3-1]
+                               * (double)out[c-r23-r3]
+                               * (double)out[c-r23-1];
+                    R32(c, (float)(num / den));
+                }
+            }
+        }
+    }
+#undef R32
+}
+
+void msst19_decode_f64(const int32_t *types, int rank, int64_t r1,
+                       int64_t r2, int64_t r3, const double *ptable,
+                       int req_length, const uint8_t *lead,
+                       const uint8_t *mid, const uint8_t *resi,
+                       double *out) {
+    xdec D;
+    D.esize = 8; D.req_bytes = req_length / 8; D.resi_len = req_length % 8;
+    if (D.req_bytes > 8) D.req_bytes = 8;
+    memset(D.prev, 0, 8);
+    D.lead = lead; D.k = 0; D.mid = mid; D.midp = 0;
+    D.resi = resi; D.bitp = 0;
+    int64_t n = r1 * r2 * r3;
+    int64_t r23 = r2 * r3;
+
+#define R64(idx_, pred_)                                                \
+    do {                                                                \
+        int t_ = types[idx_];                                           \
+        out[idx_] = t_ ? fabs(pred_) * ptable[t_]                       \
+                       : xdec_next_f64(&D, 0.0, 1);                     \
+    } while (0)
+
+    if (rank == 1) {
+        R64(0, 0.0);
+        for (int64_t i = 1; i < n; i++) R64(i, out[i-1]);
+    } else if (rank == 2) {
+        R64(0, 0.0);
+        R64(1, out[0]);
+        for (int64_t j = 2; j < r3; j++)
+            R64(j, out[j-1] * out[j-1] / out[j-2]);
+        for (int64_t i = 1; i < r2; i++) {
+            int64_t base = i * r3;
+            R64(base, out[base - r3]);
+            for (int64_t j = 1; j < r3; j++) {
+                int64_t ix = base + j;
+                R64(ix, out[ix-1] * out[ix-r3] / out[ix-r3-1]);
+            }
+        }
+    } else {
+        R64(0, 0.0);
+        R64(1, out[0]);
+        for (int64_t j = 2; j < r3; j++)
+            R64(j, out[j-1] * out[j-1] / out[j-2]);
+        for (int64_t i = 1; i < r2; i++) {
+            int64_t ix = i * r3;
+            R64(ix, out[ix - r3]);
+            for (int64_t j = 1; j < r3; j++) {
+                int64_t c = ix + j;
+                R64(c, out[c-1] * out[c-r3] / out[c-r3-1]);
+            }
+        }
+        for (int64_t k = 1; k < r1; k++) {
+            int64_t index = k * r23;
+            R64(index, out[index - r23]);
+            for (int64_t j = 1; j < r3; j++) {
+                int64_t c = index + j;
+                R64(c, out[c-1] * out[c-r23] / out[c-r23-1]);
+            }
+            for (int64_t i = 1; i < r2; i++) {
+                int64_t c = index + i * r3;
+                R64(c, out[c-r3] * out[c-r23] / out[c-r23-r3]);
+                for (int64_t j = 1; j < r3; j++) {
+                    c++;
+                    double num = out[c-1] * out[c-r3] * out[c-r23]
+                               * out[c-r23-r3-1];
+                    double den = out[c-r3-1] * out[c-r23-r3]
+                               * out[c-r23-1];
+                    R64(c, num / den);
+                }
+            }
+        }
+    }
+#undef R64
+}
+
+/* One-pass MSST19 range/sign scan (computeRangeSize_*_MSST19).
+ * signs[0] stays 0; near starts at x[0], strictly-smaller nonzero
+ * magnitudes update it (first occurrence wins).  Returns positive. */
+int range_scan_f32(const float *x, int64_t n, uint8_t *signs,
+                   float *fmin, float *fmax, float *near) {
+    int positive = 1;
+    float mn = x[0], mx = x[0], nr = x[0];
+    signs[0] = 0;
+    for (int64_t i = 1; i < n; i++) {
+        float v = x[i];
+        int s = v < 0;
+        signs[i] = (uint8_t)s;
+        if (s) positive = 0;
+        if (v < mn) mn = v;
+        if (v > mx) mx = v;
+        if (v != 0 && fabsf(v) < fabsf(nr)) nr = v;
+    }
+    *fmin = mn; *fmax = mx; *near = nr;
+    return positive;
+}
+
+int range_scan_f64(const double *x, int64_t n, uint8_t *signs,
+                   double *fmin, double *fmax, double *near) {
+    int positive = 1;
+    double mn = x[0], mx = x[0], nr = x[0];
+    signs[0] = 0;
+    for (int64_t i = 1; i < n; i++) {
+        double v = x[i];
+        int s = v < 0;
+        signs[i] = (uint8_t)s;
+        if (s) positive = 0;
+        if (v < mn) mn = v;
+        if (v > mx) mx = v;
+        if (v != 0 && fabs(v) < fabs(nr)) nr = v;
+    }
+    *fmin = mn; *fmax = mx; *near = nr;
+    return positive;
+}
+
+/* Histogram of int32 codes; returns -1 if any value is out of
+ * [0, nbins) (caller falls back to np.bincount's extending semantics). */
+int64_t i32_hist(const int32_t *x, int64_t n, int64_t *hist,
+                 int64_t nbins) {
+    for (int64_t i = 0; i < n; i++) {
+        int32_t v = x[i];
+        if (v < 0 || v >= nbins) return -1;
+        hist[v]++;
+    }
+    return 0;
+}
