@@ -88,7 +88,12 @@ def _regnd_engine(engine: str, n: int):
     if engine == "jax" or (engine == "auto" and n >= _AUTO_JAX_MIN_SIZE):
         try:
             from sz_tpu.tpu import engine as tpu_engine
-            return tpu_engine
+            # "auto" only picks the device engine when an accelerator
+            # is attached: on CPU-only hosts the native host codec beats
+            # XLA:CPU (which also runs fusion-disabled for bit parity)
+            if engine == "jax" \
+                    or tpu_engine.jax.default_backend() != "cpu":
+                return tpu_engine
         except Exception:  # pragma: no cover - jax unavailable
             if engine == "jax":
                 raise

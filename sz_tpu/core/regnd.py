@@ -608,9 +608,15 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
                 data, dbs, spec, use_reg, qcoeffs, rp, recip, intervals,
                 use_mean, mean)
     else:
-        result_type, unpred_arr = _encode_points_fast(
-            data, dbs, spec, use_reg, qcoeffs, rp, recip, intervals,
-            use_mean, mean)
+        try:
+            from sz_tpu.native import regnd_encode
+            result_type, unpred_arr = regnd_encode(
+                data, dbs, use_reg, qcoeffs, rp, recip, intervals,
+                use_mean, mean)
+        except ImportError:  # pragma: no cover - native unavailable
+            result_type, unpred_arr = _encode_points_fast(
+                data, dbs, spec, use_reg, qcoeffs, rp, recip, intervals,
+                use_mean, mean)
 
     return assemble_body(
         spec, rp, quantization_intervals, use_mean, mean, use_reg,
@@ -866,6 +872,14 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
                oracle: bool = False) -> np.ndarray:
     p = parse_body(body, shape, dtype, size_type)
     if not oracle:
+        try:
+            from sz_tpu.native import regnd_decode
+            return regnd_decode(p.types, tuple(shape), p.dbs,
+                                p.indicator, p.qcoeffs, p.unpred,
+                                p.intervals, p.rp, p.use_mean, p.mean,
+                                p.spec.T)
+        except ImportError:  # pragma: no cover - native unavailable
+            pass
         return _decode_points_fast(tuple(shape), p.spec.T, p.dbs,
                                    p.indicator, p.qcoeffs, p.types,
                                    p.unpred, p.intervals, p.rp,

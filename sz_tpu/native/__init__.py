@@ -520,3 +520,98 @@ def i32_hist(x: np.ndarray, nbins: int):
     rc = int(_lib.i32_hist(_ptr(x), ctypes.c_int64(x.size), _ptr(hist),
                            ctypes.c_int64(nbins)))
     return None if rc < 0 else hist
+
+
+_lib.regnd_encode3d_f32.restype = ctypes.c_int64
+_lib.regnd_encode3d_f64.restype = ctypes.c_int64
+_lib.regnd_encode2d_f32.restype = ctypes.c_int64
+_lib.regnd_encode2d_f64.restype = ctypes.c_int64
+
+
+def _geo(db):
+    return (np.array([db.start(i) for i in range(db.num)], np.int64),
+            np.array([db.count(i) for i in range(db.num)], np.int64))
+
+
+def regnd_encode(data: np.ndarray, dbs, use_reg: np.ndarray,
+                 qcoeffs: np.ndarray, rp, recip, intervals: int,
+                 use_mean: bool, mean):
+    """Blocked-regression point quantization (2D/3D).  Returns
+    (result_type i32[n], unpred values)."""
+    T = data.dtype.type
+    data = np.ascontiguousarray(data)
+    rank = data.ndim
+    n = data.size
+    result_type = np.zeros(n, np.int32)
+    unpred = np.zeros(n, T)
+    ur = np.ascontiguousarray(use_reg, np.uint8)
+    qc = np.ascontiguousarray(qcoeffs, T)
+    cF = ctypes.c_float if T is np.float32 else ctypes.c_double
+    geos = [_geo(db) for db in dbs]
+    if rank == 3:
+        fn = (_lib.regnd_encode3d_f32 if T is np.float32
+              else _lib.regnd_encode3d_f64)
+        (xo, xc), (yo, yc), (zo, zc) = geos
+        ucnt = int(fn(
+            _ptr(data), ctypes.c_int64(data.shape[0]),
+            ctypes.c_int64(data.shape[1]), ctypes.c_int64(data.shape[2]),
+            _ptr(xo), _ptr(xc), ctypes.c_int64(len(xo)),
+            _ptr(yo), _ptr(yc), ctypes.c_int64(len(yo)),
+            _ptr(zo), _ptr(zc), ctypes.c_int64(len(zo)),
+            ctypes.c_int64(dbs[0].early), _ptr(ur), _ptr(qc),
+            cF(rp), cF(recip), ctypes.c_int(int(intervals)),
+            ctypes.c_int(1 if use_mean else 0), cF(mean),
+            _ptr(result_type), _ptr(unpred)))
+    else:
+        fn = (_lib.regnd_encode2d_f32 if T is np.float32
+              else _lib.regnd_encode2d_f64)
+        (xo, xc), (yo, yc) = geos
+        ucnt = int(fn(
+            _ptr(data), ctypes.c_int64(data.shape[0]),
+            ctypes.c_int64(data.shape[1]),
+            _ptr(xo), _ptr(xc), ctypes.c_int64(len(xo)),
+            _ptr(yo), _ptr(yc), ctypes.c_int64(len(yo)),
+            ctypes.c_int64(dbs[0].early), _ptr(ur), _ptr(qc),
+            cF(rp), cF(recip), ctypes.c_int(int(intervals)),
+            ctypes.c_int(1 if use_mean else 0), cF(mean),
+            _ptr(result_type), _ptr(unpred)))
+    return result_type, unpred[:ucnt].copy()
+
+
+def regnd_decode(types: np.ndarray, shape, dbs, indicator: np.ndarray,
+                 qcoeffs: np.ndarray, unpred: np.ndarray, intervals: int,
+                 rp, use_mean: bool, mean, T) -> np.ndarray:
+    """Blocked-regression reconstruction (2D/3D)."""
+    types = np.ascontiguousarray(types, np.int32)
+    rank = len(shape)
+    out = np.zeros(int(np.prod(shape)), T)
+    ind = np.ascontiguousarray(indicator, np.uint8)
+    qc = np.ascontiguousarray(qcoeffs, T)
+    up = (np.ascontiguousarray(unpred, T) if len(unpred)
+          else np.zeros(1, T))
+    cF = ctypes.c_float if T is np.float32 else ctypes.c_double
+    geos = [_geo(db) for db in dbs]
+    if rank == 3:
+        fn = (_lib.regnd_decode3d_f32 if T is np.float32
+              else _lib.regnd_decode3d_f64)
+        (xo, xc), (yo, yc), (zo, zc) = geos
+        fn(_ptr(types), ctypes.c_int64(shape[0]),
+           ctypes.c_int64(shape[1]), ctypes.c_int64(shape[2]),
+           _ptr(xo), _ptr(xc), ctypes.c_int64(len(xo)),
+           _ptr(yo), _ptr(yc), ctypes.c_int64(len(yo)),
+           _ptr(zo), _ptr(zc), ctypes.c_int64(len(zo)),
+           _ptr(ind), _ptr(qc), _ptr(up), cF(rp),
+           ctypes.c_int(int(intervals)),
+           ctypes.c_int(1 if use_mean else 0), cF(mean), _ptr(out))
+    else:
+        fn = (_lib.regnd_decode2d_f32 if T is np.float32
+              else _lib.regnd_decode2d_f64)
+        (xo, xc), (yo, yc) = geos
+        fn(_ptr(types), ctypes.c_int64(shape[0]),
+           ctypes.c_int64(shape[1]),
+           _ptr(xo), _ptr(xc), ctypes.c_int64(len(xo)),
+           _ptr(yo), _ptr(yc), ctypes.c_int64(len(yo)),
+           _ptr(ind), _ptr(qc), _ptr(up), cF(rp),
+           ctypes.c_int(int(intervals)),
+           ctypes.c_int(1 if use_mean else 0), cF(mean), _ptr(out))
+    return out.reshape(shape)

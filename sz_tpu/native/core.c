@@ -1614,3 +1614,304 @@ int64_t i32_hist(const int32_t *x, int64_t n, int64_t *hist,
     }
     return 0;
 }
+
+/* ------------------------------------------------------------------ */
+/* SZ2.1 blocked-regression point kernels                              */
+/* (SZ_compress_float_2D/3D_MDQ_nonblocked_with_blocked_regression,    */
+/* sz_float.c:5516/6527 and the szd_float.c decoders) — ports of the   */
+/* per-point oracle loops in core/regnd.py (rolling boundary strips    */
+/* on encode, direct lattice reads on decode).                         */
+/* ------------------------------------------------------------------ */
+
+#define GEN_REGND(SUF, FT, FABS)                                        \
+static inline int quant_point_##SUF(FT cur, FT pred, FT rp, FT recip,   \
+                                    FT cap, int radius, FT *rec) {      \
+    FT diff = cur - pred;                                               \
+    FT itv = FABS(diff) * recip + (FT)1;                                \
+    if (itv < cap) {                                                    \
+        if (diff < 0) itv = -itv;                                       \
+        int t = (int)(itv / (FT)2) + radius;                            \
+        FT rc = pred + (FT)(2 * (t - radius)) * rp;                     \
+        if (FABS(cur - rc) > rp) { *rec = cur; return 0; }              \
+        *rec = rc;                                                      \
+        return t;                                                       \
+    }                                                                   \
+    *rec = cur;                                                         \
+    return 0;                                                           \
+}                                                                       \
+                                                                        \
+int64_t regnd_encode3d_##SUF(                                           \
+    const FT *data, int64_t r1, int64_t r2, int64_t r3,                 \
+    const int64_t *xo, const int64_t *xc, int64_t nbx,                  \
+    const int64_t *yo, const int64_t *yc, int64_t nby,                  \
+    const int64_t *zo, const int64_t *zc, int64_t nbz,                  \
+    int64_t bx_early, const uint8_t *use_reg, const FT *qcoeffs,        \
+    FT rp, FT recip, int intervals, int use_mean, FT mean,              \
+    int32_t *result_type, FT *unpred) {                                 \
+    FT cap = (FT)intervals, cap_sz = (FT)(intervals - 2);               \
+    int radius = intervals / 2;                                         \
+    int64_t s1 = (r2 + 1) * (r3 + 1);                                   \
+    FT *strip = calloc((bx_early + 1) * s1, sizeof(FT));                \
+    FT *nstrip = calloc((bx_early + 1) * s1, sizeof(FT));               \
+    int64_t ucnt = 0, qn = 0;                                           \
+    for (int64_t i = 0; i < nbx; i++) {                                 \
+        int64_t cbx = xc[i], ox = xo[i];                                \
+        for (int64_t j = 0; j < nby; j++) {                             \
+            int64_t cby = yc[j], oy = yo[j];                            \
+            int64_t tpos = ox * r2 * r3 + oy * cbx * r3;                \
+            for (int64_t k = 0; k < nbz; k++) {                         \
+                int64_t cbz = zc[k], oz = zo[k];                        \
+                int64_t bidx = (i * nby + j) * nbz + k;                 \
+                if (use_reg[bidx]) {                                    \
+                    const FT *lc = qcoeffs + qn * 4;                    \
+                    qn++;                                               \
+                    for (int64_t ii = 0; ii < cbx; ii++)                \
+                    for (int64_t jj = 0; jj < cby; jj++)                \
+                    for (int64_t kk = 0; kk < cbz; kk++) {              \
+                        FT cur = data[(ox+ii)*r2*r3 + (oy+jj)*r3         \
+                                      + oz+kk];                         \
+                        FT pred = lc[0]*(FT)ii + lc[1]*(FT)jj           \
+                                + lc[2]*(FT)kk + lc[3];                 \
+                        FT rec;                                         \
+                        int t = quant_point_##SUF(cur, pred, rp, recip, \
+                                                  cap, radius, &rec);   \
+                        if (t == 0) unpred[ucnt++] = cur;               \
+                        result_type[tpos + (ii*cby + jj)*cbz + kk] = t; \
+                        if (jj == cby-1 || kk == cbz-1)                 \
+                            strip[(ii+1)*s1 + (oy+jj+1)*(r3+1)          \
+                                  + oz+kk+1] = rec;                     \
+                        if (ii == cbx-1)                                \
+                            nstrip[(oy+jj+1)*(r3+1) + oz+kk+1] = rec;   \
+                    }                                                   \
+                } else {                                                \
+                    for (int64_t ii = 0; ii < cbx; ii++)                \
+                    for (int64_t jj = 0; jj < cby; jj++)                \
+                    for (int64_t kk = 0; kk < cbz; kk++) {              \
+                        FT cur = data[(ox+ii)*r2*r3 + (oy+jj)*r3         \
+                                      + oz+kk];                         \
+                        FT rec;                                         \
+                        int t;                                          \
+                        if (use_mean && FABS(cur - mean) <= rp) {       \
+                            t = radius;                                 \
+                            rec = mean;                                 \
+                        } else {                                        \
+                            int64_t sx = ii+1, sy = oy+jj+1,            \
+                                    sz = oz+kk+1;                       \
+                            FT p = strip[sx*s1 + sy*(r3+1) + sz-1]      \
+                                 + strip[sx*s1 + (sy-1)*(r3+1) + sz];   \
+                            p = p + strip[(sx-1)*s1 + sy*(r3+1) + sz];  \
+                            p = p - strip[sx*s1 + (sy-1)*(r3+1)+sz-1];  \
+                            p = p - strip[(sx-1)*s1 + sy*(r3+1)+sz-1];  \
+                            p = p - strip[(sx-1)*s1+(sy-1)*(r3+1)+sz];  \
+                            p = p + strip[(sx-1)*s1+(sy-1)*(r3+1)       \
+                                          +sz-1];                       \
+                            t = quant_point_##SUF(cur, p, rp, recip,    \
+                                                  cap_sz, radius,       \
+                                                  &rec);                \
+                            if (use_mean && t != 0 && t <= radius)      \
+                                t -= 1;                                 \
+                        }                                               \
+                        if (t == 0) unpred[ucnt++] = cur;               \
+                        result_type[tpos + (ii*cby + jj)*cbz + kk] = t; \
+                        strip[(ii+1)*s1 + (oy+jj+1)*(r3+1)              \
+                              + oz+kk+1] = rec;                         \
+                        if (ii == cbx-1)                                \
+                            nstrip[(oy+jj+1)*(r3+1) + oz+kk+1] = rec;   \
+                    }                                                   \
+                }                                                       \
+                tpos += cbx * cby * cbz;                                \
+            }                                                           \
+        }                                                               \
+        FT *t_ = strip; strip = nstrip; nstrip = t_;                    \
+    }                                                                   \
+    free(strip); free(nstrip);                                          \
+    return ucnt;                                                        \
+}                                                                       \
+                                                                        \
+int64_t regnd_encode2d_##SUF(                                           \
+    const FT *data, int64_t r1, int64_t r2,                             \
+    const int64_t *xo, const int64_t *xc, int64_t nbx,                  \
+    const int64_t *yo, const int64_t *yc, int64_t nby,                  \
+    int64_t bx_early, const uint8_t *use_reg, const FT *qcoeffs,        \
+    FT rp, FT recip, int intervals, int use_mean, FT mean,              \
+    int32_t *result_type, FT *unpred) {                                 \
+    FT cap = (FT)intervals, cap_sz = (FT)(intervals - 2);               \
+    int radius = intervals / 2;                                         \
+    int64_t s1 = r2 + 1;                                                \
+    FT *strip = calloc((bx_early + 1) * s1, sizeof(FT));                \
+    FT *nstrip = calloc((bx_early + 1) * s1, sizeof(FT));               \
+    int64_t ucnt = 0, qn = 0;                                           \
+    (void)use_mean; (void)mean;                                         \
+    for (int64_t i = 0; i < nbx; i++) {                                 \
+        int64_t cbx = xc[i], ox = xo[i];                                \
+        int64_t tpos = ox * r2;                                         \
+        for (int64_t j = 0; j < nby; j++) {                             \
+            int64_t cby = yc[j], oy = yo[j];                            \
+            int64_t bidx = i * nby + j;                                 \
+            if (use_reg[bidx]) {                                        \
+                const FT *lc = qcoeffs + qn * 3;                        \
+                qn++;                                                   \
+                for (int64_t ii = 0; ii < cbx; ii++)                    \
+                for (int64_t jj = 0; jj < cby; jj++) {                  \
+                    FT cur = data[(ox+ii)*r2 + oy+jj];                  \
+                    FT pred = lc[0]*(FT)ii + lc[1]*(FT)jj + lc[2];      \
+                    FT rec;                                             \
+                    int t = quant_point_##SUF(cur, pred, rp, recip,     \
+                                              cap, radius, &rec);      \
+                    if (t == 0) unpred[ucnt++] = cur;                   \
+                    result_type[tpos + ii*cby + jj] = t;                \
+                    if (jj == cby-1)                                    \
+                        strip[(ii+1)*s1 + oy+jj+1] = rec;               \
+                    if (ii == cbx-1) nstrip[oy+jj+1] = rec;             \
+                }                                                       \
+            } else {                                                    \
+                for (int64_t ii = 0; ii < cbx; ii++)                    \
+                for (int64_t jj = 0; jj < cby; jj++) {                  \
+                    FT cur = data[(ox+ii)*r2 + oy+jj];                  \
+                    int64_t sx = ii+1, sy = oy+jj+1;                    \
+                    FT p = strip[sx*s1 + sy-1] + strip[(sx-1)*s1 + sy]  \
+                         - strip[(sx-1)*s1 + sy-1];                     \
+                    FT rec;                                             \
+                    int t = quant_point_##SUF(cur, p, rp, recip,        \
+                                              cap_sz, radius, &rec);   \
+                    if (t == 0) unpred[ucnt++] = cur;                   \
+                    result_type[tpos + ii*cby + jj] = t;                \
+                    strip[(ii+1)*s1 + oy+jj+1] = rec;                   \
+                    if (ii == cbx-1) nstrip[oy+jj+1] = rec;             \
+                }                                                       \
+            }                                                           \
+            tpos += cbx * cby;                                          \
+        }                                                               \
+        FT *t_ = strip; strip = nstrip; nstrip = t_;                    \
+    }                                                                   \
+    free(strip); free(nstrip);                                          \
+    return ucnt;                                                        \
+}                                                                       \
+                                                                        \
+void regnd_decode3d_##SUF(                                              \
+    const int32_t *types, int64_t r1, int64_t r2, int64_t r3,           \
+    const int64_t *xo, const int64_t *xc, int64_t nbx,                  \
+    const int64_t *yo, const int64_t *yc, int64_t nby,                  \
+    const int64_t *zo, const int64_t *zc, int64_t nbz,                  \
+    const uint8_t *indicator, const FT *qcoeffs, const FT *unpred,      \
+    FT rp, int intervals, int use_mean, FT mean, FT *out) {             \
+    int radius = intervals / 2;                                         \
+    int64_t tpos = 0, upos = 0, qn = 0, blk = 0;                        \
+    for (int64_t i = 0; i < nbx; i++) {                                 \
+        int64_t cbx = xc[i], ox = xo[i];                                \
+        for (int64_t j = 0; j < nby; j++) {                             \
+            int64_t cby = yc[j], oy = yo[j];                            \
+            for (int64_t k = 0; k < nbz; k++) {                         \
+                int64_t cbz = zc[k], oz = zo[k];                        \
+                if (indicator[blk]) {                                   \
+                    for (int64_t ii = 0; ii < cbx; ii++)                \
+                    for (int64_t jj = 0; jj < cby; jj++)                \
+                    for (int64_t kk = 0; kk < cbz; kk++) {              \
+                        int t = types[tpos + (ii*cby + jj)*cbz + kk];   \
+                        int64_t x = ox+ii, y = oy+jj, z = oz+kk;        \
+                        int64_t c = x*r2*r3 + y*r3 + z;                 \
+                        if (use_mean && t == radius) {                  \
+                            out[c] = mean;                              \
+                        } else if (t == 0) {                            \
+                            out[c] = unpred[upos++];                    \
+                        } else {                                        \
+                            FT d110 = z ? out[c-1] : (FT)0;             \
+                            FT d101 = y ? out[c-r3] : (FT)0;            \
+                            FT d011 = x ? out[c-r2*r3] : (FT)0;         \
+                            FT d100 = (y && z) ? out[c-r3-1] : (FT)0;   \
+                            FT d010 = (x && z) ? out[c-r2*r3-1]         \
+                                               : (FT)0;                 \
+                            FT d001 = (x && y) ? out[c-r2*r3-r3]        \
+                                               : (FT)0;                 \
+                            FT d000 = (x && y && z)                     \
+                                      ? out[c-r2*r3-r3-1] : (FT)0;      \
+                            if (use_mean && t < radius) t += 1;         \
+                            FT p = d110 + d101;                         \
+                            p = p + d011;                               \
+                            p = p - d100;                               \
+                            p = p - d010;                               \
+                            p = p - d001;                               \
+                            p = p + d000;                               \
+                            out[c] = p + (FT)(2 * (t - radius)) * rp;   \
+                        }                                               \
+                    }                                                   \
+                } else {                                                \
+                    const FT *lc = qcoeffs + qn * 4;                    \
+                    qn++;                                               \
+                    for (int64_t ii = 0; ii < cbx; ii++)                \
+                    for (int64_t jj = 0; jj < cby; jj++)                \
+                    for (int64_t kk = 0; kk < cbz; kk++) {              \
+                        int t = types[tpos + (ii*cby + jj)*cbz + kk];   \
+                        int64_t c = (ox+ii)*r2*r3 + (oy+jj)*r3 + oz+kk; \
+                        if (t != 0) {                                   \
+                            FT pred = lc[0]*(FT)ii + lc[1]*(FT)jj       \
+                                    + lc[2]*(FT)kk + lc[3];             \
+                            out[c] = pred + (FT)(2 * (t - radius)) * rp;\
+                        } else {                                        \
+                            out[c] = unpred[upos++];                    \
+                        }                                               \
+                    }                                                   \
+                }                                                       \
+                tpos += cbx * cby * cbz;                                \
+                blk++;                                                  \
+            }                                                           \
+        }                                                               \
+    }                                                                   \
+}                                                                       \
+                                                                        \
+void regnd_decode2d_##SUF(                                              \
+    const int32_t *types, int64_t r1, int64_t r2,                       \
+    const int64_t *xo, const int64_t *xc, int64_t nbx,                  \
+    const int64_t *yo, const int64_t *yc, int64_t nby,                  \
+    const uint8_t *indicator, const FT *qcoeffs, const FT *unpred,      \
+    FT rp, int intervals, int use_mean, FT mean, FT *out) {             \
+    int radius = intervals / 2;                                         \
+    int64_t tpos = 0, upos = 0, qn = 0, blk = 0;                        \
+    (void)use_mean; (void)mean;                                         \
+    for (int64_t i = 0; i < nbx; i++) {                                 \
+        int64_t cbx = xc[i], ox = xo[i];                                \
+        for (int64_t j = 0; j < nby; j++) {                             \
+            int64_t cby = yc[j], oy = yo[j];                            \
+            if (indicator[blk]) {                                       \
+                for (int64_t ii = 0; ii < cbx; ii++)                    \
+                for (int64_t jj = 0; jj < cby; jj++) {                  \
+                    int t = types[tpos + ii*cby + jj];                  \
+                    int64_t x = ox+ii, y = oy+jj;                       \
+                    int64_t c = x*r2 + y;                               \
+                    if (use_mean && t == radius) {                      \
+                        out[c] = mean;                                  \
+                    } else if (t == 0) {                                \
+                        out[c] = unpred[upos++];                        \
+                    } else {                                            \
+                        FT d10 = y ? out[c-1] : (FT)0;                  \
+                        FT d01 = x ? out[c-r2] : (FT)0;                 \
+                        FT d00 = (x && y) ? out[c-r2-1] : (FT)0;        \
+                        if (use_mean && t < radius) t += 1;             \
+                        FT p = d10 + d01 - d00;                         \
+                        out[c] = p + (FT)(2 * (t - radius)) * rp;       \
+                    }                                                   \
+                }                                                       \
+            } else {                                                    \
+                const FT *lc = qcoeffs + qn * 3;                        \
+                qn++;                                                   \
+                for (int64_t ii = 0; ii < cbx; ii++)                    \
+                for (int64_t jj = 0; jj < cby; jj++) {                  \
+                    int t = types[tpos + ii*cby + jj];                  \
+                    int64_t c = (ox+ii)*r2 + oy+jj;                     \
+                    if (t != 0) {                                       \
+                        FT pred = lc[0]*(FT)ii + lc[1]*(FT)jj + lc[2];  \
+                        out[c] = pred + (FT)(2 * (t - radius)) * rp;    \
+                    } else {                                            \
+                        out[c] = unpred[upos++];                        \
+                    }                                                   \
+                }                                                       \
+            }                                                           \
+            tpos += cbx * cby;                                          \
+            blk++;                                                      \
+        }                                                               \
+    }                                                                   \
+}
+
+GEN_REGND(f32, float, fabsf)
+GEN_REGND(f64, double, fabs)
+#undef GEN_REGND
