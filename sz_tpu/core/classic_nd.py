@@ -457,8 +457,24 @@ def compress_nd(data: np.ndarray, real_precision: float, value_range,
             return enc.add(cur)
 
     if not subblock and not oracle:
-        types = _encode_fast_nd(data, T, RT, IT, rp, recip, intervals,
-                                radius, enc)
+        native_t = None
+        if min(data.shape[-1:]) >= 2:
+            try:
+                from sz_tpu.native import classicnd_encode
+                dbl = RT is np.float64
+                native_t = classicnd_encode(
+                    data, float(rp), float(recip), T(rp), T(recip),
+                    int(intervals), radius, dbl, req_length, median)
+            except ImportError:  # pragma: no cover
+                native_t = None
+        if native_t is not None:
+            types, lead, mid_b, resi, _cnt = native_t
+            enc.lead_nums = lead.tolist()
+            enc.mid_bytes = bytearray(mid_b)
+            enc.resi_bits = resi.tolist()
+        else:
+            types = _encode_fast_nd(data, T, RT, IT, rp, recip,
+                                    intervals, radius, enc)
     elif data.ndim == 4:
         # SZ_compress_float_4D_MDQ (sz_float.c:1479): the 3D scheme run
         # independently per outermost slice (each slice restarts with an
@@ -556,7 +572,21 @@ def decompress_nd(tdps: TDPS, shape, dtype,
     rp = RT(tdps.real_precision)
 
     if not oracle:
-        return _decode_fast_nd(types, None, tuple(int(s) for s in shape),
+        shp = tuple(int(s) for s in shape)
+        if shp[-1] >= 2:
+            try:
+                from sz_tpu.native import classicnd_decode
+                from sz_tpu.format import bytes_util as bu
+                lead = bu.unpack_bits_2(tdps.lead_num,
+                                        tdps.exact_data_num)
+                return classicnd_decode(
+                    types, shp, float(rp), T(rp), radius,
+                    RT is np.float64, tdps.req_length,
+                    T(tdps.median_value), lead, tdps.exact_mid_bytes,
+                    tdps.residual_mid_bits, T).reshape(shape)
+            except ImportError:  # pragma: no cover
+                pass
+        return _decode_fast_nd(types, None, shp,
                                T, RT, rp, radius, dec).reshape(shape)
 
     def rec(idx, pred):

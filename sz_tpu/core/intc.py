@@ -230,6 +230,12 @@ def compress_int(data: np.ndarray, real_precision: float, *,
             else:
                 esc(i, flat[i])
                 pred = A1(cur)
+    elif data.ndim in (2, 3, 4) and data.shape[-1] >= 2 \
+            and _intnd_native() is not None:
+        types, exact_b, nexact = _intnd_native()(
+            data, rp, intervals, radius, AN, DN, mn, byte_size,
+            spec.esize, data.ndim == 4)
+        exact = bytearray(exact_b)
     elif data.ndim == 4:
         # like the float 4D kernel: the 3D scheme run per outermost
         # slice, each restarting with an escaped first value.
@@ -257,6 +263,15 @@ def compress_int(data: np.ndarray, real_precision: float, *,
                  exact_byte_size=byte_size, type_array=type_array,
                  exact_bytes=bytes(exact), exact_data_num=num_field,
                  max_quant_intervals=max_range_radius * 2)
+
+
+def _intnd_native():
+    """The native ND kernel, or None (oracle/serial fallback)."""
+    try:
+        from sz_tpu.native import intnd_encode
+        return intnd_encode
+    except ImportError:  # pragma: no cover - native unavailable
+        return None
 
 
 def _int1d_fast_half(flat, spec, rp, intervals, radius, mn, byte_size):
@@ -482,6 +497,15 @@ def decompress_int(t: ITDPS, shape, dtype) -> np.ndarray:
                         + np.int64(out[ixj - r23 - r3 - 1]))
 
     dims = tuple(shape)
+    if len(dims) >= 2 and dims[-1] >= 2:
+        try:
+            from sz_tpu.native import intnd_decode
+            return intnd_decode(
+                types, dims, float(interval2), radius, spec.np_dtype,
+                t.min_value, t.exact_byte_size, spec.esize,
+                t.exact_bytes).reshape(shape)
+        except ImportError:  # pragma: no cover - native unavailable
+            pass
     if len(dims) == 4:
         sub = dims[1:]
         stride = int(np.prod(sub))

@@ -615,3 +615,130 @@ def regnd_decode(types: np.ndarray, shape, dbs, indicator: np.ndarray,
            ctypes.c_int(int(intervals)),
            ctypes.c_int(1 if use_mean else 0), cF(mean), _ptr(out))
     return out.reshape(shape)
+
+
+_lib.classicnd_encode_f32.restype = ctypes.c_int64
+_lib.classicnd_encode_f64.restype = ctypes.c_int64
+
+
+def classicnd_encode(data: np.ndarray, rp64: float, recip64: float,
+                     rp, recip, intervals: int, radius: int, dbl: bool,
+                     req_length: int, median):
+    """Classic 2D/3D/4D MDQ encode.  Returns
+    (types, lead u8, mid bytes, resi u8 entries, cnt)."""
+    T = data.dtype.type
+    x = np.ascontiguousarray(data)
+    if x.ndim == 2:
+        q1, r1, r2, r3 = 1, 1, x.shape[0], x.shape[1]
+    elif x.ndim == 3:
+        q1, r1, r2, r3 = 1, x.shape[0], x.shape[1], x.shape[2]
+    else:
+        q1, r1, r2, r3 = x.shape
+    n = x.size
+    rb = req_length // 8
+    types = np.zeros(n, np.int32)
+    lead = np.zeros(max(n, 1), np.uint8)
+    mid = np.zeros(max(n * max(rb, 1), 1), np.uint8)
+    resi = np.zeros(max(n, 1), np.uint8)
+    nmid = np.zeros(1, np.int64)
+    cF = ctypes.c_float if T is np.float32 else ctypes.c_double
+    fn = (_lib.classicnd_encode_f32 if T is np.float32
+          else _lib.classicnd_encode_f64)
+    cnt = int(fn(_ptr(x), ctypes.c_int64(q1), ctypes.c_int64(r1),
+                 ctypes.c_int64(r2), ctypes.c_int64(r3),
+                 ctypes.c_double(rp64), ctypes.c_double(recip64),
+                 cF(rp), cF(recip), ctypes.c_int(int(intervals)),
+                 ctypes.c_int(radius), ctypes.c_int(1 if dbl else 0),
+                 ctypes.c_int(req_length), cF(median), _ptr(types),
+                 _ptr(lead), _ptr(mid), _ptr(nmid), _ptr(resi)))
+    esize = 4 if T is np.float32 else 8
+    has_resi = (req_length % 8) != 0 and rb < esize
+    return (types, lead[:cnt], mid[:int(nmid[0])].tobytes(),
+            resi[:cnt] if has_resi else resi[:0], cnt)
+
+
+def classicnd_decode(types: np.ndarray, shape, rp64: float, rp,
+                     radius: int, dbl: bool, req_length: int, median,
+                     lead: np.ndarray, mid: bytes, resi: bytes,
+                     T) -> np.ndarray:
+    types = np.ascontiguousarray(types, np.int32)
+    if len(shape) == 2:
+        q1, r1, r2, r3 = 1, 1, shape[0], shape[1]
+    elif len(shape) == 3:
+        q1, r1, r2, r3 = 1, shape[0], shape[1], shape[2]
+    else:
+        q1, r1, r2, r3 = shape
+    lead = np.ascontiguousarray(lead, np.uint8)
+    midb = np.frombuffer(mid, np.uint8) if len(mid) else np.zeros(1, np.uint8)
+    resb = (np.frombuffer(resi, np.uint8) if len(resi)
+            else np.zeros(1, np.uint8))
+    out = np.zeros(types.size, T)
+    cF = ctypes.c_float if T is np.float32 else ctypes.c_double
+    fn = (_lib.classicnd_decode_f32 if T is np.float32
+          else _lib.classicnd_decode_f64)
+    fn(_ptr(types), ctypes.c_int64(q1), ctypes.c_int64(r1),
+       ctypes.c_int64(r2), ctypes.c_int64(r3), ctypes.c_double(rp64),
+       cF(rp), ctypes.c_int(radius), ctypes.c_int(1 if dbl else 0),
+       ctypes.c_int(req_length), cF(median), _ptr(lead), _ptr(midb),
+       _ptr(resb), _ptr(out))
+    return out
+
+
+_lib.intnd_encode2.restype = ctypes.c_int64
+
+
+def intnd_encode(data: np.ndarray, rp: float, intervals: int,
+                 radius: int, an_dtype, dn_dtype, min_value: int,
+                 byte_size: int, store_esize: int, quirk4d: bool):
+    """Integer 2D/3D/4D MDQ encode.  Returns (types, exact bytes,
+    n_exact)."""
+    x = np.ascontiguousarray(data)
+    if x.ndim == 2:
+        q1, r1, r2, r3 = 1, 1, x.shape[0], x.shape[1]
+    elif x.ndim == 3:
+        q1, r1, r2, r3 = 1, x.shape[0], x.shape[1], x.shape[2]
+    else:
+        q1, r1, r2, r3 = x.shape
+    n = x.size
+    dt = x.dtype
+    an = np.dtype(an_dtype)
+    dn = np.dtype(dn_dtype)
+    types = np.zeros(n, np.int32)
+    exact = np.zeros(max(n * byte_size, 1), np.uint8)
+    cnt = int(_lib.intnd_encode2(
+        _ptr(x), ctypes.c_int(dt.itemsize),
+        ctypes.c_int(1 if dt.kind == "i" else 0),
+        ctypes.c_int64(q1), ctypes.c_int64(r1), ctypes.c_int64(r2),
+        ctypes.c_int64(r3), ctypes.c_double(rp),
+        ctypes.c_int(int(intervals)), ctypes.c_int(radius),
+        ctypes.c_int(an.itemsize * 8),
+        ctypes.c_int(1 if an.kind == "i" else 0),
+        ctypes.c_int(dn.itemsize * 8), ctypes.c_int64(int(min_value)),
+        ctypes.c_int(byte_size), ctypes.c_int(store_esize),
+        ctypes.c_int(1 if quirk4d else 0), _ptr(types), _ptr(exact)))
+    return types, exact[:cnt * byte_size].tobytes(), cnt
+
+
+def intnd_decode(types: np.ndarray, shape, interval2: float,
+                 radius: int, out_dtype, min_value: int, byte_size: int,
+                 store_esize: int, exact: bytes) -> np.ndarray:
+    types = np.ascontiguousarray(types, np.int32)
+    if len(shape) == 2:
+        q1, r1, r2, r3 = 1, 1, shape[0], shape[1]
+    elif len(shape) == 3:
+        q1, r1, r2, r3 = 1, shape[0], shape[1], shape[2]
+    else:
+        q1, r1, r2, r3 = shape
+    dt = np.dtype(out_dtype)
+    eb = (np.frombuffer(exact, np.uint8) if len(exact)
+          else np.zeros(1, np.uint8))
+    out = np.zeros(types.size, np.int64)
+    _lib.intnd_decode(
+        _ptr(types), ctypes.c_int64(q1), ctypes.c_int64(r1),
+        ctypes.c_int64(r2), ctypes.c_int64(r3),
+        ctypes.c_double(interval2), ctypes.c_int(radius),
+        ctypes.c_int(dt.itemsize * 8),
+        ctypes.c_int(1 if dt.kind == "i" else 0),
+        ctypes.c_int64(int(min_value)), ctypes.c_int(byte_size),
+        ctypes.c_int(store_esize), _ptr(eb), _ptr(out))
+    return out.astype(out_dtype)

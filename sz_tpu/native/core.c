@@ -1915,3 +1915,488 @@ void regnd_decode2d_##SUF(                                              \
 GEN_REGND(f32, float, fabsf)
 GEN_REGND(f64, double, fabs)
 #undef GEN_REGND
+
+/* ------------------------------------------------------------------ */
+/* Classic SZ1.4 2D/3D/4D MDQ kernels                                  */
+/* (SZ_compress_float_2D/3D/4D_MDQ sz_float.c:610/946/1479 + double    */
+/* analogs; decoders szd_float.c:284/600/1140) — ports of the          */
+/* per-point oracle loops in core/classic_nd.py.  2D runs as a         */
+/* single-layer 3D volume (identical scheme); 4D as independent        */
+/* slices.  `dbl` selects the float-4D/double itvNum+recon arithmetic. */
+/* ------------------------------------------------------------------ */
+
+#define GEN_CLASSIC(SUF, FT, FABS, ESIZE, XADD)                         \
+static FT cnd_quant_##SUF(xenc *E, int32_t *types, int64_t idx, FT cur, \
+                          FT pred, double rp64, double recip64,         \
+                          FT rp, FT recip, int intervals, int radius,   \
+                          int dbl, FT median, uint64_t mask) {          \
+    FT diff = cur - pred;                                               \
+    if (dbl) {                                                          \
+        double itv = fabs((double)diff) * recip64 + 1.0;                \
+        if (itv < (double)intervals) {                                  \
+            if (diff < 0) itv = -itv;                                   \
+            int t = (int)(itv / 2.0) + radius;                          \
+            FT rec = (FT)((double)pred                                  \
+                          + (double)(2 * (t - radius)) * rp64);         \
+            if (fabs((double)(FT)(cur - rec)) > rp64) {                 \
+                types[idx] = 0;                                         \
+                return XADD(E, cur, median, 0, mask);                   \
+            }                                                           \
+            types[idx] = t;                                             \
+            return rec;                                                 \
+        }                                                               \
+    } else {                                                            \
+        FT itv = (FT)(fabs((double)diff) * (double)recip + 1.0);        \
+        if (itv < (FT)intervals) {                                      \
+            if (diff < 0) itv = -itv;                                   \
+            int t = (int)(itv / (FT)2) + radius;                        \
+            FT rec = pred + (FT)(2 * (t - radius)) * rp;                \
+            if (fabs((double)(FT)(cur - rec)) > (double)rp) {           \
+                types[idx] = 0;                                         \
+                return XADD(E, cur, median, 0, mask);                   \
+            }                                                           \
+            types[idx] = t;                                             \
+            return rec;                                                 \
+        }                                                               \
+    }                                                                   \
+    types[idx] = 0;                                                     \
+    return XADD(E, cur, median, 0, mask);                               \
+}                                                                       \
+                                                                        \
+int64_t classicnd_encode_##SUF(const FT *x, int64_t q1, int64_t r1,     \
+                               int64_t r2, int64_t r3, double rp64,     \
+                               double recip64, FT rp, FT recip,         \
+                               int intervals, int radius, int dbl,      \
+                               int req_length, FT median,               \
+                               int32_t *types, uint8_t *lead,           \
+                               uint8_t *mid, int64_t *nmid,             \
+                               uint8_t *resi) {                         \
+    xenc E;                                                             \
+    E.esize = ESIZE;                                                    \
+    E.req_bytes = req_length / 8; E.resi_len = req_length % 8;          \
+    if (E.req_bytes > ESIZE) E.req_bytes = ESIZE;                       \
+    memset(E.prev, 0, 8);                                               \
+    E.lead = lead; E.nlead = 0; E.mid = mid; E.nmid = 0;                \
+    E.resi = resi; E.nresi = 0;                                         \
+    uint64_t mask = xenc_mask(ESIZE, req_length);                       \
+    int64_t r23 = r2 * r3;                                              \
+    int64_t vol = r1 * r23;                                             \
+    FT *P1 = malloc(r23 * sizeof(FT));                                  \
+    FT *P0 = malloc(r23 * sizeof(FT));                                  \
+    for (int64_t l = 0; l < q1; l++) {                                  \
+        int64_t base = l * vol;                                         \
+        types[base] = 0;                                                \
+        P1[0] = XADD(&E, x[base], median, 0, mask);                     \
+        if (r3 > 1)                                                     \
+            P1[1] = cnd_quant_##SUF(&E, types, base + 1, x[base + 1],   \
+                                    P1[0], rp64, recip64, rp, recip,    \
+                                    intervals, radius, dbl, median,     \
+                                    mask);                              \
+        for (int64_t j = 2; j < r3; j++) {                              \
+            FT pred = (FT)2 * P1[j-1] - P1[j-2];                        \
+            P1[j] = cnd_quant_##SUF(&E, types, base + j, x[base + j],   \
+                                    pred, rp64, recip64, rp, recip,     \
+                                    intervals, radius, dbl, median,     \
+                                    mask);                              \
+        }                                                               \
+        for (int64_t i = 1; i < r2; i++) {                              \
+            int64_t ix = i * r3;                                        \
+            P1[ix] = cnd_quant_##SUF(&E, types, base + ix, x[base + ix],\
+                                     P1[ix - r3], rp64, recip64, rp,    \
+                                     recip, intervals, radius, dbl,     \
+                                     median, mask);                     \
+            for (int64_t j = 1; j < r3; j++) {                          \
+                int64_t c = ix + j;                                     \
+                FT pred = P1[c-1] + P1[c-r3] - P1[c-r3-1];              \
+                P1[c] = cnd_quant_##SUF(&E, types, base + c,            \
+                                        x[base + c], pred, rp64,        \
+                                        recip64, rp, recip, intervals,  \
+                                        radius, dbl, median, mask);     \
+            }                                                           \
+        }                                                               \
+        for (int64_t k = 1; k < r1; k++) {                              \
+            int64_t index = k * r23;                                    \
+            P0[0] = cnd_quant_##SUF(&E, types, base + index,            \
+                                    x[base + index], P1[0], rp64,       \
+                                    recip64, rp, recip, intervals,      \
+                                    radius, dbl, median, mask);         \
+            for (int64_t j = 1; j < r3; j++) {                          \
+                index++;                                                \
+                FT pred = P0[j-1] + P1[j] - P1[j-1];                    \
+                P0[j] = cnd_quant_##SUF(&E, types, base + index,        \
+                                        x[base + index], pred, rp64,    \
+                                        recip64, rp, recip, intervals,  \
+                                        radius, dbl, median, mask);     \
+            }                                                           \
+            for (int64_t i = 1; i < r2; i++) {                          \
+                index = k * r23 + i * r3;                               \
+                int64_t i2 = i * r3;                                    \
+                FT pred = P0[i2-r3] + P1[i2] - P1[i2-r3];               \
+                P0[i2] = cnd_quant_##SUF(&E, types, base + index,       \
+                                         x[base + index], pred, rp64,   \
+                                         recip64, rp, recip, intervals, \
+                                         radius, dbl, median, mask);    \
+                for (int64_t j = 1; j < r3; j++) {                      \
+                    index++;                                            \
+                    i2 = i * r3 + j;                                    \
+                    FT pred2 = P0[i2-1] + P0[i2-r3];                    \
+                    pred2 = pred2 + P1[i2];                             \
+                    pred2 = pred2 - P0[i2-r3-1];                        \
+                    pred2 = pred2 - P1[i2-r3];                          \
+                    pred2 = pred2 - P1[i2-1];                           \
+                    pred2 = pred2 + P1[i2-r3-1];                        \
+                    P0[i2] = cnd_quant_##SUF(&E, types, base + index,   \
+                                             x[base + index], pred2,    \
+                                             rp64, recip64, rp, recip,  \
+                                             intervals, radius, dbl,    \
+                                             median, mask);             \
+                }                                                       \
+            }                                                           \
+            FT *t_ = P1; P1 = P0; P0 = t_;                              \
+        }                                                               \
+    }                                                                   \
+    free(P1); free(P0);                                                 \
+    *nmid = E.nmid;                                                     \
+    return E.nlead;                                                     \
+}
+
+GEN_CLASSIC(f32, float, fabsf, 4, xenc_add_f32)
+GEN_CLASSIC(f64, double, fabs, 8, xenc_add_f64)
+#undef GEN_CLASSIC
+
+#define GEN_CLASSIC_DEC(SUF, FT, XNEXT, ESIZE)                         \
+static inline void cnd_rec_##SUF(xdec *D, const int32_t *ty, FT *o,     \
+                                 int64_t idx, FT pred, double rp64,     \
+                                 FT rp, int radius, int dbl,            \
+                                 FT median) {                           \
+    int t = ty[idx];                                                    \
+    if (t == 0) o[idx] = XNEXT(D, median, 0);                           \
+    else if (dbl)                                                       \
+        o[idx] = (FT)((double)pred                                      \
+                      + (double)(2 * (t - radius)) * rp64);             \
+    else                                                                \
+        o[idx] = pred + (FT)(2 * (t - radius)) * rp;                    \
+}                                                                       \
+                                                                        \
+void classicnd_decode_##SUF(const int32_t *types, int64_t q1,           \
+                            int64_t r1, int64_t r2, int64_t r3,         \
+                            double rp64, FT rp, int radius, int dbl,    \
+                            int req_length, FT median,                  \
+                            const uint8_t *lead, const uint8_t *mid,    \
+                            const uint8_t *resi, FT *out) {             \
+    xdec D;                                                             \
+    D.esize = ESIZE;                                                    \
+    D.req_bytes = req_length / 8; D.resi_len = req_length % 8;          \
+    if (D.req_bytes > ESIZE) D.req_bytes = ESIZE;                       \
+    memset(D.prev, 0, 8);                                               \
+    D.lead = lead; D.k = 0; D.mid = mid; D.midp = 0;                    \
+    D.resi = resi; D.bitp = 0;                                          \
+    int64_t r23 = r2 * r3;                                              \
+    int64_t vol = r1 * r23;                                             \
+    for (int64_t l = 0; l < q1; l++) {                                  \
+        FT *o = out + l * vol;                                          \
+        const int32_t *ty = types + l * vol;                            \
+        cnd_rec_##SUF(&D, ty, o, 0, (FT)0, rp64, rp, radius, dbl,       \
+                      median);                                          \
+        if (r3 > 1)                                                     \
+            cnd_rec_##SUF(&D, ty, o, 1, o[0], rp64, rp, radius, dbl,    \
+                          median);                                      \
+        for (int64_t j = 2; j < r3; j++)                                \
+            cnd_rec_##SUF(&D, ty, o, j, (FT)2 * o[j-1] - o[j-2],        \
+                          rp64, rp, radius, dbl, median);               \
+        for (int64_t i = 1; i < r2; i++) {                              \
+            int64_t ix = i * r3;                                        \
+            cnd_rec_##SUF(&D, ty, o, ix, o[ix - r3], rp64, rp, radius,  \
+                          dbl, median);                                 \
+            for (int64_t j = 1; j < r3; j++) {                          \
+                int64_t c = ix + j;                                     \
+                cnd_rec_##SUF(&D, ty, o, c,                             \
+                              o[c-1] + o[c-r3] - o[c-r3-1], rp64, rp,   \
+                              radius, dbl, median);                     \
+            }                                                           \
+        }                                                               \
+        for (int64_t k = 1; k < r1; k++) {                              \
+            int64_t index = k * r23;                                    \
+            cnd_rec_##SUF(&D, ty, o, index, o[index - r23], rp64, rp,   \
+                          radius, dbl, median);                         \
+            for (int64_t j = 1; j < r3; j++) {                          \
+                int64_t c = index + j;                                  \
+                cnd_rec_##SUF(&D, ty, o, c,                             \
+                              o[c-1] + o[c-r23] - o[c-r23-1], rp64,     \
+                              rp, radius, dbl, median);                 \
+            }                                                           \
+            for (int64_t i = 1; i < r2; i++) {                          \
+                int64_t c = index + i * r3;                             \
+                cnd_rec_##SUF(&D, ty, o, c,                             \
+                              o[c-r3] + o[c-r23] - o[c-r23-r3], rp64,   \
+                              rp, radius, dbl, median);                 \
+                for (int64_t j = 1; j < r3; j++) {                      \
+                    int64_t cj = c + j;                                 \
+                    FT pred = o[cj-1] + o[cj-r3];                       \
+                    pred = pred + o[cj-r23];                            \
+                    pred = pred - o[cj-r3-1];                           \
+                    pred = pred - o[cj-r23-r3];                         \
+                    pred = pred - o[cj-r23-1];                          \
+                    pred = pred + o[cj-r23-r3-1];                       \
+                    cnd_rec_##SUF(&D, ty, o, cj, pred, rp64, rp,        \
+                                  radius, dbl, median);                 \
+                }                                                       \
+            }                                                           \
+        }                                                               \
+    }                                                                   \
+}
+
+GEN_CLASSIC_DEC(f32, float, xdec_next_f32, 4)
+GEN_CLASSIC_DEC(f64, double, xdec_next_f64, 8)
+#undef GEN_CLASSIC_DEC
+
+/* ------------------------------------------------------------------ */
+/* Integer 2D/3D/4D MDQ kernels (sz_[u]int*.c) — ports of the Python   */
+/* oracle loops in core/intc.py with the per-width arithmetic quirks   */
+/* (AN/DN wrap widths, double->int truncation, the 4D stale-curValue   */
+/* bug).  2D runs as a single-layer 3D volume; 4D as slices with the   \
+ * quirk step at position 1 of every slice.                            */
+/* ------------------------------------------------------------------ */
+
+static inline int64_t wrap_bits(int64_t v, int bits, int sgn) {
+    if (bits >= 64) return v;
+    uint64_t m = (~0ull) >> (64 - bits);
+    uint64_t u = (uint64_t)v & m;
+    if (sgn && (u >> (bits - 1))) return (int64_t)(u | ~m);
+    return (int64_t)u;
+}
+
+static inline int64_t ld_int(const uint8_t *p, int esize, int sgn) {
+    switch (esize) {
+        case 1: return sgn ? (int64_t)*(const int8_t *)p
+                           : (int64_t)*(const uint8_t *)p;
+        case 2: return sgn ? (int64_t)*(const int16_t *)p
+                           : (int64_t)*(const uint16_t *)p;
+        case 4: return sgn ? (int64_t)*(const int32_t *)p
+                           : (int64_t)*(const uint32_t *)p;
+        default: return *(const int64_t *)p;
+    }
+}
+
+typedef struct {
+    double rp;
+    int intervals, radius;
+    int an_bits, an_sgn, dn_bits;
+    int64_t min_value;
+    int byte_size, store_esize;
+    uint8_t *exact;
+    int64_t ecnt;     /* exact VALUE count */
+} ienc;
+
+static inline void ienc_store(ienc *E, int64_t value) {
+    uint64_t m = (E->store_esize >= 8) ? ~0ull
+                 : ((~0ull) >> (64 - 8 * E->store_esize));
+    uint64_t d = ((uint64_t)(value - E->min_value)) & m;
+    for (int b = 0; b < E->byte_size; b++)
+        E->exact[E->ecnt * E->byte_size + b] =
+            (uint8_t)(d >> (8 * (E->byte_size - 1 - b)));
+    E->ecnt++;
+}
+
+/* One quant step: cur as the (wrapped-to-input) int64 value; returns
+ * the new AN-wrapped prediction and writes types[idx]. */
+static inline int64_t ienc_quant(ienc *E, int32_t *types, int64_t idx,
+                                 int64_t cur, int64_t pred) {
+    int64_t diff = wrap_bits(cur - pred, E->dn_bits, 1);
+    double itv = (double)(diff < 0 ? -diff : diff) / E->rp + 1.0;
+    if (itv < (double)E->intervals) {
+        if (diff < 0) itv = -itv;
+        int t = (int)(itv / 2) + E->radius;
+        types[idx] = t;
+        double v = (double)pred + 2.0 * (t - E->radius) * E->rp;
+        return wrap_bits((int64_t)trunc(v), E->an_bits, E->an_sgn);
+    }
+    types[idx] = 0;
+    ienc_store(E, cur);
+    return wrap_bits(cur, E->an_bits, E->an_sgn);
+}
+
+int64_t intnd_encode2(const uint8_t *x, int in_esize, int in_sgn,
+                      int64_t q1, int64_t r1, int64_t r2, int64_t r3,
+                      double rp, int intervals, int radius,
+                      int an_bits, int an_sgn, int dn_bits,
+                      int64_t min_value, int byte_size, int store_esize,
+                      int quirk4d, int32_t *types, uint8_t *exact) {
+    ienc E;
+    E.rp = rp; E.intervals = intervals; E.radius = radius;
+    E.an_bits = an_bits; E.an_sgn = an_sgn; E.dn_bits = dn_bits;
+    E.min_value = min_value; E.byte_size = byte_size;
+    E.store_esize = store_esize;
+    E.exact = exact; E.ecnt = 0;
+    int64_t r23 = r2 * r3;
+    int64_t vol = r1 * r23;
+    int64_t *P1 = malloc(r23 * sizeof(int64_t));
+    int64_t *P0 = malloc(r23 * sizeof(int64_t));
+    int64_t global_first = ld_int(x, in_esize, in_sgn);
+
+#define LD(i_) ld_int(x + (i_) * in_esize, in_esize, in_sgn)
+
+    for (int64_t l = 0; l < q1; l++) {
+        int64_t base = l * vol;
+        /* first element always exact */
+        types[base] = 0;
+        ienc_store(&E, LD(base));
+        P1[0] = wrap_bits(LD(base), an_bits, an_sgn);
+        if (r3 > 1) {
+            if (quirk4d) {
+                /* 4D "Row-0 data 1" bug: diff uses the slice's element
+                 * 0 as curValue; its escape stores the GLOBAL first */
+                int64_t stale = LD(base);
+                int64_t diff = wrap_bits(stale - P1[0], dn_bits, 1);
+                double itv = (double)(diff < 0 ? -diff : diff) / rp
+                             + 1.0;
+                if (itv < (double)intervals) {
+                    if (diff < 0) itv = -itv;
+                    int t = (int)(itv / 2) + radius;
+                    types[base + 1] = t;
+                    double v = (double)P1[0]
+                               + 2.0 * (t - radius) * rp;
+                    P1[1] = wrap_bits((int64_t)trunc(v), an_bits,
+                                      an_sgn);
+                } else {
+                    types[base + 1] = 0;
+                    ienc_store(&E, global_first);
+                    P1[1] = wrap_bits(global_first, an_bits, an_sgn);
+                }
+            } else {
+                P1[1] = ienc_quant(&E, types, base + 1, LD(base + 1),
+                                   P1[0]);
+            }
+        }
+        for (int64_t j = 2; j < r3; j++)
+            P1[j] = ienc_quant(&E, types, base + j, LD(base + j),
+                               wrap_bits(2 * P1[j-1] - P1[j-2],
+                                         an_bits, an_sgn));
+        for (int64_t i = 1; i < r2; i++) {
+            int64_t ix = i * r3;
+            P1[ix] = ienc_quant(&E, types, base + ix, LD(base + ix),
+                                P1[ix - r3]);
+            for (int64_t j = 1; j < r3; j++) {
+                int64_t c = ix + j;
+                P1[c] = ienc_quant(&E, types, base + c, LD(base + c),
+                                   wrap_bits(P1[c-1] + P1[c-r3]
+                                             - P1[c-r3-1],
+                                             an_bits, an_sgn));
+            }
+        }
+        for (int64_t k = 1; k < r1; k++) {
+            int64_t index = k * r23;
+            P0[0] = ienc_quant(&E, types, base + index, LD(base + index),
+                               P1[0]);
+            for (int64_t j = 1; j < r3; j++) {
+                index++;
+                P0[j] = ienc_quant(&E, types, base + index,
+                                   LD(base + index),
+                                   wrap_bits(P0[j-1] + P1[j] - P1[j-1],
+                                             an_bits, an_sgn));
+            }
+            for (int64_t i = 1; i < r2; i++) {
+                index = k * r23 + i * r3;
+                int64_t i2 = i * r3;
+                P0[i2] = ienc_quant(&E, types, base + index,
+                                    LD(base + index),
+                                    wrap_bits(P0[i2-r3] + P1[i2]
+                                              - P1[i2-r3],
+                                              an_bits, an_sgn));
+                for (int64_t j = 1; j < r3; j++) {
+                    index++;
+                    i2 = i * r3 + j;
+                    int64_t pred = P0[i2-1] + P0[i2-r3] + P1[i2]
+                                 - P0[i2-r3-1] - P1[i2-r3] - P1[i2-1]
+                                 + P1[i2-r3-1];
+                    P0[i2] = ienc_quant(&E, types, base + index,
+                                        LD(base + index),
+                                        wrap_bits(pred, an_bits,
+                                                  an_sgn));
+                }
+            }
+            int64_t *t_ = P1; P1 = P0; P0 = t_;
+        }
+    }
+#undef LD
+    free(P1); free(P0);
+    return E.ecnt;
+}
+
+void intnd_decode(const int32_t *types, int64_t q1, int64_t r1,
+                  int64_t r2, int64_t r3, double interval2, int radius,
+                  int t_bits, int t_sgn, int64_t min_value,
+                  int byte_size, int store_esize, const uint8_t *exact,
+                  int64_t *out) {
+    int64_t r23 = r2 * r3;
+    int64_t vol = r1 * r23;
+    int64_t epos = 0;
+    uint64_t mask = (store_esize >= 8) ? ~0ull
+                    : ((~0ull) >> (64 - 8 * store_esize));
+
+#define INXT(dst_)                                                      \
+    do {                                                                \
+        uint64_t v_ = 0;                                                \
+        for (int b_ = 0; b_ < byte_size; b_++)                          \
+            v_ = (v_ << 8) | exact[epos++];                             \
+        v_ = (v_ + (uint64_t)min_value) & mask;                         \
+        (dst_) = wrap_bits((int64_t)v_, t_bits, t_sgn);                 \
+    } while (0)
+
+#define IREC(idx_, pred_)                                               \
+    do {                                                                \
+        int t_ = types[idx_];                                           \
+        if (t_ == 0) INXT(o[idx_]);                                     \
+        else o[idx_] = wrap_bits(                                       \
+            (int64_t)trunc((double)(pred_)                              \
+                           + (t_ - radius) * interval2),                \
+            t_bits, t_sgn);                                             \
+    } while (0)
+
+    for (int64_t l = 0; l < q1; l++) {
+        int64_t *o = out + l * vol;
+        const int32_t *ty = types + l * vol;
+        (void)ty;
+        int64_t *types_off = NULL; (void)types_off;
+        /* use absolute indices into o with types offset via macro: */
+        {
+            const int32_t *types_l = types + l * vol;
+            /* shadow types for IREC */
+            #define types types_l
+            IREC(0, (int64_t)0);
+            if (r3 > 1) IREC(1, o[0]);
+            for (int64_t j = 2; j < r3; j++)
+                IREC(j, 2 * o[j-1] - o[j-2]);
+            for (int64_t i = 1; i < r2; i++) {
+                int64_t ix = i * r3;
+                IREC(ix, o[ix - r3]);
+                for (int64_t j = 1; j < r3; j++) {
+                    int64_t c = ix + j;
+                    IREC(c, o[c-1] + o[c-r3] - o[c-r3-1]);
+                }
+            }
+            for (int64_t k = 1; k < r1; k++) {
+                int64_t index = k * r23;
+                IREC(index, o[index - r23]);
+                for (int64_t j = 1; j < r3; j++) {
+                    int64_t c = index + j;
+                    IREC(c, o[c-1] + o[c-r23] - o[c-r23-1]);
+                }
+                for (int64_t i = 1; i < r2; i++) {
+                    int64_t c = index + i * r3;
+                    IREC(c, o[c-r3] + o[c-r23] - o[c-r23-r3]);
+                    for (int64_t j = 1; j < r3; j++) {
+                        int64_t cj = c + j;
+                        int64_t pred = o[cj-1] + o[cj-r3] + o[cj-r23]
+                                     - o[cj-r3-1] - o[cj-r23-r3]
+                                     - o[cj-r23-1] + o[cj-r23-r3-1];
+                        IREC(cj, pred);
+                    }
+                }
+            }
+            #undef types
+        }
+    }
+#undef IREC
+#undef INXT
+}
