@@ -742,3 +742,50 @@ def intnd_decode(types: np.ndarray, shape, interval2: float,
         ctypes.c_int64(int(min_value)), ctypes.c_int(byte_size),
         ctypes.c_int(store_esize), _ptr(eb), _ptr(out))
     return out.astype(out_dtype)
+
+
+_lib.ompblock_encode_f32.restype = ctypes.c_int64
+_lib.ompblock_encode_f64.restype = ctypes.c_int64
+
+
+def ompblock_encode(block: np.ndarray, rp, intervals: int, radius: int):
+    """sz_omp RA_block encode (classic scheme, raw escapes, self-seeded
+    first element).  Returns (types flat i32, unpred values)."""
+    T = block.dtype.type
+    x = np.ascontiguousarray(block)
+    r1, r2, r3 = x.shape
+    n = x.size
+    types = np.zeros(n, np.int32)
+    unpred = np.zeros(n, x.dtype)
+    dbl = T is np.float64
+    rp64 = float(rp)
+    recip64 = float(np.float64(np.float32(np.float32(1) / np.float32(rp)))
+                    if T is np.float32 else 1.0 / rp64)
+    cF = ctypes.c_float if T is np.float32 else ctypes.c_double
+    fn = (_lib.ompblock_encode_f32 if T is np.float32
+          else _lib.ompblock_encode_f64)
+    ucnt = int(fn(_ptr(x), ctypes.c_int64(r1), ctypes.c_int64(r2),
+                  ctypes.c_int64(r3), ctypes.c_double(rp64),
+                  ctypes.c_double(recip64), cF(rp),
+                  ctypes.c_int(int(intervals)), ctypes.c_int(radius),
+                  ctypes.c_int(1 if dbl else 0), _ptr(types),
+                  _ptr(unpred)))
+    return types, unpred[:ucnt].copy()
+
+
+def ompblock_decode(types: np.ndarray, shape, mean, rp,
+                    radius: int, unpred: np.ndarray, T) -> np.ndarray:
+    types = np.ascontiguousarray(types, np.int32)
+    r1, r2, r3 = shape
+    out = np.zeros(int(np.prod(shape)), T)
+    up = (np.ascontiguousarray(unpred, T) if len(unpred)
+          else np.zeros(1, T))
+    dbl = T is np.float64
+    cF = ctypes.c_float if T is np.float32 else ctypes.c_double
+    fn = (_lib.ompblock_decode_f32 if T is np.float32
+          else _lib.ompblock_decode_f64)
+    fn(_ptr(types), ctypes.c_int64(r1), ctypes.c_int64(r2),
+       ctypes.c_int64(r3), cF(mean), ctypes.c_double(float(rp)), cF(rp),
+       ctypes.c_int(radius), ctypes.c_int(1 if dbl else 0), _ptr(up),
+       _ptr(out))
+    return out.reshape(shape)

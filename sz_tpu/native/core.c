@@ -2400,3 +2400,188 @@ void intnd_decode(const int32_t *types, int64_t q1, int64_t r1,
 #undef IREC
 #undef INXT
 }
+
+/* ------------------------------------------------------------------ */
+/* sz_omp RA_block kernels (SZ_compress_float_3D_MDQ_RA_block          */
+/* sz_float.c:4704, double sz_double.c:4396 as used by sz_omp.c):      */
+/* the classic scheme, block-local, first element quantized against    */
+/* itself (the "mean" seed) and RAW escape values.  `dbl` selects the  */
+/* double kernels' arithmetic.                                         */
+/* ------------------------------------------------------------------ */
+
+#define GEN_OMPB(SUF, FT)                                               \
+static inline FT ompb_quant_##SUF(int32_t *types, int64_t idx, FT cur,  \
+                                  FT pred, double rp64, double recip64, \
+                                  FT rp, int intervals, int radius,     \
+                                  int dbl, FT *unpred, int64_t *ucnt) { \
+    FT diff = cur - pred;                                               \
+    if (dbl) {                                                          \
+        double itv = fabs((double)diff) * recip64 + 1.0;                \
+        if (itv < (double)intervals) {                                  \
+            if (diff < 0) itv = -itv;                                   \
+            int t = (int)(itv / 2.0) + radius;                          \
+            FT rec = (FT)((double)pred                                  \
+                          + (double)(2 * (t - radius)) * rp64);         \
+            if (!(fabs((double)(FT)(cur - rec)) > rp64)) {              \
+                types[idx] = t;                                         \
+                return rec;                                             \
+            }                                                           \
+        }                                                               \
+    } else {                                                            \
+        FT itv = (FT)(fabs((double)diff) * recip64 + 1.0);              \
+        if (itv < (FT)intervals) {                                      \
+            if (diff < 0) itv = -itv;                                   \
+            int t = (int)(itv / (FT)2) + radius;                        \
+            FT rec = pred + (FT)(2 * (t - radius)) * rp;                \
+            if (!(fabs((double)(FT)(cur - rec)) > rp64)) {              \
+                types[idx] = t;                                         \
+                return rec;                                             \
+            }                                                           \
+        }                                                               \
+    }                                                                   \
+    types[idx] = 0;                                                     \
+    unpred[(*ucnt)++] = cur;                                            \
+    return cur;                                                         \
+}                                                                       \
+                                                                        \
+int64_t ompblock_encode_##SUF(const FT *x, int64_t r1, int64_t r2,      \
+                              int64_t r3, double rp64, double recip64,  \
+                              FT rp, int intervals, int radius,         \
+                              int dbl, int32_t *types, FT *unpred) {    \
+    int64_t r23 = r2 * r3;                                              \
+    FT *P1 = malloc(r23 * sizeof(FT));                                  \
+    FT *P0 = malloc(r23 * sizeof(FT));                                  \
+    int64_t ucnt = 0;                                                   \
+    P1[0] = ompb_quant_##SUF(types, 0, x[0], x[0], rp64, recip64, rp,   \
+                             intervals, radius, dbl, unpred, &ucnt);    \
+    if (r3 > 1)                                                         \
+        P1[1] = ompb_quant_##SUF(types, 1, x[1], P1[0], rp64, recip64,  \
+                                 rp, intervals, radius, dbl, unpred,    \
+                                 &ucnt);                                \
+    for (int64_t j = 2; j < r3; j++) {                                  \
+        FT pred = (FT)2 * P1[j-1] - P1[j-2];                            \
+        P1[j] = ompb_quant_##SUF(types, j, x[j], pred, rp64, recip64,   \
+                                 rp, intervals, radius, dbl, unpred,    \
+                                 &ucnt);                                \
+    }                                                                   \
+    for (int64_t i = 1; i < r2; i++) {                                  \
+        int64_t ix = i * r3;                                            \
+        P1[ix] = ompb_quant_##SUF(types, ix, x[ix], P1[ix - r3], rp64,  \
+                                  recip64, rp, intervals, radius, dbl,  \
+                                  unpred, &ucnt);                       \
+        for (int64_t j = 1; j < r3; j++) {                              \
+            int64_t c = ix + j;                                         \
+            FT pred = P1[c-1] + P1[c-r3] - P1[c-r3-1];                  \
+            P1[c] = ompb_quant_##SUF(types, c, x[c], pred, rp64,        \
+                                     recip64, rp, intervals, radius,    \
+                                     dbl, unpred, &ucnt);               \
+        }                                                               \
+    }                                                                   \
+    for (int64_t k = 1; k < r1; k++) {                                  \
+        int64_t index = k * r23;                                        \
+        P0[0] = ompb_quant_##SUF(types, index, x[index], P1[0], rp64,   \
+                                 recip64, rp, intervals, radius, dbl,   \
+                                 unpred, &ucnt);                        \
+        for (int64_t j = 1; j < r3; j++) {                              \
+            index++;                                                    \
+            FT pred = P0[j-1] + P1[j] - P1[j-1];                        \
+            P0[j] = ompb_quant_##SUF(types, index, x[index], pred,      \
+                                     rp64, recip64, rp, intervals,      \
+                                     radius, dbl, unpred, &ucnt);       \
+        }                                                               \
+        for (int64_t i = 1; i < r2; i++) {                              \
+            index = k * r23 + i * r3;                                   \
+            int64_t i2 = i * r3;                                        \
+            FT pred = P0[i2-r3] + P1[i2] - P1[i2-r3];                   \
+            P0[i2] = ompb_quant_##SUF(types, index, x[index], pred,     \
+                                      rp64, recip64, rp, intervals,     \
+                                      radius, dbl, unpred, &ucnt);      \
+            for (int64_t j = 1; j < r3; j++) {                          \
+                index++;                                                \
+                i2 = i * r3 + j;                                        \
+                FT pred2 = P0[i2-1] + P0[i2-r3];                        \
+                pred2 = pred2 + P1[i2];                                 \
+                pred2 = pred2 - P0[i2-r3-1];                            \
+                pred2 = pred2 - P1[i2-r3];                              \
+                pred2 = pred2 - P1[i2-1];                               \
+                pred2 = pred2 + P1[i2-r3-1];                            \
+                P0[i2] = ompb_quant_##SUF(types, index, x[index],       \
+                                          pred2, rp64, recip64, rp,     \
+                                          intervals, radius, dbl,       \
+                                          unpred, &ucnt);               \
+            }                                                           \
+        }                                                               \
+        FT *t_ = P1; P1 = P0; P0 = t_;                                  \
+    }                                                                   \
+    free(P1); free(P0);                                                 \
+    return ucnt;                                                        \
+}                                                                       \
+                                                                        \
+static inline void ompb_rec_##SUF(const int32_t *ty, FT *o,             \
+                                  int64_t idx, FT pred, double rp64,    \
+                                  FT rp, int radius, int dbl,           \
+                                  const FT *unpred, int64_t *up) {      \
+    int t = ty[idx];                                                    \
+    if (t == 0) { o[idx] = unpred[(*up)++]; return; }                   \
+    if (dbl)                                                            \
+        o[idx] = (FT)((double)pred                                      \
+                      + (double)(2 * (t - radius)) * rp64);             \
+    else                                                                \
+        o[idx] = pred + (FT)(2 * (t - radius)) * rp;                    \
+}                                                                       \
+                                                                        \
+void ompblock_decode_##SUF(const int32_t *ty, int64_t r1, int64_t r2,   \
+                           int64_t r3, FT mean, double rp64, FT rp,     \
+                           int radius, int dbl, const FT *unpred,       \
+                           FT *o) {                                     \
+    int64_t r23 = r2 * r3;                                              \
+    int64_t up = 0;                                                     \
+    ompb_rec_##SUF(ty, o, 0, mean, rp64, rp, radius, dbl, unpred, &up); \
+    if (r3 > 1)                                                         \
+        ompb_rec_##SUF(ty, o, 1, o[0], rp64, rp, radius, dbl, unpred,   \
+                       &up);                                            \
+    for (int64_t j = 2; j < r3; j++)                                    \
+        ompb_rec_##SUF(ty, o, j, (FT)2 * o[j-1] - o[j-2], rp64, rp,     \
+                       radius, dbl, unpred, &up);                       \
+    for (int64_t i = 1; i < r2; i++) {                                  \
+        int64_t ix = i * r3;                                            \
+        ompb_rec_##SUF(ty, o, ix, o[ix - r3], rp64, rp, radius, dbl,    \
+                       unpred, &up);                                    \
+        for (int64_t j = 1; j < r3; j++) {                              \
+            int64_t c = ix + j;                                         \
+            ompb_rec_##SUF(ty, o, c, o[c-1] + o[c-r3] - o[c-r3-1],      \
+                           rp64, rp, radius, dbl, unpred, &up);         \
+        }                                                               \
+    }                                                                   \
+    for (int64_t k = 1; k < r1; k++) {                                  \
+        int64_t index = k * r23;                                        \
+        ompb_rec_##SUF(ty, o, index, o[index - r23], rp64, rp, radius,  \
+                       dbl, unpred, &up);                               \
+        for (int64_t j = 1; j < r3; j++) {                              \
+            int64_t c = index + j;                                      \
+            ompb_rec_##SUF(ty, o, c, o[c-1] + o[c-r23] - o[c-r23-1],    \
+                           rp64, rp, radius, dbl, unpred, &up);         \
+        }                                                               \
+        for (int64_t i = 1; i < r2; i++) {                              \
+            int64_t c = index + i * r3;                                 \
+            ompb_rec_##SUF(ty, o, c,                                    \
+                           o[c-r3] + o[c-r23] - o[c-r23-r3], rp64, rp,  \
+                           radius, dbl, unpred, &up);                   \
+            for (int64_t j = 1; j < r3; j++) {                          \
+                int64_t cj = c + j;                                     \
+                FT pred = o[cj-1] + o[cj-r3];                           \
+                pred = pred + o[cj-r23];                                \
+                pred = pred - o[cj-r3-1];                               \
+                pred = pred - o[cj-r23-r3];                             \
+                pred = pred - o[cj-r23-1];                              \
+                pred = pred + o[cj-r23-r3-1];                           \
+                ompb_rec_##SUF(ty, o, cj, pred, rp64, rp, radius, dbl,  \
+                               unpred, &up);                            \
+            }                                                           \
+        }                                                               \
+    }                                                                   \
+}
+
+GEN_OMPB(f32, float)
+GEN_OMPB(f64, double)
+#undef GEN_OMPB

@@ -75,8 +75,17 @@ def _block_ranges(r: int, num: int):
 def _encode_block(block, rp, recip, intervals, radius):
     """SZ_compress_float_3D_MDQ_RA_block (sz_float.c:4704): the classic
     positional scheme, block-local, with the first element predicted
-    from itself (mean seed) and RAW escape values.  Vectorized via the
-    classic plane-scan fixpoint (classic_nd._plane_pred_np)."""
+    from itself (mean seed) and RAW escape values.  Native kernel with
+    the numpy plane-scan fixpoint as the oracle/fallback."""
+    try:
+        from sz_tpu.native import ompblock_encode
+        return ompblock_encode(block, rp, intervals, radius)
+    except ImportError:  # pragma: no cover - native unavailable
+        pass
+    return _encode_block_np(block, rp, recip, intervals, radius)
+
+
+def _encode_block_np(block, rp, recip, intervals, radius):
     T = F32
     shape = block.shape
     rp64 = np.float64(rp)
@@ -150,7 +159,17 @@ def _encode_block(block, rp, recip, intervals, radius):
 
 def _decode_block(types, unpred, shape, mean, rp, radius):
     """Inverse of _encode_block (decompressDataSeries_float_3D_RA_block
-    replay): plane scan driven by the type codes."""
+    replay)."""
+    try:
+        from sz_tpu.native import ompblock_decode
+        return ompblock_decode(types, shape, F32(mean), F32(rp),
+                               radius, unpred, F32)
+    except ImportError:  # pragma: no cover - native unavailable
+        pass
+    return _decode_block_np(types, unpred, shape, mean, rp, radius)
+
+
+def _decode_block_np(types, unpred, shape, mean, rp, radius):
     T = F32
     t_lat = types.reshape(shape)
     esc = t_lat == 0
@@ -185,6 +204,15 @@ def _decode_block(types, unpred, shape, mean, rp, radius):
 def _encode_block_d(block, rp64, recip64, intervals, radius):
     """SZ_compress_double_3D_MDQ_RA_block (sz_double.c:4396): same
     scheme as the float kernel, all arithmetic in double."""
+    try:
+        from sz_tpu.native import ompblock_encode
+        return ompblock_encode(block, rp64, intervals, radius)
+    except ImportError:  # pragma: no cover - native unavailable
+        pass
+    return _encode_block_d_np(block, rp64, recip64, intervals, radius)
+
+
+def _encode_block_d_np(block, rp64, recip64, intervals, radius):
     T = np.float64
     shape = block.shape
 
@@ -392,6 +420,17 @@ def _compress_omp_d(data: np.ndarray, real_precision, thread_num: int,
 
 def _decode_block_d(types, unpred, shape, mean, rp64, radius):
     """decompressDataSeries_double_3D_RA_block replay (double)."""
+    try:
+        from sz_tpu.native import ompblock_decode
+        return ompblock_decode(types, shape, np.float64(mean),
+                               np.float64(rp64), radius, unpred,
+                               np.float64)
+    except ImportError:  # pragma: no cover - native unavailable
+        pass
+    return _decode_block_d_np(types, unpred, shape, mean, rp64, radius)
+
+
+def _decode_block_d_np(types, unpred, shape, mean, rp64, radius):
     T = np.float64
     t_lat = types.reshape(shape)
     esc = t_lat == 0
