@@ -438,9 +438,14 @@ class RAStream:
     total_unpred: int
 
 
-def compress_ra(data: np.ndarray, real_precision, cfg) -> RAStream:
+def compress_ra(data: np.ndarray, real_precision, cfg,
+                engine: str = "native") -> RAStream:
     """Produce the randomAccess body (from the block_size field on;
-    the caller frames it with the header + num_elements)."""
+    the caller frames it with the header + num_elements).
+
+    engine="jax" runs the block quantization on the device
+    (sz_tpu.tpu.ra_engine — the SURVEY 2.3 mapping of the RA format
+    onto a regular device grid); identical bytes either way."""
     from sz_tpu import api  # lazy: nested SZ int streams
     from sz_tpu.config import ErrorBoundMode
 
@@ -497,8 +502,15 @@ def compress_ra(data: np.ndarray, real_precision, cfg) -> RAStream:
     qc_full = np.zeros((nb, nc), F32)
     qc_full[reg_idx] = qcoeffs
 
-    types = _encode_blocks(blocks, indicator, qc_full, rank, bs, rp,
-                           intervals, use_mean, mean)
+    if engine == "jax":
+        from sz_tpu.tpu import ra_engine
+        types = ra_engine.encode_blocks(blocks, indicator, qc_full,
+                                        rank, bs, rp, intervals,
+                                        use_mean, mean).reshape(
+            nb, ncell)
+    else:
+        types = _encode_blocks(blocks, indicator, qc_full, rank, bs, rp,
+                               intervals, use_mean, mean)
 
     # per-block escapes, block-raster order
     esc_mask = types == 0

@@ -1,0 +1,169 @@
+"""Device (jax) path for the random-access block codec.
+
+SURVEY 2.3: the randomAccess blockwise format (sz_float.c:7492-10106)
+is the natural on-TPU container — fixed-size edge-replicated blocks map
+onto a regular device grid with no cross-block dependence.  This module
+jits the per-block raster quantization/reconstruction as a `lax.scan`
+over the bs^rank cells, vectorized over all blocks at once; each step
+is one fused elementwise pass over the block axis, and the bordered
+reconstruction buffer stays in registers/VMEM for the whole scan.
+
+Arithmetic matches the RA kernels' double quantizer (core/rablock.py
+`_quant_cell`, sz_float.c:9751-9766) bit-for-bit; jax x64 is enabled by
+sz_tpu.tpu.engine.  Outputs are the same type lattices the host
+container assembly consumes — `compress_ra(..., engine="jax")` routes
+here and produces byte-identical bodies (tests/test_ra_format.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from sz_tpu.tpu import engine as _eng
+
+jax = _eng.jax
+jnp = _eng.jnp
+
+
+def _cell_tables(rank: int, bs: int):
+    """Static per-cell geometry: coordinates, bordered-buffer flat
+    index, and the 7 Lorenzo neighbor indices (bordered, zero guard)."""
+    b1 = bs + 1
+    cells = []
+    if rank == 3:
+        for ii in range(bs):
+            for jj in range(bs):
+                for kk in range(bs):
+                    cells.append((ii, jj, kk))
+
+        def bidx(ii, jj, kk):
+            return ((ii + 1) * b1 + (jj + 1)) * b1 + (kk + 1)
+
+        coords = np.array(cells, np.int32)
+        self_idx = np.array([bidx(*c) for c in cells], np.int32)
+        offs = []
+        for (ii, jj, kk) in cells:
+            i1, j1, k1 = ii + 1, jj + 1, kk + 1
+            offs.append([
+                (i1 * b1 + j1) * b1 + k1 - 1,
+                (i1 * b1 + (j1 - 1)) * b1 + k1,
+                ((i1 - 1) * b1 + j1) * b1 + k1,
+                (i1 * b1 + (j1 - 1)) * b1 + k1 - 1,
+                ((i1 - 1) * b1 + j1) * b1 + k1 - 1,
+                ((i1 - 1) * b1 + (j1 - 1)) * b1 + k1,
+                ((i1 - 1) * b1 + (j1 - 1)) * b1 + k1 - 1,
+            ])
+        nbrs = np.array(offs, np.int32)
+        rsize = b1 ** 3
+    elif rank == 2:
+        for ii in range(bs):
+            for jj in range(bs):
+                cells.append((ii, jj))
+        coords = np.array(cells, np.int32)
+        self_idx = np.array([(c[0] + 1) * b1 + c[1] + 1 for c in cells],
+                            np.int32)
+        offs = []
+        for (ii, jj) in cells:
+            i1, j1 = ii + 1, jj + 1
+            offs.append([i1 * b1 + j1 - 1, (i1 - 1) * b1 + j1,
+                         (i1 - 1) * b1 + j1 - 1, 0, 0, 0, 0])
+        nbrs = np.array(offs, np.int32)
+        rsize = b1 ** 2
+    else:
+        for ii in range(bs):
+            cells.append((ii,))
+        coords = np.array(cells, np.int32)
+        self_idx = np.arange(1, bs + 1, dtype=np.int32)
+        nbrs = np.stack([np.arange(bs, dtype=np.int32)]
+                        + [np.zeros(bs, np.int32)] * 6, axis=1)
+        rsize = b1
+    return coords, self_idx, nbrs, rsize
+
+
+@functools.lru_cache(maxsize=16)
+def _encode_fn(rank: int, bs: int, nc: int, use_mean: bool,
+               backend: str = "cpu"):
+    coords, self_idx, nbrs, rsize = _cell_tables(rank, bs)
+
+    def f(blocks, lor, qc, rp64, cap, radius, mean):
+        nb = blocks.shape[0]
+        F32 = jnp.float32
+        F64 = jnp.float64
+        capf = cap.astype(F64)
+        cap_szf = (cap - 2).astype(F64)
+        lorb = lor.astype(bool)
+        regb = ~lorb
+
+        def step(R, xs):
+            cell, sidx, nb7, cur = xs
+            # regression predictor (float chain, qc columns)
+            if rank == 3:
+                pred_r = (qc[:, 0] * cell[0].astype(F32)
+                          + qc[:, 1] * cell[1].astype(F32)
+                          + qc[:, 2] * cell[2].astype(F32) + qc[:, 3])
+            elif rank == 2:
+                pred_r = (qc[:, 0] * cell[0].astype(F32)
+                          + qc[:, 1] * cell[1].astype(F32) + qc[:, 2])
+            else:
+                pred_r = qc[:, 0] * cell[0].astype(F32) + qc[:, 1]
+            # Lorenzo predictor from the bordered buffer (C order)
+            if rank == 3:
+                p = R[:, nb7[0]] + R[:, nb7[1]]
+                p = p + R[:, nb7[2]]
+                p = p - R[:, nb7[3]]
+                p = p - R[:, nb7[4]]
+                p = p - R[:, nb7[5]]
+                p = p + R[:, nb7[6]]
+            elif rank == 2:
+                p = R[:, nb7[0]] + R[:, nb7[1]] - R[:, nb7[2]]
+            else:
+                p = R[:, nb7[0]]
+            pred = jnp.where(regb, pred_r, p)
+            ccap = jnp.where(regb, capf, cap_szf)
+
+            diff = (cur - pred).astype(F64)
+            itv = jnp.abs(diff) / rp64 + 1.0
+            within = itv < ccap
+            itv = jnp.where(diff < 0, -itv, itv)
+            t = jnp.trunc(itv / 2).astype(jnp.int32) + radius
+            rec = (pred.astype(F64)
+                   + (2 * (t - radius)).astype(F64) * rp64).astype(F32)
+            ok = within & (jnp.abs((cur - rec).astype(F64)) <= rp64)
+            t = jnp.where(ok, t, 0)
+            rec = jnp.where(ok, rec, cur)
+            if use_mean:
+                mmask = lorb & (jnp.abs((cur - mean).astype(F64))
+                                <= rp64)
+                t = jnp.where(mmask, 1, t)
+                rec = jnp.where(mmask, mean, rec)
+            stored = jnp.where(regb, cur, rec)
+            R = R.at[:, sidx].set(stored)
+            return R, t
+
+        R0 = jnp.zeros((nb, rsize), jnp.float32)
+        xs = (jnp.asarray(coords), jnp.asarray(self_idx),
+              jnp.asarray(nbrs), blocks.swapaxes(0, 1))
+        _, types = jax.lax.scan(step, R0, xs)
+        return types.swapaxes(0, 1)
+
+    return _eng._strict_jit(f, backend)
+
+
+def encode_blocks(blocks: np.ndarray, indicator: np.ndarray,
+                  qcoeffs_full: np.ndarray, rank: int, bs: int, rp,
+                  intervals: int, use_mean: bool, mean) -> np.ndarray:
+    """Device analog of rablock._encode_blocks — identical type
+    lattices (tests gate byte equality of the assembled body)."""
+    be = jax.default_backend()
+    ncell = bs ** rank
+    fn = _encode_fn(rank, bs, qcoeffs_full.shape[1], bool(use_mean), be)
+    types = fn(jnp.asarray(blocks.reshape(blocks.shape[0], ncell)),
+               jnp.asarray(np.asarray(indicator, np.uint8)),
+               jnp.asarray(qcoeffs_full),
+               jnp.float64(float(rp)),
+               jnp.asarray(int(intervals), jnp.int32),
+               jnp.asarray(int(intervals) // 2, jnp.int32),
+               jnp.float32(mean))
+    return np.asarray(types)
