@@ -24,9 +24,13 @@ def _build() -> None:
     # -ffp-contract=off: gcc at -O3 -march=native would otherwise fuse
     # a*b+c into FMA, breaking bit-parity with the reference binary
     # (built without -march, i.e. no FMA) and with the numpy oracle.
-    cmd = ["cc", "-O3", "-march=native", "-ffp-contract=off", "-shared",
-           "-fPIC", str(_SRC), "-o", str(_SO), "-lm"]
-    subprocess.run(cmd, check=True, capture_output=True)
+    cmd = ["cc", "-O3", "-march=native", "-ffp-contract=off", "-fopenmp",
+           "-shared", "-fPIC", str(_SRC), "-o", str(_SO), "-lm"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:  # pragma: no cover
+        cmd.remove("-fopenmp")
+        subprocess.run(cmd, check=True, capture_output=True)
 
 
 if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:

@@ -300,10 +300,19 @@ int64_t huff_total_bits_u16(const uint16_t *syms, int64_t n,
  * directly (sz_double_pwr.c pre_log), so parity requires the same libm
  * the reference binary links. */
 void v_log2_f64(const double *x, double *out, int64_t n) {
+#ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+#endif
     for (int64_t i = 0; i < n; i++) out[i] = log2(x[i]);
 }
 
 void v_exp2_f64(const double *x, double *out, int64_t n) {
+    /* elementwise: threading preserves per-element bit-exactness; the
+     * prelog decode's exp2 inputs are subnormal-heavy (zeros flushed
+     * below minLog) and hit the libm slow path */
+#ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+#endif
     for (int64_t i = 0; i < n; i++) out[i] = exp2(x[i]);
 }
 

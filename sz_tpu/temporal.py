@@ -75,8 +75,9 @@ def _ts_step_jax(flat, prev, rp, intervals, radius, req_length, median):
     (float32; float64 falls back to the host loop because TPU's x64
     emulation cannot bitcast).  Returns (types, recon, esc_mask) as
     numpy arrays; the small ordered escape-byte chain stays on host."""
-    import jax
-    import jax.numpy as jnp
+    from sz_tpu.tpu import engine as _eng  # enables jax x64 + cache
+    jax = _eng.jax
+    jnp = _eng.jnp
 
     @jax.jit
     def step(cur, prv):
@@ -140,7 +141,18 @@ def compress_1d_ts(data: np.ndarray, prev: np.ndarray,
     types = np.zeros(n, dtype=np.int32)
     recon = np.zeros(n, dtype=T)
 
-    use_jax = (T is np.float32 and n >= 4096 and engine != "numpy")
+    use_jax = T is np.float32 and n >= 4096 and engine != "numpy"
+    if use_jax and engine != "jax":
+        # only take the device path when the device engine is already
+        # in use (module loaded) on an accelerator: the host path beats
+        # XLA:CPU, and probing the backend would needlessly import jax
+        import sys
+        _eng = sys.modules.get("sz_tpu.tpu.engine")
+        try:
+            use_jax = (_eng is not None
+                       and _eng.jax.default_backend() != "cpu")
+        except Exception:  # pragma: no cover
+            use_jax = False
     if use_jax:
         try:
             t_j, rec_j, esc_j = _ts_step_jax(
@@ -153,9 +165,9 @@ def compress_1d_ts(data: np.ndarray, prev: np.ndarray,
         recon[:] = rec_j
         esc_j = np.array(esc_j, copy=True)
         esc_j[:2] = True
-        # ordered escape-byte chain (lead-num deltas) on host
-        for i in np.flatnonzero(esc_j):
-            recon[i] = enc.add(flat[i])
+        # ordered escape-byte chain (lead-num deltas), batched native
+        eidx = np.flatnonzero(esc_j)
+        recon[eidx] = enc.add_batch(flat[eidx])
         type_array = huffman.encode_with_tree(types, 2 * intervals)
         t = TDPS(
             data_type=dt, ds_length=n, intervals=intervals,
@@ -191,8 +203,7 @@ def compress_1d_ts(data: np.ndarray, prev: np.ndarray,
     esc_rec = _esc_recon_vec(cur, enc, T)
     types[2:] = np.where(ok, t_v, 0)
     recon[2:] = np.where(ok, rec, esc_rec)
-    for i in np.flatnonzero(~ok):
-        enc.add(cur[i])
+    enc.add_batch(cur[np.flatnonzero(~ok)])
 
     type_array = huffman.encode_with_tree(types, 2 * intervals)
     t = TDPS(
