@@ -50,7 +50,9 @@ def worker(rank: int, nprocs: int, port: int) -> None:
     g = np.meshgrid(*ax, indexing="ij")
     data = (np.sin(g[0]) * np.cos(g[1]) * np.sin(g[2])
             + 0.05 * rng.standard_normal(SLAB)).astype(np.float32)
-    cfg = SZConfig(engine="jax").with_bound(ErrorBoundMode.ABS, 1e-3)
+    # native host codec per rank: the distributed mechanism under
+    # test is jax.distributed + the ordered allgather, not XLA:CPU
+    cfg = SZConfig(engine="numpy").with_bound(ErrorBoundMode.ABS, 1e-3)
 
     # warm (compile) outside the timed section — the codec AND the
     # collective path (process_allgather compiles per shape)
