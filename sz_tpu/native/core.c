@@ -17,6 +17,9 @@
 #include <stddef.h>
 #include <string.h>
 #include <math.h>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 /* ------------------------------------------------------------------ */
 /* Ordered accumulation                                                */
@@ -341,12 +344,16 @@ void huff_encode_blocks(const int32_t *syms, int64_t nb, int64_t ncell,
                         const uint64_t *code_hi, const uint64_t *code_lo,
                         const uint8_t *code_len, const uint32_t *sizes,
                         uint8_t *out) {
-    int64_t off = 0;
-    for (int64_t b = 0; b < nb; b++) {
+    int64_t *offs = malloc((nb + 1) * sizeof(int64_t));
+    offs[0] = 0;
+    for (int64_t b = 0; b < nb; b++) offs[b + 1] = offs[b] + sizes[b];
+#ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+#endif
+    for (int64_t b = 0; b < nb; b++)
         huff_encode(syms + b * ncell, ncell, code_hi, code_lo,
-                    code_len, out + off);
-        off += sizes[b];
-    }
+                    code_len, out + offs[b]);
+    free(offs);
 }
 
 /* ------------------------------------------------------------------ */
@@ -532,9 +539,14 @@ void ra_encode_blocks_f32(const float *blocks, int64_t nb, int rank, int bs,
     for (int r = 0; r < rank; r++) ncell *= bs;
     int64_t rsz = 1;
     for (int r = 0; r < rank; r++) rsz *= b1;
-    float *R = malloc(rsz * sizeof(float));
     int cap_sz = cap - 2;
+    /* blocks are independent (types only; no shared stream) — outputs
+     * are disjoint, so the result is thread-count-invariant */
+#ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+#endif
     for (int64_t b = 0; b < nb; b++) {
+        float *R = malloc(rsz * sizeof(float));
         const float *blk = blocks + b * ncell;
         const float *q = qc + b * nc;
         int32_t *tb = types + b * ncell;
@@ -602,8 +614,8 @@ void ra_encode_blocks_f32(const float *blocks, int64_t nb, int rank, int bs,
             else
                 R[ii + 1] = stored;
         }
+        free(R);
     }
-    free(R);
 }
 
 void ra_decode_blocks_f32(const int32_t *types, int64_t nsel, int rank, int bs,
@@ -616,8 +628,12 @@ void ra_decode_blocks_f32(const int32_t *types, int64_t nsel, int rank, int bs,
     for (int r = 0; r < rank; r++) ncell *= bs;
     int64_t rsz = 1;
     for (int r = 0; r < rank; r++) rsz *= b1;
-    float *R = malloc(rsz * sizeof(float));
+    /* independent blocks: per-block escape cursors come from esc_base */
+#ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+#endif
     for (int64_t b = 0; b < nsel; b++) {
+        float *R = malloc(rsz * sizeof(float));
         const int32_t *tb = types + b * ncell;
         const float *q = qc + b * nc;
         float *ob = out + b * ncell;
@@ -667,8 +683,8 @@ void ra_decode_blocks_f32(const int32_t *types, int64_t nsel, int rank, int bs,
             else
                 R[ii + 1] = val;
         }
+        free(R);
     }
-    free(R);
 }
 
 /* Batched per-block tree-walk decode: nsel blocks of `count` symbols,
@@ -678,6 +694,9 @@ void huff_tree_decode_blocks(const int32_t *L, const int32_t *R,
                              const uint8_t *data, const int64_t *offsets,
                              const uint16_t *sizes, int64_t nsel,
                              int64_t count, int32_t *out) {
+#ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+#endif
     for (int64_t b = 0; b < nsel; b++)
         huff_tree_decode(L, R, C, T, data + offsets[b], sizes[b],
                          out + b * count, count);

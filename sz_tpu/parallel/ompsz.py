@@ -305,10 +305,9 @@ def compress_omp(data: np.ndarray, real_precision, thread_num: int = 4,
 
     num_elements = r1 * r2 * r3
     result_type = np.zeros(num_elements, np.int32)
-    block_types = []
-    unpreds = []
     means = np.zeros(thread_num, F32)
-    for tid in range(thread_num):
+
+    def _one(tid):
         i = tid // (ny * nz)
         j = (tid % (ny * nz)) // nz
         k = tid % nz
@@ -317,12 +316,20 @@ def compress_omp(data: np.ndarray, real_precision, thread_num: int = 4,
                  zo[k]:zo[k] + zc[k]])
         means[tid] = block[0, 0, 0]
         t, u = _encode_block(block, rp, recip, intervals, radius)
-        block_types.append(t)
-        unpreds.append(u)
         # type array layout (sz_omp.c:183): block-major at type_offset
         toff = (xo[i] * r2 * r3 + yo[j] * xc[i] * r3
                 + zo[k] * xc[i] * yc[j])
         result_type[toff:toff + t.size] = t
+        return t, u
+
+    # blocks are independent; the native kernels release the GIL, so a
+    # thread pool mirrors the reference's OpenMP parallel-for (with
+    # deterministic output: blocks write disjoint slices)
+    import concurrent.futures as _cf
+    with _cf.ThreadPoolExecutor() as _ex:
+        results = list(_ex.map(_one, range(thread_num)))
+    block_types = [t for t, _ in results]
+    unpreds = [u for _, u in results]
 
     state_num = 2 * int(intervals)
     tables = huffman.build_tables(result_type, state_num)
@@ -377,10 +384,9 @@ def _compress_omp_d(data: np.ndarray, real_precision, thread_num: int,
 
     num_elements = r1 * r2 * r3
     result_type = np.zeros(num_elements, np.int32)
-    block_types = []
-    unpreds = []
     means = np.zeros(thread_num, np.float64)
-    for tid in range(thread_num):
+
+    def _one(tid):
         i = tid // (ny * nz)
         j = (tid % (ny * nz)) // nz
         k = tid % nz
@@ -389,11 +395,16 @@ def _compress_omp_d(data: np.ndarray, real_precision, thread_num: int,
                  zo[k]:zo[k] + zc[k]])
         means[tid] = block[0, 0, 0]
         t, u = _encode_block_d(block, rp64, recip64, intervals, radius)
-        block_types.append(t)
-        unpreds.append(u)
         toff = (xo[i] * r2 * r3 + yo[j] * xc[i] * r3
                 + zo[k] * xc[i] * yc[j])
         result_type[toff:toff + t.size] = t
+        return t, u
+
+    import concurrent.futures as _cf
+    with _cf.ThreadPoolExecutor() as _ex:
+        results = list(_ex.map(_one, range(thread_num)))
+    block_types = [t for t, _ in results]
+    unpreds = [u for _, u in results]
 
     state_num = 2 * int(intervals)
     tables = huffman.build_tables(result_type, state_num)
@@ -500,7 +511,8 @@ def _decompress_omp_d(blob: bytes, shape) -> np.ndarray:
     boff = np.concatenate([[0], np.cumsum(bsizes.astype(np.int64))])
 
     out = np.zeros((r1, r2, r3), np.float64)
-    for tid in range(nb):
+
+    def _one(tid):
         i = tid // (ny * nz)
         j = (tid % (ny * nz)) // nz
         k = tid % nz
@@ -513,6 +525,10 @@ def _decompress_omp_d(blob: bytes, shape) -> np.ndarray:
         out[xo[i]:xo[i] + bshape[0], yo[j]:yo[j] + bshape[1],
             zo[k]:zo[k] + bshape[2]] = _decode_block_d(
             types, u, bshape, means[tid], rp64, radius)
+
+    import concurrent.futures as _cf
+    with _cf.ThreadPoolExecutor() as _ex:
+        list(_ex.map(_one, range(nb)))
     return out
 
 
@@ -558,7 +574,8 @@ def decompress_omp(blob: bytes, shape, dtype=np.float32) -> np.ndarray:
     boff = np.concatenate([[0], np.cumsum(bsizes.astype(np.int64))])
 
     out = np.zeros((r1, r2, r3), F32)
-    for tid in range(nb):
+
+    def _one(tid):
         i = tid // (ny * nz)
         j = (tid % (ny * nz)) // nz
         k = tid % nz
@@ -571,4 +588,8 @@ def decompress_omp(blob: bytes, shape, dtype=np.float32) -> np.ndarray:
         out[xo[i]:xo[i] + bshape[0], yo[j]:yo[j] + bshape[1],
             zo[k]:zo[k] + bshape[2]] = _decode_block(
             types, u, bshape, means[tid], rp, radius)
+
+    import concurrent.futures as _cf
+    with _cf.ThreadPoolExecutor() as _ex:
+        list(_ex.map(_one, range(nb)))
     return out
