@@ -148,6 +148,19 @@ class CacheTable:
         return np.where(inr, state, 0).astype(np.int32)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _cache_table(intervals: int, ratio: float,
+                 plus_bits: int) -> CacheTable:
+    """CacheTable construction is a Python double loop over
+    2^bits x n_subranges entries (~seconds at 32768 intervals); the
+    table depends only on (intervals, ratio, plus_bits), so memoize."""
+    return CacheTable(_precision_table(intervals, ratio, plus_bits),
+                      ratio, plus_bits)
+
+
 def _precision_table(intervals: int, ratio: float,
                      plus_bits: int) -> np.ndarray:
     """precisionTable[i] = pow(1+ratio, inv*(i-radius)).  Uses libm pow
@@ -421,7 +434,7 @@ def compress_msst19(data: np.ndarray, pw_ratio: float, fmax, near_zero, *,
     radius = intervals // 2
 
     ptable = _precision_table(intervals, ratio, plus_bits)
-    cache = CacheTable(ptable, ratio, plus_bits)
+    cache = _cache_table(int(intervals), float(ratio), int(plus_bits))
 
     # median_log = sqrt(fabs(nearZero*max)) (sz_float_pwr.c:1988)
     median = T(np.sqrt(np.float64(abs(T(near_zero * fmax)))))
