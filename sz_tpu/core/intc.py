@@ -210,7 +210,12 @@ def compress_int(data: np.ndarray, real_precision: float, *,
                          type_array=type_array, exact_bytes=bytes(exact),
                          exact_data_num=nexact,
                          max_quant_intervals=max_range_radius * 2)
-    if data.ndim == 1:
+    if data.ndim == 1 and n >= 2 and _intnd_native() is not None:
+        from sz_tpu.native import int1d_encode
+        types, exact_b, nexact = int1d_encode(
+            flat, rp, intervals, radius, A1, mn, byte_size, spec.esize)
+        exact = bytearray(exact_b)
+    elif data.ndim == 1:
         esc(0, flat[0])
         esc(1, flat[1])
         pred = A1(np.int64(flat[1]))
@@ -536,6 +541,14 @@ def decompress_int(t: ITDPS, shape, dtype) -> np.ndarray:
             [np.zeros(1, np.int64), v - c[esc_pos]])
         out[:] = (c + base_per_seg[seg]).astype(T)
     elif len(dims) == 1:
+        try:
+            from sz_tpu.native import int1d_decode
+            return int1d_decode(types, float(interval2), radius,
+                                spec.np_dtype, t.min_value,
+                                t.exact_byte_size, spec.esize,
+                                t.exact_bytes).reshape(shape)
+        except ImportError:  # pragma: no cover - native unavailable
+            pass
         prev = rec(0, 0)
         for i in range(1, n):
             prev = rec(i, prev)

@@ -793,3 +793,46 @@ def ompblock_decode(types: np.ndarray, shape, mean, rp,
        ctypes.c_int(radius), ctypes.c_int(1 if dbl else 0), _ptr(up),
        _ptr(out))
     return out.reshape(shape)
+
+
+_lib.int1d_encode.restype = ctypes.c_int64
+
+
+def int1d_encode(data: np.ndarray, rp: float, intervals: int,
+                 radius: int, a1_dtype, min_value: int, byte_size: int,
+                 store_esize: int):
+    """Integer 1D MDQ encode (general bound).  Returns
+    (types, exact bytes, n_exact)."""
+    x = np.ascontiguousarray(data)
+    n = x.size
+    dt = x.dtype
+    a1 = np.dtype(a1_dtype)
+    types = np.zeros(n, np.int32)
+    exact = np.zeros(max(n * byte_size, 1), np.uint8)
+    cnt = int(_lib.int1d_encode(
+        _ptr(x), ctypes.c_int(dt.itemsize),
+        ctypes.c_int(1 if dt.kind == "i" else 0), ctypes.c_int64(n),
+        ctypes.c_double(rp), ctypes.c_int(int(intervals)),
+        ctypes.c_int(radius), ctypes.c_int(a1.itemsize * 8),
+        ctypes.c_int(1 if a1.kind == "i" else 0),
+        ctypes.c_int64(int(min_value)), ctypes.c_int(byte_size),
+        ctypes.c_int(store_esize), _ptr(types), _ptr(exact)))
+    return types, exact[:cnt * byte_size].tobytes(), cnt
+
+
+def int1d_decode(types: np.ndarray, interval2: float, radius: int,
+                 out_dtype, min_value: int, byte_size: int,
+                 store_esize: int, exact: bytes) -> np.ndarray:
+    types = np.ascontiguousarray(types, np.int32)
+    dt = np.dtype(out_dtype)
+    eb = (np.frombuffer(exact, np.uint8) if len(exact)
+          else np.zeros(1, np.uint8))
+    out = np.zeros(types.size, np.int64)
+    _lib.int1d_decode(
+        _ptr(types), ctypes.c_int64(types.size),
+        ctypes.c_double(interval2), ctypes.c_int(radius),
+        ctypes.c_int(dt.itemsize * 8),
+        ctypes.c_int(1 if dt.kind == "i" else 0),
+        ctypes.c_int64(int(min_value)), ctypes.c_int(byte_size),
+        ctypes.c_int(store_esize), _ptr(eb), _ptr(out))
+    return out.astype(out_dtype)

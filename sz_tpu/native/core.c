@@ -2613,3 +2613,79 @@ void ompblock_decode_##SUF(const int32_t *ty, int64_t r1, int64_t r2,   \
 GEN_OMPB(f32, float)
 GEN_OMPB(f64, double)
 #undef GEN_OMPB
+
+/* Integer 1D MDQ encode (SZ_compress_intXX_1D_MDQ, e.g. sz_int32.c:228)
+ * for arbitrary bounds: serial prediction chain with the A1 wrap
+ * width.  First two values always exact. */
+int64_t int1d_encode(const uint8_t *x, int in_esize, int in_sgn,
+                     int64_t n, double rp, int intervals, int radius,
+                     int a1_bits, int a1_sgn, int64_t min_value,
+                     int byte_size, int store_esize, int32_t *types,
+                     uint8_t *exact) {
+    ienc E;
+    E.rp = rp; E.intervals = intervals; E.radius = radius;
+    E.an_bits = a1_bits; E.an_sgn = a1_sgn; E.dn_bits = 64;
+    E.min_value = min_value; E.byte_size = byte_size;
+    E.store_esize = store_esize;
+    E.exact = exact; E.ecnt = 0;
+    double check_radius = (intervals - 1) * rp;
+    double interval2 = 2.0 * rp;
+    types[0] = 0;
+    ienc_store(&E, ld_int(x, in_esize, in_sgn));
+    if (n < 2) return E.ecnt;
+    types[1] = 0;
+    int64_t v1 = ld_int(x + in_esize, in_esize, in_sgn);
+    ienc_store(&E, v1);
+    int64_t pred = wrap_bits(v1, a1_bits, a1_sgn);
+    for (int64_t i = 2; i < n; i++) {
+        int64_t cur = ld_int(x + i * in_esize, in_esize, in_sgn);
+        int64_t d = cur - pred;
+        int64_t pae = wrap_bits(d < 0 ? -d : d, a1_bits, a1_sgn);
+        if ((double)pae < check_radius) {
+            int state = (int)(((double)pae / rp + 1.0) / 2.0);
+            if (cur >= pred) {
+                types[i] = radius + state;
+                pred = wrap_bits((int64_t)trunc((double)pred
+                                                + state * interval2),
+                                 a1_bits, a1_sgn);
+            } else {
+                types[i] = radius - state;
+                pred = wrap_bits((int64_t)trunc((double)pred
+                                                - state * interval2),
+                                 a1_bits, a1_sgn);
+            }
+        } else {
+            types[i] = 0;
+            ienc_store(&E, cur);
+            pred = wrap_bits(cur, a1_bits, a1_sgn);
+        }
+    }
+    return E.ecnt;
+}
+
+/* Integer 1D decode (prev-value chain). */
+void int1d_decode(const int32_t *types, int64_t n, double interval2,
+                  int radius, int t_bits, int t_sgn, int64_t min_value,
+                  int byte_size, int store_esize, const uint8_t *exact,
+                  int64_t *out) {
+    int64_t epos = 0;
+    uint64_t mask = (store_esize >= 8) ? ~0ull
+                    : ((~0ull) >> (64 - 8 * store_esize));
+    int64_t prev = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int t = types[i];
+        if (t == 0) {
+            uint64_t v = 0;
+            for (int b = 0; b < byte_size; b++)
+                v = (v << 8) | exact[epos++];
+            v = (v + (uint64_t)min_value) & mask;
+            prev = wrap_bits((int64_t)v, t_bits, t_sgn);
+        } else {
+            prev = wrap_bits(
+                (int64_t)trunc((double)prev
+                               + (t - radius) * interval2),
+                t_bits, t_sgn);
+        }
+        out[i] = prev;
+    }
+}
