@@ -78,9 +78,12 @@ def attempt(n: int, engine: str) -> None:
         blob = sz_tpu.compress(data, cfg)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
-    t0 = time.time()
-    out = sz_tpu.decompress(blob, data.shape, np.float32)
-    ddt = time.time() - t0
+    ddt = None
+    for _ in range(2):
+        t0 = time.time()
+        out = sz_tpu.decompress(blob, data.shape, np.float32)
+        d = time.time() - t0
+        ddt = d if ddt is None else min(ddt, d)
     assert np.abs(out - data).max() <= EB * (1 + 1e-6), "bound violated"
     mbps = data.nbytes / 1e6 / best
     # the live reference timing on this host swings 22-128 MB/s run to

@@ -573,7 +573,8 @@ def compress_ra(data: np.ndarray, real_precision, cfg,
 # ---------------------------------------------------------------------------
 
 def decompress_ra(body: bytes, shape, dtype=np.float32, start=None,
-                  end=None, size_type: int = 8) -> np.ndarray:
+                  end=None, size_type: int = 8,
+                  engine: str = "native") -> np.ndarray:
     """Region decode of a randomAccess body (the given_areas decoders,
     szd_float.c:6567/6872/7213).  start/end are per-dimension corners
     (end exclusive); None decodes the full array."""
@@ -702,13 +703,19 @@ def decompress_ra(body: bytes, shape, dtype=np.float32, start=None,
                 types[n] = huffman.decode(L, R_, C, Tt,
                                           body[a:a + int(bsizes[b])],
                                           ncell)
-    try:
-        from sz_tpu.native import ra_decode_blocks
-        native_blocks = ra_decode_blocks(
+    if engine == "jax":
+        from sz_tpu.tpu import ra_engine
+        native_blocks = ra_engine.decode_blocks(
             types, rank, bs, lor_sel, qc_sel, float(rp), radius,
             bool(use_mean), float(mean32), unpred, esc_base)
-    except ImportError:  # pragma: no cover
-        pass
+    else:
+        try:
+            from sz_tpu.native import ra_decode_blocks
+            native_blocks = ra_decode_blocks(
+                types, rank, bs, lor_sel, qc_sel, float(rp), radius,
+                bool(use_mean), float(mean32), unpred, esc_base)
+        except ImportError:  # pragma: no cover
+            pass
     if native_blocks is not None:
         out_blocks = native_blocks
     else:

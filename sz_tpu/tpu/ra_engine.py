@@ -167,3 +167,80 @@ def encode_blocks(blocks: np.ndarray, indicator: np.ndarray,
                jnp.asarray(int(intervals) // 2, jnp.int32),
                jnp.float32(mean))
     return np.asarray(types)
+
+
+@functools.lru_cache(maxsize=16)
+def _decode_fn(rank: int, bs: int, nc: int, use_mean: bool,
+               backend: str = "cpu"):
+    coords, self_idx, nbrs, rsize = _cell_tables(rank, bs)
+
+    def f(types, escv, lor, qc, rp64, radius, mean):
+        nb = types.shape[0]
+        F32 = jnp.float32
+        F64 = jnp.float64
+        lorb = lor.astype(bool)
+        regb = ~lorb
+
+        def step(R, xs):
+            cell, sidx, nb7, t, ev = xs
+            if rank == 3:
+                pred_r = (qc[:, 0] * cell[0].astype(F32)
+                          + qc[:, 1] * cell[1].astype(F32)
+                          + qc[:, 2] * cell[2].astype(F32) + qc[:, 3])
+            elif rank == 2:
+                pred_r = (qc[:, 0] * cell[0].astype(F32)
+                          + qc[:, 1] * cell[1].astype(F32) + qc[:, 2])
+            else:
+                pred_r = qc[:, 0] * cell[0].astype(F32) + qc[:, 1]
+            if rank == 3:
+                p = R[:, nb7[0]] + R[:, nb7[1]]
+                p = p + R[:, nb7[2]]
+                p = p - R[:, nb7[3]]
+                p = p - R[:, nb7[4]]
+                p = p - R[:, nb7[5]]
+                p = p + R[:, nb7[6]]
+            elif rank == 2:
+                p = R[:, nb7[0]] + R[:, nb7[1]] - R[:, nb7[2]]
+            else:
+                p = R[:, nb7[0]]
+            pred = jnp.where(regb, pred_r, p)
+            val = (pred.astype(F64)
+                   + (2 * (t - radius)).astype(F64) * rp64).astype(F32)
+            if use_mean:
+                val = jnp.where(lorb & (t == 1), mean, val)
+            val = jnp.where(t == 0, ev, val)
+            R = R.at[:, sidx].set(val)
+            return R, val
+
+        R0 = jnp.zeros((nb, rsize), jnp.float32)
+        xs = (jnp.asarray(coords), jnp.asarray(self_idx),
+              jnp.asarray(nbrs), types.swapaxes(0, 1),
+              escv.swapaxes(0, 1))
+        _, vals = jax.lax.scan(step, R0, xs)
+        return vals.swapaxes(0, 1)
+
+    return _eng._strict_jit(f, backend)
+
+
+def decode_blocks(types: np.ndarray, rank: int, bs: int,
+                  lor_sel: np.ndarray, qc_sel: np.ndarray, rp,
+                  radius: int, use_mean: bool, mean,
+                  unpred: np.ndarray,
+                  esc_base: np.ndarray) -> np.ndarray:
+    """Device analog of the host per-block reconstruction: escape
+    values are pre-gathered per cell on host (cumulative escape ranks),
+    so the scan is one fused elementwise step per cell."""
+    be = jax.default_backend()
+    nsel, ncell = types.shape
+    esc_mask = types == 0
+    ranks = np.cumsum(esc_mask, axis=1) - 1
+    take = np.asarray(esc_base)[:, None] + ranks
+    escv = np.zeros((nsel, ncell), np.float32)
+    if len(unpred):
+        escv[esc_mask] = np.asarray(unpred, np.float32)[take[esc_mask]]
+    fn = _decode_fn(rank, bs, qc_sel.shape[1], bool(use_mean), be)
+    out = fn(jnp.asarray(types), jnp.asarray(escv),
+             jnp.asarray(np.asarray(lor_sel, np.uint8)),
+             jnp.asarray(qc_sel, np.float32), jnp.float64(float(rp)),
+             jnp.asarray(int(radius), jnp.int32), jnp.float32(mean))
+    return np.asarray(out)

@@ -36,6 +36,20 @@ def test_jax_ra_bytes_identical(shape):
     assert host.body == dev.body
 
 
+@pytest.mark.parametrize("shape", [(40,), (40, 36), (30, 28, 26)])
+def test_jax_ra_decode_identical(shape):
+    data = synth(shape, seed=len(shape) + 10)
+    s = rb.compress_ra(data, 1e-3, CFG)
+    host = rb.decompress_ra(s.body, shape)
+    dev = rb.decompress_ra(s.body, shape, engine="jax")
+    assert np.array_equal(host, dev)
+    # region decode through the device stage
+    if len(shape) == 3:
+        reg = rb.decompress_ra(s.body, shape, start=(7, 3, 11),
+                               end=(25, 20, 26), engine="jax")
+        assert np.array_equal(reg, host[7:25, 3:20, 11:26])
+
+
 def test_jax_ra_mean_flush():
     data = np.zeros((30, 30, 30), np.float32)
     rng = np.random.default_rng(1)
