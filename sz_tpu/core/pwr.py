@@ -102,8 +102,15 @@ class CacheTable:
         self.top_index = _expo_index(top)
         nsub = self.top_index - self.base_index + 1
         size = 1 << bits
+        try:
+            from sz_tpu.native import msst19_build_table
+            self.table = msst19_build_table(
+                precision_table.astype(np.float64), precision, bits,
+                self.base_index, nsub)
+            return
+        except ImportError:  # pragma: no cover - native unavailable
+            pass
         table = np.zeros((nsub, size), dtype=np.uint16)
-
         index = 0
         flag = False
         pt = precision_table.astype(np.float64)

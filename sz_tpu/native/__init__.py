@@ -836,3 +836,15 @@ def int1d_decode(types: np.ndarray, interval2: float, radius: int,
         ctypes.c_int64(int(min_value)), ctypes.c_int(byte_size),
         ctypes.c_int(store_esize), _ptr(eb), _ptr(out))
     return out.astype(out_dtype)
+
+
+def msst19_build_table(pt: np.ndarray, precision: float, bits: int,
+                       base_index: int, nsub: int) -> np.ndarray:
+    pt = np.ascontiguousarray(pt, np.float64)
+    table = np.zeros((nsub, 1 << bits), np.uint16)
+    _lib.msst19_build_table(_ptr(pt), ctypes.c_int64(pt.size),
+                            ctypes.c_double(precision),
+                            ctypes.c_int(bits),
+                            ctypes.c_int64(base_index),
+                            ctypes.c_int64(nsub), _ptr(table))
+    return table

@@ -2689,3 +2689,43 @@ void int1d_decode(const int32_t *types, int64_t n, double interval2,
         out[i] = prev;
     }
 }
+
+/* MSST19 cache-table construction
+ * (MultiLevelCacheTableWideInterval.c:47-186 state machine): for each
+ * (exponent subrange, truncated mantissa) cell, assign the precision-
+ * table interval whose (lo, hi) window contains the cell. */
+void msst19_build_table(const double *pt, int64_t count, double precision,
+                        int bits, int64_t base_index, int64_t nsub,
+                        uint16_t *table) {
+    int64_t size = 1ll << bits;
+    double *lo = malloc(count * sizeof(double));
+    double *hi = malloc(count * sizeof(double));
+    for (int64_t i = 0; i < count; i++) {
+        lo[i] = pt[i] / (1 + precision);
+        hi[i] = pt[i] / (1 - precision);
+    }
+    int64_t index = 0;
+    int flag = 0;
+    for (int64_t i = 0; i < nsub; i++) {
+        int64_t expo = i + base_index;
+        for (int64_t j = 0; j < size; j++) {
+            uint64_t vb = ((uint64_t)expo << 52)
+                        + ((uint64_t)j << (52 - bits));
+            uint64_t vt = ((uint64_t)expo << 52)
+                        + ((uint64_t)(j + 1) << (52 - bits));
+            double bot_s, top_s;
+            memcpy(&bot_s, &vb, 8);
+            memcpy(&top_s, &vt, 8);
+            if (top_s < hi[index] && bot_s > lo[index]) {
+                table[i * size + j] = (uint16_t)index;
+                flag = 1;
+            } else if (flag && index < count - 1) {
+                index++;
+                table[i * size + j] = (uint16_t)index;
+            } else {
+                table[i * size + j] = 0;
+            }
+        }
+    }
+    free(lo); free(hi);
+}
