@@ -71,6 +71,19 @@ from sz_tpu.core.regnd import EncodeResult  # noqa: E402
 from sz_tpu.utils import trace as _tr  # noqa: E402
 
 
+def _pallas_mode() -> str:
+    """SZ_TPU_PALLAS=auto (default: Pallas quantize on real TPU backends
+    only), =force (also on CPU, via interpret mode — tests), =0 (off).
+    Read at trace time: callers that flip it must cache_clear the stage
+    builders."""
+    v = _os.environ.get("SZ_TPU_PALLAS", "auto").lower()
+    if v in ("0", "off", "false", "no"):
+        return "off"
+    if v == "force":
+        return "force"
+    return "auto"
+
+
 # ---------------------------------------------------------------------------
 # Geometry (host, cached per shape)
 # ---------------------------------------------------------------------------
@@ -580,7 +593,24 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
         else:
             mean_mask = None
 
-        if rank == 3:
+        mode = _pallas_mode()
+        use_pallas = (rank == 3 and T == jnp.float32
+                      and (mode == "force"
+                           or (mode == "auto"
+                               and backend not in ("cpu", "raw"))))
+        if use_pallas:
+            # ONE Pallas dispatch for the whole plane-fixpoint stage:
+            # the XLA scan-of-while below issues ~(sweeps x nx) tiny
+            # kernels, which is launch-overhead-bound on TPU; the Pallas
+            # kernel keeps the plane carry in VMEM scratch across the
+            # sequential grid (sz_tpu/tpu/pallas_kernels.py).
+            from sz_tpu.tpu import pallas_kernels as _pk
+            mm = mean_mask if use_mean else reg_pts
+            t, R, iters = _pk.plane_quantize(
+                data, t_reg, rec_reg, reg_pts, mm, rp, recip, cap_szf,
+                radius, mean, use_mean=use_mean,
+                interpret=(backend in ("cpu", "raw")))
+        elif rank == 3:
             # plane-scan encode: the x-recurrence is strictly forward, so
             # scan over x-planes and run the per-plane 2D fixpoint with
             # the data plane as the initial guess.  Each plane stays
