@@ -800,8 +800,15 @@ def _escapes_fn(shape: tuple, dtype_str: str, k: int, backend: str = "cpu"):
 
     def f(data, t_stream, iperm):
         n = t_stream.shape[0]
-        idx = jnp.nonzero(t_stream == 0, size=k, fill_value=n)[0]
-        lat = jnp.take(iperm, idx, mode="fill", fill_value=n)
+        # cumsum + index scatter, NOT jnp.nonzero(size=...): nonzero is
+        # ~14x slower on v5e (it sorts); same formulation as
+        # _escape_values above
+        is_esc = t_stream == 0
+        rank = jnp.cumsum(is_esc.astype(jnp.int32)) - 1
+        idx = jnp.where(is_esc, jnp.minimum(rank, k), k)
+        esc_idx = jnp.full((k + 1,), n, jnp.int32).at[idx].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")[:k]
+        lat = jnp.take(iperm, esc_idx, mode="fill", fill_value=n)
         return jnp.take(data.reshape(-1), lat, mode="fill", fill_value=0.0)
 
     return _strict_jit(f, backend)

@@ -74,3 +74,15 @@ def test_engine_decodes_reference_golden():
     out = engine.decompress(inner[off:], data.shape, np.float32)
     np.testing.assert_array_equal(out.view(np.uint32),
                                   golden_out.view(np.uint32))
+
+
+def test_engine_escape_overflow_path():
+    """>ESC_K escapes exercises _escapes_fn (the second device call);
+    its cumsum+scatter extraction must keep byte parity with the oracle."""
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((48, 48, 48)).astype(np.float32)
+    kw = dict(KW, opt_quant_mode=0, fixed_intervals=16)
+    a = regnd.compress(data, 1e-5, **kw)
+    b = engine.compress(data, 1e-5, **kw)
+    assert a.total_unpred > engine.ESC_K
+    assert a.body == b.body
