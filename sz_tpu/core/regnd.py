@@ -561,8 +561,6 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
     dbs = [B.dim_blocks(r, spec.block_size) for r in data.shape]
     num_blocks = int(np.prod([db.num for db in dbs]))
 
-    coeffs = compute_reg_coeffs(data, dbs, spec)
-
     use_mean = False
     mean = T(0)
     if opt_quant_mode == 1:
@@ -592,8 +590,18 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
             mean = T(s / T(len(vals)))
 
     noise = T(np.float64(rp) * spec.noise_factor)
-    use_reg = select_predictor(data, coeffs, dbs, spec, noise, use_mean,
-                               mean)
+    coeffs = use_reg = None
+    if not oracle:
+        try:
+            from sz_tpu import native
+            coeffs, use_reg = native.regnd_prep(data, dbs, noise,
+                                                use_mean, mean)
+        except ImportError:  # pragma: no cover - native unavailable
+            pass
+    if coeffs is None:
+        coeffs = compute_reg_coeffs(data, dbs, spec)
+        use_reg = select_predictor(data, coeffs, dbs, spec, noise,
+                                   use_mean, mean)
     ctypes, cunpred, qcoeffs, cprec = quantize_coeff_chain(
         coeffs, use_reg, rp, dbs, spec, use_mean)
     reg_count = int(use_reg.sum())

@@ -621,6 +621,45 @@ def regnd_decode(types: np.ndarray, shape, dbs, indicator: np.ndarray,
     return out.reshape(shape)
 
 
+def regnd_prep(data: np.ndarray, dbs, noise, use_mean: bool, mean):
+    """Fused per-block regression fit + predictor selection (2D/3D),
+    OpenMP over blocks.  Returns (coeffs[nb, ncoeff], use_reg[nb] bool)
+    bit-identical to regnd.compute_reg_coeffs + regnd.select_predictor."""
+    T = data.dtype.type
+    data = np.ascontiguousarray(data)
+    rank = data.ndim
+    nb = 1
+    for db in dbs:
+        nb *= db.num
+    ncoeff = 4 if rank == 3 else 3
+    coeffs = np.zeros((nb, ncoeff), T)
+    use_reg = np.zeros(nb, np.uint8)
+    cF = ctypes.c_float if T is np.float32 else ctypes.c_double
+    geos = [_geo(db) for db in dbs]
+    if rank == 3:
+        fn = (_lib.regnd_prep3d_f32 if T is np.float32
+              else _lib.regnd_prep3d_f64)
+        (xo, xc), (yo, yc), (zo, zc) = geos
+        fn(_ptr(data), ctypes.c_int64(data.shape[0]),
+           ctypes.c_int64(data.shape[1]), ctypes.c_int64(data.shape[2]),
+           _ptr(xo), _ptr(xc), ctypes.c_int64(len(xo)),
+           _ptr(yo), _ptr(yc), ctypes.c_int64(len(yo)),
+           _ptr(zo), _ptr(zc), ctypes.c_int64(len(zo)),
+           cF(noise), ctypes.c_int(1 if use_mean else 0), cF(mean),
+           _ptr(coeffs), _ptr(use_reg))
+    else:
+        fn = (_lib.regnd_prep2d_f32 if T is np.float32
+              else _lib.regnd_prep2d_f64)
+        (xo, xc), (yo, yc) = geos
+        fn(_ptr(data), ctypes.c_int64(data.shape[0]),
+           ctypes.c_int64(data.shape[1]),
+           _ptr(xo), _ptr(xc), ctypes.c_int64(len(xo)),
+           _ptr(yo), _ptr(yc), ctypes.c_int64(len(yo)),
+           cF(noise), ctypes.c_int(1 if use_mean else 0), cF(mean),
+           _ptr(coeffs), _ptr(use_reg))
+    return coeffs, use_reg.astype(bool)
+
+
 _lib.classicnd_encode_f32.restype = ctypes.c_int64
 _lib.classicnd_encode_f64.restype = ctypes.c_int64
 

@@ -2729,3 +2729,147 @@ void msst19_build_table(const double *pt, int64_t count, double precision,
     }
     free(lo); free(hi);
 }
+
+/* --------------------------------------------------------------------
+ * Blocked-regression preparation: per-block least-squares plane fit and
+ * regression-vs-Lorenzo predictor selection, fused in one pass.
+ * Numerical contract: core/regnd.py compute_reg_coeffs/select_predictor
+ * (the oracle for sz_float.c:6563-6750 / sz_double.c:5944, and the 2D
+ * variants with the a*(i-1) sampling quirk at sz_float.c:6023).
+ * Blocks are independent -> OpenMP over the flat block index.
+ * ------------------------------------------------------------------ */
+
+#define GEN_PREP(SUF, FT, FABS)                                         \
+void regnd_prep3d_##SUF(                                                \
+    const FT *data, int64_t r1, int64_t r2, int64_t r3,                 \
+    const int64_t *xo, const int64_t *xc, int64_t nbx,                  \
+    const int64_t *yo, const int64_t *yc, int64_t nby,                  \
+    const int64_t *zo, const int64_t *zc, int64_t nbz,                  \
+    FT noise, int use_mean, FT mean,                                    \
+    FT *coeffs, uint8_t *use_reg) {                                     \
+    int64_t nb = nbx * nby * nbz;                                       \
+    _Pragma("omp parallel for schedule(static)")                        \
+    for (int64_t b = 0; b < nb; b++) {                                  \
+        int64_t i = b / (nby * nbz), rem = b % (nby * nbz);             \
+        int64_t j = rem / nbz, k = rem % nbz;                           \
+        int64_t cbx = xc[i], cby = yc[j], cbz = zc[k];                  \
+        const FT *base = data + xo[i]*r2*r3 + yo[j]*r3 + zo[k];         \
+        FT fx = 0, fy = 0, fz = 0, f = 0;                               \
+        for (int64_t ii = 0; ii < cbx; ii++) {                          \
+            FT sum_x = 0;                                               \
+            for (int64_t jj = 0; jj < cby; jj++) {                      \
+                FT sum_y = 0;                                           \
+                for (int64_t kk = 0; kk < cbz; kk++) {                  \
+                    FT cur = base[ii*r2*r3 + jj*r3 + kk];               \
+                    sum_y += cur;                                       \
+                    fz += cur * (FT)kk;                                 \
+                }                                                       \
+                fy += sum_y * (FT)jj;                                   \
+                sum_x += sum_y;                                         \
+            }                                                           \
+            fx += sum_x * (FT)ii;                                       \
+            f += sum_x;                                                 \
+        }                                                               \
+        FT coeff = (FT)(1.0 / (double)(cbx * cby * cbz));               \
+        FT ca = ((FT)2*fx/(FT)(cbx-1) - f) * (FT)6 * coeff              \
+                / (FT)(cbx+1);                                          \
+        FT cb = ((FT)2*fy/(FT)(cby-1) - f) * (FT)6 * coeff              \
+                / (FT)(cby+1);                                          \
+        FT cc = ((FT)2*fz/(FT)(cbz-1) - f) * (FT)6 * coeff              \
+                / (FT)(cbz+1);                                          \
+        FT cd = f * coeff - ((FT)(cbx-1)*ca/(FT)2                       \
+                             + (FT)(cby-1)*cb/(FT)2                     \
+                             + (FT)(cbz-1)*cc/(FT)2);                   \
+        coeffs[b*4+0] = ca; coeffs[b*4+1] = cb;                         \
+        coeffs[b*4+2] = cc; coeffs[b*4+3] = cd;                         \
+        int64_t bs = cbx < cby ? cbx : cby;                             \
+        if (cbz < bs) bs = cbz;                                         \
+        FT err_sz = 0, err_reg = 0;                                     \
+        for (int64_t s = 1; s < bs; s++) {                              \
+            int64_t bmi = bs - s;                                       \
+            int64_t pis[4] = {s, s, s, s};                              \
+            int64_t pjs[4] = {s, s, bmi, bmi};                          \
+            int64_t pks[4] = {s, bmi, s, bmi};                          \
+            for (int q = 0; q < 4; q++) {                               \
+                int64_t pi = pis[q], pj = pjs[q], pk = pks[q];          \
+                FT cur = base[pi*r2*r3 + pj*r3 + pk];                   \
+                FT p = base[pi*r2*r3 + pj*r3 + pk-1]                    \
+                     + base[pi*r2*r3 + (pj-1)*r3 + pk];                 \
+                p = p + base[(pi-1)*r2*r3 + pj*r3 + pk];                \
+                p = p - base[pi*r2*r3 + (pj-1)*r3 + pk-1];              \
+                p = p - base[(pi-1)*r2*r3 + pj*r3 + pk-1];              \
+                p = p - base[(pi-1)*r2*r3 + (pj-1)*r3 + pk];            \
+                p = p + base[(pi-1)*r2*r3 + (pj-1)*r3 + pk-1];          \
+                FT pr = ca*(FT)pi + cb*(FT)pj + cc*(FT)pk + cd;         \
+                FT e = FABS(p - cur) + noise;                           \
+                if (use_mean) {                                         \
+                    FT m = FABS(mean - cur);                            \
+                    if (m < e) e = m;                                   \
+                }                                                       \
+                err_sz += e;                                            \
+                err_reg += FABS(pr - cur);                              \
+            }                                                           \
+        }                                                               \
+        use_reg[b] = err_reg < err_sz;                                  \
+    }                                                                   \
+}                                                                       \
+                                                                        \
+void regnd_prep2d_##SUF(                                                \
+    const FT *data, int64_t r1, int64_t r2,                             \
+    const int64_t *xo, const int64_t *xc, int64_t nbx,                  \
+    const int64_t *yo, const int64_t *yc, int64_t nby,                  \
+    FT noise, int use_mean, FT mean,                                    \
+    FT *coeffs, uint8_t *use_reg) {                                     \
+    int64_t nb = nbx * nby;                                             \
+    _Pragma("omp parallel for schedule(static)")                        \
+    for (int64_t b = 0; b < nb; b++) {                                  \
+        int64_t i = b / nby, j = b % nby;                               \
+        int64_t cbx = xc[i], cby = yc[j];                               \
+        const FT *base = data + xo[i]*r2 + yo[j];                       \
+        FT fx = 0, fy = 0, f = 0;                                       \
+        for (int64_t ii = 0; ii < cbx; ii++) {                          \
+            FT sum_x = 0;                                               \
+            for (int64_t jj = 0; jj < cby; jj++) {                      \
+                FT cur = base[ii*r2 + jj];                              \
+                sum_x += cur;                                           \
+                fy += cur * (FT)jj;                                     \
+            }                                                           \
+            fx += sum_x * (FT)ii;                                       \
+            f += sum_x;                                                 \
+        }                                                               \
+        FT coeff = (FT)(1.0 / (double)(cbx * cby));                     \
+        FT ca = ((FT)2*fx/(FT)(cbx-1) - f) * (FT)6 * coeff              \
+                / (FT)(cbx+1);                                          \
+        FT cb = ((FT)2*fy/(FT)(cby-1) - f) * (FT)6 * coeff              \
+                / (FT)(cby+1);                                          \
+        FT cc = f * coeff - ((FT)(cbx-1)*ca/(FT)2                       \
+                             + (FT)(cby-1)*cb/(FT)2);                   \
+        coeffs[b*3+0] = ca; coeffs[b*3+1] = cb; coeffs[b*3+2] = cc;     \
+        int64_t bs = cbx < cby ? cbx : cby;                             \
+        FT err_sz = 0, err_reg = 0;                                     \
+        for (int64_t s = 1; s < bs; s++) {                              \
+            int64_t bmi = bs - s;                                       \
+            int64_t pis[2] = {s, s};                                    \
+            int64_t pjs[2] = {s, bmi};                                  \
+            FT pc0[2]; pc0[0] = (FT)s; pc0[1] = (FT)(s-1);              \
+            for (int q = 0; q < 2; q++) {                               \
+                int64_t pi = pis[q], pj = pjs[q];                       \
+                FT cur = base[pi*r2 + pj];                              \
+                FT p = base[pi*r2 + pj-1] + base[(pi-1)*r2 + pj]        \
+                     - base[(pi-1)*r2 + pj-1];                          \
+                FT pr = ca*pc0[q] + cb*(FT)pj + cc;                     \
+                FT e = FABS(p - cur) + noise;                           \
+                if (use_mean) {                                         \
+                    FT m = FABS(mean - cur);                            \
+                    if (m < e) e = m;                                   \
+                }                                                       \
+                err_sz += e;                                            \
+                err_reg += FABS(pr - cur);                              \
+            }                                                           \
+        }                                                               \
+        use_reg[b] = err_reg < err_sz;                                  \
+    }                                                                   \
+}
+
+GEN_PREP(f32, float, fabsf)
+GEN_PREP(f64, double, fabs)
