@@ -29,9 +29,12 @@ def compress(data: bytes, backend: Lossless, level: int) -> bytes:
         if not _HAS_ZSTD:
             raise RuntimeError("zstandard module unavailable")
         # write_content_size must be on: the reference's sniffing relies on
-        # ZSTD_getFrameContentSize succeeding (utility.c:158-161)
+        # ZSTD_getFrameContentSize succeeding (utility.c:158-161).
+        # Multithreaded frames are standard zstd frames (any decoder,
+        # including the reference's vendored 1.3.5, reads them).
+        threads = -1 if len(data) >= (4 << 20) else 0
         c = _zstd.ZstdCompressor(level=level, write_content_size=True,
-                                 write_checksum=False)
+                                 write_checksum=False, threads=threads)
         return c.compress(data)
     elif backend == Lossless.GZIP:
         # zlib_compress5 (callZlib.c:205): plain zlib stream at `level`

@@ -78,6 +78,20 @@ def huff_encode(syms: np.ndarray, code_hi: np.ndarray, code_lo: np.ndarray,
                                  _ptr(out))
         return out.tobytes()
     syms = np.ascontiguousarray(syms, dtype=np.int32)
+    if syms.size >= (1 << 20):
+        # Chunk-parallel pack: identical bytes, OpenMP over chunks.
+        nchunks = 32
+        bits = np.zeros(nchunks, np.int64)
+        _lib.huff_chunk_bits(_ptr(syms), ctypes.c_int64(syms.size),
+                             _ptr(lens), ctypes.c_int(nchunks), _ptr(bits))
+        total_bits = int(bits.sum())
+        out = np.zeros((total_bits + 7) // 8, dtype=np.uint8)
+        if total_bits:
+            _lib.huff_encode_chunks(
+                _ptr(syms), ctypes.c_int64(syms.size), _ptr(code_hi),
+                _ptr(code_lo), _ptr(lens), ctypes.c_int(nchunks),
+                _ptr(bits), _ptr(out))
+        return out.tobytes()
     total_bits = int(_lib.huff_total_bits(_ptr(syms),
                                           ctypes.c_int64(syms.size),
                                           _ptr(lens)))
@@ -517,12 +531,17 @@ def range_scan(flat: np.ndarray):
     return T(mn.value), T(mx.value), T(nr.value), signs, bool(pos)
 
 
+_lib.i32_hist.restype = ctypes.c_int64
+_lib.i32_hist_mt.restype = ctypes.c_int64
+
+
 def i32_hist(x: np.ndarray, nbins: int):
     """int32 histogram; None if any value falls outside [0, nbins)."""
     x = np.ascontiguousarray(x, np.int32)
     hist = np.zeros(nbins, np.int64)
-    rc = int(_lib.i32_hist(_ptr(x), ctypes.c_int64(x.size), _ptr(hist),
-                           ctypes.c_int64(nbins)))
+    fn = _lib.i32_hist_mt if x.size >= (1 << 20) else _lib.i32_hist
+    rc = int(fn(_ptr(x), ctypes.c_int64(x.size), _ptr(hist),
+                ctypes.c_int64(nbins)))
     return None if rc < 0 else hist
 
 

@@ -2873,3 +2873,94 @@ void regnd_prep2d_##SUF(                                                \
 
 GEN_PREP(f32, float, fabsf)
 GEN_PREP(f64, double, fabs)
+
+/* --------------------------------------------------------------------
+ * Multithreaded Huffman pack: per-chunk bit counts, then each chunk
+ * packs at its absolute bit offset into a local buffer; interior bytes
+ * memcpy'd, shared boundary bytes OR-merged serially.  Byte stream is
+ * identical to the serial huff_encode.
+ * ------------------------------------------------------------------ */
+
+void huff_chunk_bits(const int32_t *syms, int64_t n,
+                     const uint8_t *code_len, int nchunks, int64_t *bits) {
+    int64_t per = (n + nchunks - 1) / nchunks;
+    #pragma omp parallel for schedule(static)
+    for (int c = 0; c < nchunks; c++) {
+        int64_t lo = c * per, hi = lo + per;
+        if (hi > n) hi = n;
+        int64_t t = 0;
+        for (int64_t i = lo; i < hi; i++) t += code_len[syms[i]];
+        bits[c] = t;
+    }
+}
+
+void huff_encode_chunks(const int32_t *syms, int64_t n,
+                        const uint64_t *code_hi, const uint64_t *code_lo,
+                        const uint8_t *code_len, int nchunks,
+                        const int64_t *bits, uint8_t *out) {
+    int64_t per = (n + nchunks - 1) / nchunks;
+    int64_t *start = malloc(((int64_t)nchunks + 1) * sizeof(int64_t));
+    uint8_t *firsts = calloc(nchunks, 1), *lasts = calloc(nchunks, 1);
+    int64_t *sbs = calloc(nchunks, sizeof(int64_t));
+    int64_t *Ls = calloc(nchunks, sizeof(int64_t));
+    start[0] = 0;
+    for (int c = 0; c < nchunks; c++) start[c + 1] = start[c] + bits[c];
+    #pragma omp parallel for schedule(static)
+    for (int c = 0; c < nchunks; c++) {
+        int64_t lo = c * per, hi = lo + per;
+        if (hi > n) hi = n;
+        if (lo >= hi || bits[c] == 0) continue;
+        int64_t sb = start[c] / 8;
+        int sbit = (int)(start[c] % 8);
+        int64_t L = (sbit + bits[c] + 7) / 8;
+        uint8_t *loc = calloc(L + 16, 1);
+        uint64_t acc = 0;
+        int accbits = sbit;
+        int64_t ob = 0;
+        for (int64_t i = lo; i < hi; i++) {
+            int32_t s = syms[i];
+            int len = code_len[s];
+            if (len <= 64) {
+                ob = put_bits(code_hi[s], len, &acc, &accbits, loc, ob);
+            } else {
+                ob = put_bits(code_hi[s], 64, &acc, &accbits, loc, ob);
+                ob = put_bits(code_lo[s], len - 64, &acc, &accbits, loc,
+                              ob);
+            }
+        }
+        if (accbits > 0) loc[ob++] = (uint8_t)(acc >> 56);
+        sbs[c] = sb;
+        Ls[c] = L;
+        firsts[c] = loc[0];
+        lasts[c] = loc[L - 1];
+        if (L > 2) memcpy(out + sb + 1, loc + 1, (size_t)(L - 2));
+        free(loc);
+    }
+    for (int c = 0; c < nchunks; c++) {
+        if (!Ls[c]) continue;
+        out[sbs[c]] |= firsts[c];
+        if (Ls[c] > 1) out[sbs[c] + Ls[c] - 1] |= lasts[c];
+    }
+    free(start); free(firsts); free(lasts); free(sbs); free(Ls);
+}
+
+int64_t i32_hist_mt(const int32_t *x, int64_t n, int64_t *hist,
+                    int64_t nbins) {
+    int bad = 0;
+    #pragma omp parallel
+    {
+        int64_t *loc = calloc(nbins, sizeof(int64_t));
+        #pragma omp for schedule(static)
+        for (int64_t i = 0; i < n; i++) {
+            int32_t v = x[i];
+            if (v < 0 || v >= nbins) bad = 1;
+            else loc[v]++;
+        }
+        #pragma omp critical
+        {
+            for (int64_t b = 0; b < nbins; b++) hist[b] += loc[b];
+        }
+        free(loc);
+    }
+    return bad ? -1 : 0;
+}
