@@ -547,6 +547,8 @@ def i32_hist(x: np.ndarray, nbins: int):
 
 _lib.regnd_encode3d_f32.restype = ctypes.c_int64
 _lib.regnd_encode3d_f64.restype = ctypes.c_int64
+_lib.regnd_encode3d_wf_f32.restype = ctypes.c_int64
+_lib.regnd_encode3d_wf_f64.restype = ctypes.c_int64
 _lib.regnd_encode2d_f32.restype = ctypes.c_int64
 _lib.regnd_encode2d_f64.restype = ctypes.c_int64
 
@@ -572,9 +574,27 @@ def regnd_encode(data: np.ndarray, dbs, use_reg: np.ndarray,
     cF = ctypes.c_float if T is np.float32 else ctypes.c_double
     geos = [_geo(db) for db in dbs]
     if rank == 3:
+        (xo, xc), (yo, yc), (zo, zc) = geos
+        nb = len(xo) * len(yo) * len(zo)
+        if nb >= 64:
+            # wavefront over block anti-diagonals, OpenMP within each;
+            # byte-identical to the serial strip kernel
+            fn = (_lib.regnd_encode3d_wf_f32 if T is np.float32
+                  else _lib.regnd_encode3d_wf_f64)
+            ucnt = int(fn(
+                _ptr(data), ctypes.c_int64(data.shape[0]),
+                ctypes.c_int64(data.shape[1]),
+                ctypes.c_int64(data.shape[2]),
+                _ptr(xo), _ptr(xc), ctypes.c_int64(len(xo)),
+                _ptr(yo), _ptr(yc), ctypes.c_int64(len(yo)),
+                _ptr(zo), _ptr(zc), ctypes.c_int64(len(zo)),
+                _ptr(ur), _ptr(qc),
+                cF(rp), cF(recip), ctypes.c_int(int(intervals)),
+                ctypes.c_int(1 if use_mean else 0), cF(mean),
+                _ptr(result_type), _ptr(unpred)))
+            return result_type, unpred[:ucnt].copy()
         fn = (_lib.regnd_encode3d_f32 if T is np.float32
               else _lib.regnd_encode3d_f64)
-        (xo, xc), (yo, yc), (zo, zc) = geos
         ucnt = int(fn(
             _ptr(data), ctypes.c_int64(data.shape[0]),
             ctypes.c_int64(data.shape[1]), ctypes.c_int64(data.shape[2]),
@@ -615,9 +635,14 @@ def regnd_decode(types: np.ndarray, shape, dbs, indicator: np.ndarray,
     cF = ctypes.c_float if T is np.float32 else ctypes.c_double
     geos = [_geo(db) for db in dbs]
     if rank == 3:
-        fn = (_lib.regnd_decode3d_f32 if T is np.float32
-              else _lib.regnd_decode3d_f64)
         (xo, xc), (yo, yc), (zo, zc) = geos
+        nb = len(xo) * len(yo) * len(zo)
+        if nb >= 64:
+            fn = (_lib.regnd_decode3d_wf_f32 if T is np.float32
+                  else _lib.regnd_decode3d_wf_f64)
+        else:
+            fn = (_lib.regnd_decode3d_f32 if T is np.float32
+                  else _lib.regnd_decode3d_f64)
         fn(_ptr(types), ctypes.c_int64(shape[0]),
            ctypes.c_int64(shape[1]), ctypes.c_int64(shape[2]),
            _ptr(xo), _ptr(xc), ctypes.c_int64(len(xo)),

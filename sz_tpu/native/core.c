@@ -2964,3 +2964,247 @@ int64_t i32_hist_mt(const int32_t *x, int64_t n, int64_t *hist,
     }
     return bad ? -1 : 0;
 }
+
+/* --------------------------------------------------------------------
+ * Wavefront-parallel blocked-regression point kernels.
+ *
+ * Cross-block data flow in the serial kernels (above) is entirely via
+ * reconstructed values on block boundary faces, always in the -x/-y/-z
+ * direction.  Blocks on one anti-diagonal (bi+bj+bk == d) are therefore
+ * independent: process diagonals in order, blocks within a diagonal
+ * under OpenMP.  A zero-bordered padded reconstruction lattice replaces
+ * the serial rolling strips (bit-identical: the strips are exactly the
+ * fresh boundary entries of this lattice).  Unpredictable values are
+ * staged at each block's cell offset and compacted to the serial order
+ * afterwards.  Streams are byte-identical to the serial kernels.
+ * ------------------------------------------------------------------ */
+
+static int64_t *regnd_diag_order3(int64_t nbx, int64_t nby, int64_t nbz,
+                                  int64_t **dstart_out, int64_t *nd_out) {
+    int64_t nb = nbx * nby * nbz;
+    int64_t nd = nbx + nby + nbz - 2;
+    int64_t *cnt = calloc(nd + 1, sizeof(int64_t));
+    for (int64_t i = 0; i < nbx; i++)
+        for (int64_t j = 0; j < nby; j++)
+            for (int64_t k = 0; k < nbz; k++) cnt[i + j + k + 1]++;
+    for (int64_t d = 0; d < nd; d++) cnt[d + 1] += cnt[d];
+    int64_t *order = malloc(nb * sizeof(int64_t));
+    int64_t *fill = malloc(nd * sizeof(int64_t));
+    memcpy(fill, cnt, nd * sizeof(int64_t));
+    for (int64_t i = 0; i < nbx; i++)
+        for (int64_t j = 0; j < nby; j++)
+            for (int64_t k = 0; k < nbz; k++)
+                order[fill[i + j + k]++] = (i * nby + j) * nbz + k;
+    free(fill);
+    *dstart_out = cnt;
+    *nd_out = nd;
+    return order;
+}
+
+#define GEN_REGND_WF(SUF, FT, FABS)                                     \
+int64_t regnd_encode3d_wf_##SUF(                                        \
+    const FT *data, int64_t r1, int64_t r2, int64_t r3,                 \
+    const int64_t *xo, const int64_t *xc, int64_t nbx,                  \
+    const int64_t *yo, const int64_t *yc, int64_t nby,                  \
+    const int64_t *zo, const int64_t *zc, int64_t nbz,                  \
+    const uint8_t *use_reg, const FT *qcoeffs,                          \
+    FT rp, FT recip, int intervals, int use_mean, FT mean,              \
+    int32_t *result_type, FT *unpred) {                                 \
+    FT cap = (FT)intervals, cap_sz = (FT)(intervals - 2);               \
+    int radius = intervals / 2;                                         \
+    int64_t nb = nbx * nby * nbz, n = r1 * r2 * r3;                     \
+    int64_t ps1 = (r2 + 1) * (r3 + 1), pr3 = r3 + 1;                    \
+    FT *rec = calloc((r1 + 1) * ps1, sizeof(FT));                       \
+    FT *ubuf = malloc(n * sizeof(FT));                                  \
+    int64_t *tpos = malloc(nb * sizeof(int64_t));                       \
+    int64_t *qpre = malloc(nb * sizeof(int64_t));                       \
+    int64_t *ucb = calloc(nb, sizeof(int64_t));                         \
+    {                                                                   \
+        int64_t b = 0, qn = 0;                                          \
+        for (int64_t i = 0; i < nbx; i++)                               \
+        for (int64_t j = 0; j < nby; j++) {                             \
+            int64_t tp = xo[i]*r2*r3 + yo[j]*xc[i]*r3;                  \
+            for (int64_t k = 0; k < nbz; k++) {                         \
+                tpos[b] = tp; qpre[b] = qn;                             \
+                if (use_reg[b]) qn++;                                   \
+                tp += xc[i] * yc[j] * zc[k];                            \
+                b++;                                                    \
+            }                                                           \
+        }                                                               \
+    }                                                                   \
+    int64_t *dstart, ndiag;                                             \
+    int64_t *order = regnd_diag_order3(nbx, nby, nbz, &dstart, &ndiag); \
+    for (int64_t d = 0; d < ndiag; d++) {                               \
+        int64_t lo = dstart[d], hi = dstart[d + 1];                     \
+        _Pragma("omp parallel for schedule(dynamic)")                   \
+        for (int64_t bi = lo; bi < hi; bi++) {                          \
+            int64_t b = order[bi];                                      \
+            int64_t i = b / (nby * nbz), rm = b % (nby * nbz);          \
+            int64_t j = rm / nbz, k = rm % nbz;                         \
+            int64_t cbx = xc[i], cby = yc[j], cbz = zc[k];              \
+            int64_t ox = xo[i], oy = yo[j], oz = zo[k];                 \
+            int64_t tp = tpos[b], uc = 0;                               \
+            FT *ub = ubuf + tp;                                         \
+            if (use_reg[b]) {                                           \
+                const FT *lc = qcoeffs + qpre[b] * 4;                   \
+                for (int64_t ii = 0; ii < cbx; ii++)                    \
+                for (int64_t jj = 0; jj < cby; jj++)                    \
+                for (int64_t kk = 0; kk < cbz; kk++) {                  \
+                    FT cur = data[(ox+ii)*r2*r3 + (oy+jj)*r3 + oz+kk];  \
+                    FT pred = lc[0]*(FT)ii + lc[1]*(FT)jj               \
+                            + lc[2]*(FT)kk + lc[3];                     \
+                    FT rc;                                              \
+                    int t = quant_point_##SUF(cur, pred, rp, recip,     \
+                                              cap, radius, &rc);        \
+                    if (t == 0) ub[uc++] = cur;                         \
+                    result_type[tp + (ii*cby + jj)*cbz + kk] = t;       \
+                    rec[(ox+ii+1)*ps1 + (oy+jj+1)*pr3 + oz+kk+1] = rc;  \
+                }                                                       \
+            } else {                                                    \
+                for (int64_t ii = 0; ii < cbx; ii++)                    \
+                for (int64_t jj = 0; jj < cby; jj++)                    \
+                for (int64_t kk = 0; kk < cbz; kk++) {                  \
+                    FT cur = data[(ox+ii)*r2*r3 + (oy+jj)*r3 + oz+kk];  \
+                    FT rc;                                              \
+                    int t;                                              \
+                    if (use_mean && FABS(cur - mean) <= rp) {           \
+                        t = radius;                                     \
+                        rc = mean;                                      \
+                    } else {                                            \
+                        int64_t sx = ox+ii+1, sy = oy+jj+1,             \
+                                sz = oz+kk+1;                           \
+                        const FT *rp0 = rec + sx*ps1 + sy*pr3 + sz;     \
+                        FT p = rp0[-1] + rp0[-pr3];                     \
+                        p = p + rp0[-ps1];                              \
+                        p = p - rp0[-pr3-1];                            \
+                        p = p - rp0[-ps1-1];                            \
+                        p = p - rp0[-ps1-pr3];                          \
+                        p = p + rp0[-ps1-pr3-1];                        \
+                        t = quant_point_##SUF(cur, p, rp, recip,        \
+                                              cap_sz, radius, &rc);     \
+                        if (use_mean && t != 0 && t <= radius) t -= 1;  \
+                    }                                                   \
+                    if (t == 0) ub[uc++] = cur;                         \
+                    result_type[tp + (ii*cby + jj)*cbz + kk] = t;       \
+                    rec[(ox+ii+1)*ps1 + (oy+jj+1)*pr3 + oz+kk+1] = rc;  \
+                }                                                       \
+            }                                                           \
+            ucb[b] = uc;                                                \
+        }                                                               \
+    }                                                                   \
+    int64_t ucnt = 0;                                                   \
+    for (int64_t b = 0; b < nb; b++) {                                  \
+        if (ucb[b]) {                                                   \
+            memmove(unpred + ucnt, ubuf + tpos[b],                      \
+                    (size_t)ucb[b] * sizeof(FT));                       \
+            ucnt += ucb[b];                                             \
+        }                                                               \
+    }                                                                   \
+    free(rec); free(ubuf); free(tpos); free(qpre); free(ucb);           \
+    free(order); free(dstart);                                          \
+    return ucnt;                                                        \
+}                                                                       \
+                                                                        \
+void regnd_decode3d_wf_##SUF(                                           \
+    const int32_t *types, int64_t r1, int64_t r2, int64_t r3,           \
+    const int64_t *xo, const int64_t *xc, int64_t nbx,                  \
+    const int64_t *yo, const int64_t *yc, int64_t nby,                  \
+    const int64_t *zo, const int64_t *zc, int64_t nbz,                  \
+    const uint8_t *indicator, const FT *qcoeffs, const FT *unpred,      \
+    FT rp, int intervals, int use_mean, FT mean, FT *out) {             \
+    int radius = intervals / 2;                                         \
+    int64_t nb = nbx * nby * nbz;                                       \
+    int64_t *tpos = malloc(nb * sizeof(int64_t));                       \
+    int64_t *qpre = malloc(nb * sizeof(int64_t));                       \
+    int64_t *uoff = malloc((nb + 1) * sizeof(int64_t));                 \
+    {                                                                   \
+        int64_t b = 0, qn = 0;                                          \
+        for (int64_t i = 0; i < nbx; i++)                               \
+        for (int64_t j = 0; j < nby; j++) {                             \
+            int64_t tp = xo[i]*r2*r3 + yo[j]*xc[i]*r3;                  \
+            for (int64_t k = 0; k < nbz; k++) {                         \
+                tpos[b] = tp; qpre[b] = qn;                             \
+                if (!indicator[b]) qn++;                                \
+                tp += xc[i] * yc[j] * zc[k];                            \
+                b++;                                                    \
+            }                                                           \
+        }                                                               \
+    }                                                                   \
+    _Pragma("omp parallel for schedule(static)")                        \
+    for (int64_t b = 0; b < nb; b++) {                                  \
+        int64_t i = b / (nby * nbz), rm = b % (nby * nbz);              \
+        int64_t j = rm / nbz, k = rm % nbz;                             \
+        int64_t vol = xc[i] * yc[j] * zc[k];                            \
+        int64_t z = 0;                                                  \
+        const int32_t *ty = types + tpos[b];                            \
+        for (int64_t c = 0; c < vol; c++) z += (ty[c] == 0);            \
+        uoff[b + 1] = z;                                                \
+    }                                                                   \
+    uoff[0] = 0;                                                        \
+    for (int64_t b = 0; b < nb; b++) uoff[b + 1] += uoff[b];            \
+    int64_t *dstart, ndiag;                                             \
+    int64_t *order = regnd_diag_order3(nbx, nby, nbz, &dstart, &ndiag); \
+    for (int64_t d = 0; d < ndiag; d++) {                               \
+        int64_t lo = dstart[d], hi = dstart[d + 1];                     \
+        _Pragma("omp parallel for schedule(dynamic)")                   \
+        for (int64_t bi = lo; bi < hi; bi++) {                          \
+            int64_t b = order[bi];                                      \
+            int64_t i = b / (nby * nbz), rm = b % (nby * nbz);          \
+            int64_t j = rm / nbz, k = rm % nbz;                         \
+            int64_t cbx = xc[i], cby = yc[j], cbz = zc[k];              \
+            int64_t ox = xo[i], oy = yo[j], oz = zo[k];                 \
+            int64_t tp = tpos[b], upos = uoff[b];                       \
+            if (indicator[b]) {                                         \
+                for (int64_t ii = 0; ii < cbx; ii++)                    \
+                for (int64_t jj = 0; jj < cby; jj++)                    \
+                for (int64_t kk = 0; kk < cbz; kk++) {                  \
+                    int t = types[tp + (ii*cby + jj)*cbz + kk];         \
+                    int64_t x = ox+ii, y = oy+jj, z = oz+kk;            \
+                    int64_t c = x*r2*r3 + y*r3 + z;                     \
+                    if (use_mean && t == radius) {                      \
+                        out[c] = mean;                                  \
+                    } else if (t == 0) {                                \
+                        out[c] = unpred[upos++];                        \
+                    } else {                                            \
+                        FT d110 = z ? out[c-1] : (FT)0;                 \
+                        FT d101 = y ? out[c-r3] : (FT)0;                \
+                        FT d011 = x ? out[c-r2*r3] : (FT)0;             \
+                        FT d100 = (y && z) ? out[c-r3-1] : (FT)0;       \
+                        FT d010 = (x && z) ? out[c-r2*r3-1] : (FT)0;    \
+                        FT d001 = (x && y) ? out[c-r2*r3-r3] : (FT)0;   \
+                        FT d000 = (x && y && z)                         \
+                                  ? out[c-r2*r3-r3-1] : (FT)0;          \
+                        if (use_mean && t < radius) t += 1;             \
+                        FT p = d110 + d101;                             \
+                        p = p + d011;                                   \
+                        p = p - d100;                                   \
+                        p = p - d010;                                   \
+                        p = p - d001;                                   \
+                        p = p + d000;                                   \
+                        out[c] = p + (FT)(2 * (t - radius)) * rp;       \
+                    }                                                   \
+                }                                                       \
+            } else {                                                    \
+                const FT *lc = qcoeffs + qpre[b] * 4;                   \
+                for (int64_t ii = 0; ii < cbx; ii++)                    \
+                for (int64_t jj = 0; jj < cby; jj++)                    \
+                for (int64_t kk = 0; kk < cbz; kk++) {                  \
+                    int t = types[tp + (ii*cby + jj)*cbz + kk];         \
+                    int64_t c = (ox+ii)*r2*r3 + (oy+jj)*r3 + oz+kk;     \
+                    if (t != 0) {                                       \
+                        FT pred = lc[0]*(FT)ii + lc[1]*(FT)jj           \
+                                + lc[2]*(FT)kk + lc[3];                 \
+                        out[c] = pred + (FT)(2 * (t - radius)) * rp;    \
+                    } else {                                            \
+                        out[c] = unpred[upos++];                        \
+                    }                                                   \
+                }                                                       \
+            }                                                           \
+        }                                                               \
+    }                                                                   \
+    free(tpos); free(qpre); free(uoff); free(order); free(dstart);      \
+}
+
+GEN_REGND_WF(f32, float, fabsf)
+GEN_REGND_WF(f64, double, fabs)
+#undef GEN_REGND_WF

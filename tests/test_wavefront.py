@@ -1,0 +1,121 @@
+"""Wavefront-parallel regnd point kernels vs the serial strip kernels.
+
+The wavefront variants (regnd_encode3d_wf / regnd_decode3d_wf in
+native/core.c) process block anti-diagonals under OpenMP; they must be
+byte-identical to the serial kernels (which are themselves golden-gated
+against the reference binary in test_golden_regression).  Golden arrays
+are small enough to route to the serial path, so this test forces both
+paths explicitly on shapes large enough to hit the wavefront (>= 64
+blocks) with escapes, mixed reg/Lorenzo blocks, and use_mean.
+"""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from sz_tpu import native
+from sz_tpu.core import blocks as B
+from sz_tpu.core import regnd
+
+
+def _serial_encode(data, dbs, use_reg, qc, rp, recip, intervals,
+                   use_mean, mean):
+    T = data.dtype.type
+    n = data.size
+    rt = np.zeros(n, np.int32)
+    up = np.zeros(n, T)
+    cF = ctypes.c_float if T is np.float32 else ctypes.c_double
+    (xo, xc), (yo, yc), (zo, zc) = [native._geo(db) for db in dbs]
+    fn = (native._lib.regnd_encode3d_f32 if T is np.float32
+          else native._lib.regnd_encode3d_f64)
+    uc = int(fn(
+        native._ptr(np.ascontiguousarray(data)),
+        ctypes.c_int64(data.shape[0]), ctypes.c_int64(data.shape[1]),
+        ctypes.c_int64(data.shape[2]),
+        native._ptr(xo), native._ptr(xc), ctypes.c_int64(len(xo)),
+        native._ptr(yo), native._ptr(yc), ctypes.c_int64(len(yo)),
+        native._ptr(zo), native._ptr(zc), ctypes.c_int64(len(zo)),
+        ctypes.c_int64(dbs[0].early),
+        native._ptr(np.ascontiguousarray(use_reg, np.uint8)),
+        native._ptr(np.ascontiguousarray(qc, T)), cF(rp), cF(recip),
+        ctypes.c_int(intervals), ctypes.c_int(1 if use_mean else 0),
+        cF(mean), native._ptr(rt), native._ptr(up)))
+    return rt, up[:uc].copy()
+
+
+def _serial_decode(rt, shape, dbs, ind, qc, up, rp, intervals,
+                   use_mean, mean, T):
+    fn = (native._lib.regnd_decode3d_f32 if T is np.float32
+          else native._lib.regnd_decode3d_f64)
+    out = np.zeros(int(np.prod(shape)), T)
+    cF = ctypes.c_float if T is np.float32 else ctypes.c_double
+    (xo, xc), (yo, yc), (zo, zc) = [native._geo(db) for db in dbs]
+    fn(native._ptr(np.ascontiguousarray(rt, np.int32)),
+       ctypes.c_int64(shape[0]), ctypes.c_int64(shape[1]),
+       ctypes.c_int64(shape[2]),
+       native._ptr(xo), native._ptr(xc), ctypes.c_int64(len(xo)),
+       native._ptr(yo), native._ptr(yc), ctypes.c_int64(len(yo)),
+       native._ptr(zo), native._ptr(zc), ctypes.c_int64(len(zo)),
+       native._ptr(ind), native._ptr(np.ascontiguousarray(qc, T)),
+       native._ptr(np.ascontiguousarray(up, T) if len(up)
+                   else np.zeros(1, T)),
+       cF(rp), ctypes.c_int(intervals),
+       ctypes.c_int(1 if use_mean else 0), cF(mean), native._ptr(out))
+    return out
+
+
+@pytest.mark.parametrize("shape", [(64, 64, 64), (67, 13, 9),
+                                   (37, 41, 23), (100, 6, 50)])
+@pytest.mark.parametrize("dt", [np.float32, np.float64])
+@pytest.mark.parametrize("use_mean", [False, True])
+def test_wavefront_parity_3d(shape, dt, use_mean):
+    rng = np.random.default_rng(hash((shape, use_mean)) % 2**31)
+    data = (np.cumsum(rng.standard_normal(int(np.prod(shape))))
+            .reshape(shape).astype(dt))
+    data += rng.standard_normal(shape).astype(dt) * 5
+    spec = regnd._spec(3, dt)
+    dbs = [B.dim_blocks(r, spec.block_size) for r in shape]
+    T = spec.T
+    rp = T(5e-3)
+    recip = T(T(1) / rp)
+    noise = T(np.float64(rp) * spec.noise_factor)
+    mean = T(np.median(data[:2])) if use_mean else T(0)
+
+    qcf, ur = native.regnd_prep(data, dbs, noise, use_mean, mean)
+    _, _, qc, _ = regnd.quantize_coeff_chain(qcf, ur, rp, dbs, spec,
+                                             use_mean)
+    rt0, up0 = _serial_encode(data, dbs, ur, qc, rp, recip, 256,
+                              use_mean, mean)
+    rt1, up1 = native.regnd_encode(data, dbs, ur, qc, rp, recip, 256,
+                                   use_mean, mean)
+    assert np.array_equal(rt0, rt1)
+    assert np.array_equal(up0.view(np.uint8), up1.view(np.uint8))
+
+    ind = (~ur.astype(bool)).astype(np.uint8)
+    out_wf = native.regnd_decode(rt1, shape, dbs, ind, qc, up1, 256, rp,
+                                 use_mean, mean, T)
+    out_ser = _serial_decode(rt1, shape, dbs, ind, qc, up1, rp, 256,
+                             use_mean, mean, T)
+    assert np.array_equal(out_ser.view(np.uint8),
+                          out_wf.reshape(-1).view(np.uint8))
+
+
+def test_numpy_prep_matches_native():
+    """The numpy compute_reg_coeffs/select_predictor pair stays the
+    oracle for the fused native prep kernel."""
+    rng = np.random.default_rng(3)
+    for shape, dt in [((40, 33, 29), np.float32), ((22, 64), np.float64)]:
+        data = (np.cumsum(rng.standard_normal(int(np.prod(shape))))
+                .reshape(shape).astype(dt))
+        spec = regnd._spec(len(shape), dt)
+        dbs = [B.dim_blocks(r, spec.block_size) for r in shape]
+        T = spec.T
+        rp = T(1e-3 * float(data.max() - data.min()))
+        noise = T(np.float64(rp) * spec.noise_factor)
+        c0 = regnd.compute_reg_coeffs(data, dbs, spec)
+        u0 = regnd.select_predictor(data, c0, dbs, spec, noise, False,
+                                    T(0))
+        c1, u1 = native.regnd_prep(data, dbs, noise, False, T(0))
+        assert np.array_equal(c0.view(np.uint8), c1.view(np.uint8))
+        assert np.array_equal(u0, u1)
