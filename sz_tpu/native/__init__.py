@@ -549,6 +549,8 @@ _lib.regnd_encode3d_f32.restype = ctypes.c_int64
 _lib.regnd_encode3d_f64.restype = ctypes.c_int64
 _lib.regnd_encode3d_wf_f32.restype = ctypes.c_int64
 _lib.regnd_encode3d_wf_f64.restype = ctypes.c_int64
+_lib.regnd_encode2d_wf_f32.restype = ctypes.c_int64
+_lib.regnd_encode2d_wf_f64.restype = ctypes.c_int64
 _lib.regnd_encode2d_f32.restype = ctypes.c_int64
 _lib.regnd_encode2d_f64.restype = ctypes.c_int64
 
@@ -606,9 +608,22 @@ def regnd_encode(data: np.ndarray, dbs, use_reg: np.ndarray,
             ctypes.c_int(1 if use_mean else 0), cF(mean),
             _ptr(result_type), _ptr(unpred)))
     else:
+        (xo, xc), (yo, yc) = geos
+        nb = len(xo) * len(yo)
+        if nb >= 64:
+            fn = (_lib.regnd_encode2d_wf_f32 if T is np.float32
+                  else _lib.regnd_encode2d_wf_f64)
+            ucnt = int(fn(
+                _ptr(data), ctypes.c_int64(data.shape[0]),
+                ctypes.c_int64(data.shape[1]),
+                _ptr(xo), _ptr(xc), ctypes.c_int64(len(xo)),
+                _ptr(yo), _ptr(yc), ctypes.c_int64(len(yo)),
+                _ptr(ur), _ptr(qc),
+                cF(rp), cF(recip), ctypes.c_int(int(intervals)),
+                _ptr(result_type), _ptr(unpred)))
+            return result_type, unpred[:ucnt].copy()
         fn = (_lib.regnd_encode2d_f32 if T is np.float32
               else _lib.regnd_encode2d_f64)
-        (xo, xc), (yo, yc) = geos
         ucnt = int(fn(
             _ptr(data), ctypes.c_int64(data.shape[0]),
             ctypes.c_int64(data.shape[1]),
@@ -652,9 +667,14 @@ def regnd_decode(types: np.ndarray, shape, dbs, indicator: np.ndarray,
            ctypes.c_int(int(intervals)),
            ctypes.c_int(1 if use_mean else 0), cF(mean), _ptr(out))
     else:
-        fn = (_lib.regnd_decode2d_f32 if T is np.float32
-              else _lib.regnd_decode2d_f64)
         (xo, xc), (yo, yc) = geos
+        nb = len(xo) * len(yo)
+        if nb >= 64:
+            fn = (_lib.regnd_decode2d_wf_f32 if T is np.float32
+                  else _lib.regnd_decode2d_wf_f64)
+        else:
+            fn = (_lib.regnd_decode2d_f32 if T is np.float32
+                  else _lib.regnd_decode2d_f64)
         fn(_ptr(types), ctypes.c_int64(shape[0]),
            ctypes.c_int64(shape[1]),
            _ptr(xo), _ptr(xc), ctypes.c_int64(len(xo)),

@@ -3208,3 +3208,169 @@ void regnd_decode3d_wf_##SUF(                                           \
 GEN_REGND_WF(f32, float, fabsf)
 GEN_REGND_WF(f64, double, fabs)
 #undef GEN_REGND_WF
+
+/* 2D wavefront variants (use_mean is forced off by the 2D codec). */
+
+#define GEN_REGND_WF2(SUF, FT, FABS)                                    \
+int64_t regnd_encode2d_wf_##SUF(                                        \
+    const FT *data, int64_t r1, int64_t r2,                             \
+    const int64_t *xo, const int64_t *xc, int64_t nbx,                  \
+    const int64_t *yo, const int64_t *yc, int64_t nby,                  \
+    const uint8_t *use_reg, const FT *qcoeffs,                          \
+    FT rp, FT recip, int intervals,                                     \
+    int32_t *result_type, FT *unpred) {                                 \
+    FT cap = (FT)intervals, cap_sz = (FT)(intervals - 2);               \
+    int radius = intervals / 2;                                         \
+    int64_t nb = nbx * nby, n = r1 * r2, pr2 = r2 + 1;                  \
+    FT *rec = calloc((r1 + 1) * pr2, sizeof(FT));                       \
+    FT *ubuf = malloc(n * sizeof(FT));                                  \
+    int64_t *tpos = malloc(nb * sizeof(int64_t));                       \
+    int64_t *qpre = malloc(nb * sizeof(int64_t));                       \
+    int64_t *ucb = calloc(nb, sizeof(int64_t));                         \
+    {                                                                   \
+        int64_t b = 0, qn = 0;                                          \
+        for (int64_t i = 0; i < nbx; i++) {                             \
+            int64_t tp = xo[i] * r2;                                    \
+            for (int64_t j = 0; j < nby; j++) {                         \
+                tpos[b] = tp; qpre[b] = qn;                             \
+                if (use_reg[b]) qn++;                                   \
+                tp += xc[i] * yc[j];                                    \
+                b++;                                                    \
+            }                                                           \
+        }                                                               \
+    }                                                                   \
+    for (int64_t d = 0; d <= nbx + nby - 2; d++) {                      \
+        int64_t ilo = d - (nby - 1) > 0 ? d - (nby - 1) : 0;            \
+        int64_t ihi = d < nbx - 1 ? d : nbx - 1;                        \
+        _Pragma("omp parallel for schedule(dynamic)")                   \
+        for (int64_t i = ilo; i <= ihi; i++) {                          \
+            int64_t j = d - i;                                          \
+            int64_t b = i * nby + j;                                    \
+            int64_t cbx = xc[i], cby = yc[j], ox = xo[i], oy = yo[j];   \
+            int64_t tp = tpos[b], uc = 0;                               \
+            FT *ub = ubuf + tp;                                         \
+            if (use_reg[b]) {                                           \
+                const FT *lc = qcoeffs + qpre[b] * 3;                   \
+                for (int64_t ii = 0; ii < cbx; ii++)                    \
+                for (int64_t jj = 0; jj < cby; jj++) {                  \
+                    FT cur = data[(ox+ii)*r2 + oy+jj];                  \
+                    FT pred = lc[0]*(FT)ii + lc[1]*(FT)jj + lc[2];      \
+                    FT rc;                                              \
+                    int t = quant_point_##SUF(cur, pred, rp, recip,     \
+                                              cap, radius, &rc);        \
+                    if (t == 0) ub[uc++] = cur;                         \
+                    result_type[tp + ii*cby + jj] = t;                  \
+                    rec[(ox+ii+1)*pr2 + oy+jj+1] = rc;                  \
+                }                                                       \
+            } else {                                                    \
+                for (int64_t ii = 0; ii < cbx; ii++)                    \
+                for (int64_t jj = 0; jj < cby; jj++) {                  \
+                    FT cur = data[(ox+ii)*r2 + oy+jj];                  \
+                    const FT *rp0 = rec + (ox+ii+1)*pr2 + oy+jj+1;      \
+                    FT p = rp0[-1] + rp0[-pr2] - rp0[-pr2-1];           \
+                    FT rc;                                              \
+                    int t = quant_point_##SUF(cur, p, rp, recip,        \
+                                              cap_sz, radius, &rc);     \
+                    if (t == 0) ub[uc++] = cur;                         \
+                    result_type[tp + ii*cby + jj] = t;                  \
+                    rec[(ox+ii+1)*pr2 + oy+jj+1] = rc;                  \
+                }                                                       \
+            }                                                           \
+            ucb[b] = uc;                                                \
+        }                                                               \
+    }                                                                   \
+    int64_t ucnt = 0;                                                   \
+    for (int64_t b = 0; b < nb; b++) {                                  \
+        if (ucb[b]) {                                                   \
+            memmove(unpred + ucnt, ubuf + tpos[b],                      \
+                    (size_t)ucb[b] * sizeof(FT));                       \
+            ucnt += ucb[b];                                             \
+        }                                                               \
+    }                                                                   \
+    free(rec); free(ubuf); free(tpos); free(qpre); free(ucb);           \
+    return ucnt;                                                        \
+}                                                                       \
+                                                                        \
+void regnd_decode2d_wf_##SUF(                                           \
+    const int32_t *types, int64_t r1, int64_t r2,                       \
+    const int64_t *xo, const int64_t *xc, int64_t nbx,                  \
+    const int64_t *yo, const int64_t *yc, int64_t nby,                  \
+    const uint8_t *indicator, const FT *qcoeffs, const FT *unpred,      \
+    FT rp, int intervals, int use_mean, FT mean, FT *out) {             \
+    int radius = intervals / 2;                                         \
+    int64_t nb = nbx * nby;                                             \
+    int64_t *tpos = malloc(nb * sizeof(int64_t));                       \
+    int64_t *qpre = malloc(nb * sizeof(int64_t));                       \
+    int64_t *uoff = malloc((nb + 1) * sizeof(int64_t));                 \
+    {                                                                   \
+        int64_t b = 0, qn = 0;                                          \
+        for (int64_t i = 0; i < nbx; i++) {                             \
+            int64_t tp = xo[i] * r2;                                    \
+            for (int64_t j = 0; j < nby; j++) {                         \
+                tpos[b] = tp; qpre[b] = qn;                             \
+                if (!indicator[b]) qn++;                                \
+                tp += xc[i] * yc[j];                                    \
+                b++;                                                    \
+            }                                                           \
+        }                                                               \
+    }                                                                   \
+    _Pragma("omp parallel for schedule(static)")                        \
+    for (int64_t b = 0; b < nb; b++) {                                  \
+        int64_t i = b / nby, j = b % nby;                               \
+        int64_t vol = xc[i] * yc[j], z = 0;                             \
+        const int32_t *ty = types + tpos[b];                            \
+        for (int64_t c = 0; c < vol; c++) z += (ty[c] == 0);            \
+        uoff[b + 1] = z;                                                \
+    }                                                                   \
+    uoff[0] = 0;                                                        \
+    for (int64_t b = 0; b < nb; b++) uoff[b + 1] += uoff[b];            \
+    for (int64_t d = 0; d <= nbx + nby - 2; d++) {                      \
+        int64_t ilo = d - (nby - 1) > 0 ? d - (nby - 1) : 0;            \
+        int64_t ihi = d < nbx - 1 ? d : nbx - 1;                        \
+        _Pragma("omp parallel for schedule(dynamic)")                   \
+        for (int64_t i = ilo; i <= ihi; i++) {                          \
+            int64_t j = d - i;                                          \
+            int64_t b = i * nby + j;                                    \
+            int64_t cbx = xc[i], cby = yc[j], ox = xo[i], oy = yo[j];   \
+            int64_t tp = tpos[b], upos = uoff[b];                       \
+            if (indicator[b]) {                                         \
+                for (int64_t ii = 0; ii < cbx; ii++)                    \
+                for (int64_t jj = 0; jj < cby; jj++) {                  \
+                    int t = types[tp + ii*cby + jj];                    \
+                    int64_t x = ox+ii, y = oy+jj;                       \
+                    int64_t c = x*r2 + y;                               \
+                    if (use_mean && t == radius) {                      \
+                        out[c] = mean;                                  \
+                    } else if (t == 0) {                                \
+                        out[c] = unpred[upos++];                        \
+                    } else {                                            \
+                        FT d10 = y ? out[c-1] : (FT)0;                  \
+                        FT d01 = x ? out[c-r2] : (FT)0;                 \
+                        FT d00 = (x && y) ? out[c-r2-1] : (FT)0;        \
+                        if (use_mean && t < radius) t += 1;             \
+                        FT p = d10 + d01 - d00;                         \
+                        out[c] = p + (FT)(2 * (t - radius)) * rp;       \
+                    }                                                   \
+                }                                                       \
+            } else {                                                    \
+                const FT *lc = qcoeffs + qpre[b] * 3;                   \
+                for (int64_t ii = 0; ii < cbx; ii++)                    \
+                for (int64_t jj = 0; jj < cby; jj++) {                  \
+                    int t = types[tp + ii*cby + jj];                    \
+                    int64_t c = (ox+ii)*r2 + oy+jj;                     \
+                    if (t != 0) {                                       \
+                        FT pred = lc[0]*(FT)ii + lc[1]*(FT)jj + lc[2];  \
+                        out[c] = pred + (FT)(2 * (t - radius)) * rp;    \
+                    } else {                                            \
+                        out[c] = unpred[upos++];                        \
+                    }                                                   \
+                }                                                       \
+            }                                                           \
+        }                                                               \
+    }                                                                   \
+    free(tpos); free(qpre); free(uoff);                                 \
+}
+
+GEN_REGND_WF2(f32, float, fabsf)
+GEN_REGND_WF2(f64, double, fabs)
+#undef GEN_REGND_WF2

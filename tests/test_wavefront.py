@@ -119,3 +119,69 @@ def test_numpy_prep_matches_native():
         c1, u1 = native.regnd_prep(data, dbs, noise, False, T(0))
         assert np.array_equal(c0.view(np.uint8), c1.view(np.uint8))
         assert np.array_equal(u0, u1)
+
+
+def _serial_2d(data, dbs, use_reg, qc, rp, recip, intervals):
+    T = data.dtype.type
+    n = data.size
+    rt = np.zeros(n, np.int32)
+    up = np.zeros(n, T)
+    cF = ctypes.c_float if T is np.float32 else ctypes.c_double
+    (xo, xc), (yo, yc) = [native._geo(db) for db in dbs]
+    fn = (native._lib.regnd_encode2d_f32 if T is np.float32
+          else native._lib.regnd_encode2d_f64)
+    uc = int(fn(
+        native._ptr(np.ascontiguousarray(data)),
+        ctypes.c_int64(data.shape[0]), ctypes.c_int64(data.shape[1]),
+        native._ptr(xo), native._ptr(xc), ctypes.c_int64(len(xo)),
+        native._ptr(yo), native._ptr(yc), ctypes.c_int64(len(yo)),
+        ctypes.c_int64(dbs[0].early),
+        native._ptr(np.ascontiguousarray(use_reg, np.uint8)),
+        native._ptr(np.ascontiguousarray(qc, T)), cF(rp), cF(recip),
+        ctypes.c_int(intervals), ctypes.c_int(0), cF(0),
+        native._ptr(rt), native._ptr(up)))
+    return rt, up[:uc].copy()
+
+
+@pytest.mark.parametrize("shape", [(256, 256), (129, 300), (1800, 90)])
+@pytest.mark.parametrize("dt", [np.float32, np.float64])
+def test_wavefront_parity_2d(shape, dt):
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    data = (np.cumsum(rng.standard_normal(int(np.prod(shape))))
+            .reshape(shape).astype(dt))
+    data += rng.standard_normal(shape).astype(dt) * 5
+    spec = regnd._spec(2, dt)
+    dbs = [B.dim_blocks(r, spec.block_size) for r in shape]
+    T = spec.T
+    rp = T(5e-3)
+    recip = T(T(1) / rp)
+    noise = T(np.float64(rp) * spec.noise_factor)
+    qcf, ur = native.regnd_prep(data, dbs, noise, False, T(0))
+    _, _, qc, _ = regnd.quantize_coeff_chain(qcf, ur, rp, dbs, spec,
+                                             False)
+    rt0, up0 = _serial_2d(data, dbs, ur, qc, rp, recip, 256)
+    rt1, up1 = native.regnd_encode(data, dbs, ur, qc, rp, recip, 256,
+                                   False, T(0))
+    assert np.array_equal(rt0, rt1)
+    assert np.array_equal(up0.view(np.uint8), up1.view(np.uint8))
+
+    ind = (~ur.astype(bool)).astype(np.uint8)
+    out_wf = native.regnd_decode(rt1, shape, dbs, ind, qc, up1, 256, rp,
+                                 False, T(0), T)
+    # serial decode
+    fn = (native._lib.regnd_decode2d_f32 if T is np.float32
+          else native._lib.regnd_decode2d_f64)
+    out0 = np.zeros(int(np.prod(shape)), T)
+    cF = ctypes.c_float if T is np.float32 else ctypes.c_double
+    (xo, xc), (yo, yc) = [native._geo(db) for db in dbs]
+    fn(native._ptr(np.ascontiguousarray(rt1, np.int32)),
+       ctypes.c_int64(shape[0]), ctypes.c_int64(shape[1]),
+       native._ptr(xo), native._ptr(xc), ctypes.c_int64(len(xo)),
+       native._ptr(yo), native._ptr(yc), ctypes.c_int64(len(yo)),
+       native._ptr(ind), native._ptr(np.ascontiguousarray(qc, T)),
+       native._ptr(np.ascontiguousarray(up1, T) if len(up1)
+                   else np.zeros(1, T)),
+       cF(rp), ctypes.c_int(256), ctypes.c_int(0), cF(0),
+       native._ptr(out0))
+    assert np.array_equal(out0.view(np.uint8),
+                          out_wf.reshape(-1).view(np.uint8))
