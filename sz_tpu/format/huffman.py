@@ -364,11 +364,11 @@ def decode(tree_L, tree_R, tree_C, tree_T, data: bytes,
     n_nodes = len(tree_L)
     out = np.empty(count, dtype=np.int32)
     if _native is not None:
-        # The FSM build is Python (~0.1 ms per internal node); it only
-        # pays off when the stream is long relative to the tree, or a
+        # The FSM build is native (OpenMP over states); it pays off
+        # once the stream is a few symbols per tree node, or when a
         # cached FSM already exists for this tree.
         key = (tree_L.tobytes(), tree_R.tobytes(), tree_C.tobytes())
-        if key not in _fsm_cache and count < n_nodes * 64:
+        if key not in _fsm_cache and count < n_nodes * 8:
             return _native.huff_tree_decode(
                 tree_L, tree_R, tree_C, tree_T,
                 np.frombuffer(data, dtype=np.uint8), count)
@@ -407,6 +407,12 @@ def _fsm_tables(L, R, C, T):
     hit = _fsm_cache.get(key)
     if hit is not None:
         return hit
+    if _native is not None:
+        tabs = _native.huff_fsm_build(L, R, C, T)
+        if len(_fsm_cache) > 16:
+            _fsm_cache.clear()
+        _fsm_cache[key] = tabs
+        return tabs
     n_nodes = len(L)
     # internal states are node indices with T==0
     next_state = np.zeros((n_nodes, 256), dtype=np.int32)

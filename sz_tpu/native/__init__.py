@@ -103,6 +103,23 @@ def huff_encode(syms: np.ndarray, code_hi: np.ndarray, code_lo: np.ndarray,
     return out.tobytes()
 
 
+def huff_fsm_build(L, R, C, T):
+    """(state, byte) -> (next_state, emitted symbols) tables, OpenMP
+    over states.  Same contract as huffman._fsm_tables."""
+    n_nodes = len(L)
+    next_state = np.zeros((n_nodes, 256), np.int32)
+    emit_cnt = np.zeros((n_nodes, 256), np.int8)
+    emit_syms = np.zeros((n_nodes, 256, 8), np.int32)
+    _lib.huff_fsm_build(
+        _ptr(np.ascontiguousarray(L, np.int32)),
+        _ptr(np.ascontiguousarray(R, np.int32)),
+        _ptr(np.ascontiguousarray(C, np.int32)),
+        _ptr(np.ascontiguousarray(T, np.uint8)),
+        ctypes.c_int64(n_nodes),
+        _ptr(next_state), _ptr(emit_cnt), _ptr(emit_syms))
+    return next_state, emit_cnt, emit_syms
+
+
 def huff_fsm_decode(next_state: np.ndarray, emit_cnt: np.ndarray,
                     emit_syms: np.ndarray, data: np.ndarray,
                     out: np.ndarray) -> np.ndarray:

@@ -3374,3 +3374,34 @@ void regnd_decode2d_wf_##SUF(                                           \
 GEN_REGND_WF2(f32, float, fabsf)
 GEN_REGND_WF2(f64, double, fabs)
 #undef GEN_REGND_WF2
+
+/* --------------------------------------------------------------------
+ * Byte-FSM table build for Huffman decode: for every internal tree
+ * state and input byte, walk the 8 bits recording emitted symbols and
+ * the landing state.  States are independent -> OpenMP.
+ * ------------------------------------------------------------------ */
+
+void huff_fsm_build(const int32_t *L, const int32_t *R, const int32_t *C,
+                    const uint8_t *T, int64_t n_nodes,
+                    int32_t *next_state, int8_t *emit_cnt,
+                    int32_t *emit_syms) {
+    #pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t s = 0; s < n_nodes; s++) {
+        if (T[s]) continue;
+        for (int byte = 0; byte < 256; byte++) {
+            int32_t st = (int32_t)s;
+            int cnt = 0;
+            for (int bit = 7; bit >= 0; bit--) {
+                st = ((byte >> bit) & 1) ? R[st] : L[st];
+                if (T[st]) {
+                    if (cnt < 8) emit_syms[(s * 256 + byte) * 8 + cnt]
+                        = C[st];
+                    cnt++;
+                    st = 0;
+                }
+            }
+            next_state[s * 256 + byte] = st;
+            emit_cnt[s * 256 + byte] = (int8_t)cnt;
+        }
+    }
+}
