@@ -74,9 +74,23 @@ class ExactEncoder:
         if ign < 0:
             ign = 0
         self._mask = (~((1 << ign) - 1)) & ((1 << (self.esize * 8)) - 1)
-        self.lead_nums = []
+        self.lead_nums = []      # scalar staging (ints, add())
+        self._lead_arrays = []   # committed numpy chunks (add_batch())
         self.mid_bytes = bytearray()
         self.resi_bits = []
+        self._resi_arrays = []
+
+    def _flush_scalars(self):
+        if self.lead_nums:
+            self._lead_arrays.append(np.array(self.lead_nums, np.uint8))
+            self.lead_nums = []
+        if self.resi_bits:
+            self._resi_arrays.append(np.array(self.resi_bits, np.uint8))
+            self.resi_bits = []
+
+    def exact_count(self) -> int:
+        return (sum(len(a) for a in self._lead_arrays)
+                + len(self.lead_nums))
 
     def add(self, value):
         """Returns the reconstructed (truncated) value."""
@@ -125,24 +139,44 @@ class ExactEncoder:
             return np.array([self.add(v) for v in vals], dtype=self.T)
         lead, mid, resi, recon, prev = exact_stream(
             vals, self.req_length, self.median, self.raw, self.prev)
-        self.lead_nums.extend(lead.tolist())
+        self._flush_scalars()
+        self._lead_arrays.append(lead)
         self.mid_bytes += mid
-        self.resi_bits.extend(resi.tolist())
+        if resi.size:
+            self._resi_arrays.append(resi)
         self.prev = prev
         return recon
 
+    def _lead_cat(self) -> np.ndarray:
+        self._flush_scalars()
+        if not self._lead_arrays:
+            return np.zeros(0, np.uint8)
+        if len(self._lead_arrays) == 1:
+            return np.asarray(self._lead_arrays[0], np.uint8)
+        return np.concatenate(
+            [np.asarray(a, np.uint8) for a in self._lead_arrays])
+
     def lead_packed(self) -> bytes:
-        return bu.pack_bits_2(np.array(self.lead_nums, dtype=np.uint8))
+        return bu.pack_bits_2(self._lead_cat())
 
     def resi_packed(self) -> bytes:
         """convertIntArray2ByteArray_fast_dynamic (TypeManager.c:377):
         MSB-first fixed-width bitstream."""
         w = self.resi_bits_len
-        if w == 0 or not self.resi_bits:
+        self._flush_scalars()
+        if w == 0 or not self._resi_arrays:
             return b""
-        vals = np.array(self.resi_bits, dtype=np.uint8)
-        bits = ((vals[:, None] >> np.arange(w - 1, -1, -1)[None, :]) & 1)
-        return np.packbits(bits.reshape(-1).astype(np.uint8)).tobytes()
+        vals = (self._resi_arrays[0] if len(self._resi_arrays) == 1
+                else np.concatenate([np.asarray(a, np.uint8)
+                                     for a in self._resi_arrays]))
+        try:
+            from sz_tpu.native import pack_w_bits
+            return pack_w_bits(vals, w)
+        except ImportError:  # pragma: no cover - native unavailable
+            vals = np.asarray(vals, np.uint8)
+            bits = ((vals[:, None]
+                     >> np.arange(w - 1, -1, -1)[None, :]) & 1)
+            return np.packbits(bits.reshape(-1).astype(np.uint8)).tobytes()
 
 
 class ExactDecoder:
@@ -310,9 +344,9 @@ def compress_1d(data: np.ndarray, real_precision: float, value_range,
             native_1d = None
     if native_1d is not None:
         types, lead, mid, resi, cnt = native_1d
-        enc.lead_nums = lead.tolist()
+        enc._lead_arrays = [lead]
         enc.mid_bytes = bytearray(mid)
-        enc.resi_bits = resi.tolist()
+        enc._resi_arrays = [resi] if resi.size else []
         type_array = huffman.encode_with_tree(types, 2 * intervals)
         return TDPS(
             data_type=dt, ds_length=n, intervals=intervals,
@@ -407,7 +441,7 @@ def compress_1d(data: np.ndarray, real_precision: float, value_range,
         type_array=type_array,
         lead_num=enc.lead_packed(), exact_mid_bytes=bytes(enc.mid_bytes),
         residual_mid_bits=enc.resi_packed(),
-        exact_data_num=len(enc.lead_nums),
+        exact_data_num=enc.exact_count(),
         max_quant_intervals=max_range_radius * 2)
 
 

@@ -469,9 +469,9 @@ def compress_nd(data: np.ndarray, real_precision: float, value_range,
                 native_t = None
         if native_t is not None:
             types, lead, mid_b, resi, _cnt = native_t
-            enc.lead_nums = lead.tolist()
+            enc._lead_arrays = [lead]
             enc.mid_bytes = bytearray(mid_b)
-            enc.resi_bits = resi.tolist()
+            enc._resi_arrays = [resi] if resi.size else []
         else:
             types = _encode_fast_nd(data, T, RT, IT, rp, recip,
                                     intervals, radius, enc)
@@ -510,7 +510,7 @@ def compress_nd(data: np.ndarray, real_precision: float, value_range,
         real_precision=float(rp), type_array=type_array,
         lead_num=enc.lead_packed(), exact_mid_bytes=bytes(enc.mid_bytes),
         residual_mid_bits=enc.resi_packed(),
-        exact_data_num=len(enc.lead_nums),
+        exact_data_num=enc.exact_count(),
         max_quant_intervals=max_range_radius * 2)
 
 

@@ -485,9 +485,9 @@ def compress_msst19(data: np.ndarray, pw_ratio: float, fmax, near_zero, *,
             native_t = None
     if native_t is not None:
         types, lead, mid_b, resi, _cnt = native_t
-        enc.lead_nums = lead.tolist()
+        enc._lead_arrays = [lead]
         enc.mid_bytes = bytearray(mid_b)
-        enc.resi_bits = resi.tolist()
+        enc._resi_arrays = [resi] if resi.size else []
     elif data.ndim in (2, 3) and not oracle:
         types = _encode_msst19_fast(data, cache, ptable, intervals,
                                     enc, T)
@@ -574,7 +574,7 @@ def compress_msst19(data: np.ndarray, pw_ratio: float, fmax, near_zero, *,
         real_precision=ratio, type_array=type_array,
         lead_num=enc.lead_packed(), exact_mid_bytes=bytes(enc.mid_bytes),
         residual_mid_bits=enc.resi_packed(),
-        exact_data_num=len(enc.lead_nums),
+        exact_data_num=enc.exact_count(),
         max_quant_intervals=max_range_radius * 2,
         is_pwr=True, msst19=True, plus_bits=plus_bits, max_bits=max_bits)
 

@@ -103,6 +103,18 @@ def huff_encode(syms: np.ndarray, code_hi: np.ndarray, code_lo: np.ndarray,
     return out.tobytes()
 
 
+def pack_w_bits(vals: np.ndarray, w: int) -> bytes:
+    """MSB-first fixed-width (w < 8) bit pack, zero-padded to a byte
+    (convertIntArray2ByteArray_fast_dynamic, TypeManager.c:377)."""
+    vals = np.ascontiguousarray(vals, np.uint8)
+    n = vals.size
+    out = np.zeros((n * w + 7) // 8, np.uint8)
+    if n:
+        _lib.pack_w_bits(_ptr(vals), ctypes.c_int64(n), ctypes.c_int(w),
+                         _ptr(out))
+    return out.tobytes()
+
+
 def huff_fsm_build(L, R, C, T):
     """(state, byte) -> (next_state, emitted symbols) tables, OpenMP
     over states.  Same contract as huffman._fsm_tables."""

@@ -3405,3 +3405,20 @@ void huff_fsm_build(const int32_t *L, const int32_t *R, const int32_t *C,
         }
     }
 }
+
+/* MSB-first fixed-width (w < 8) bit pack of byte values
+ * (convertIntArray2ByteArray_fast_dynamic, TypeManager.c:377). */
+void pack_w_bits(const uint8_t *vals, int64_t n, int w, uint8_t *out) {
+    uint64_t acc = 0;
+    int accbits = 0;
+    int64_t ob = 0;
+    for (int64_t i = 0; i < n; i++) {
+        acc = (acc << w) | vals[i];
+        accbits += w;
+        while (accbits >= 8) {
+            out[ob++] = (uint8_t)(acc >> (accbits - 8));
+            accbits -= 8;
+        }
+    }
+    if (accbits) out[ob++] = (uint8_t)(acc << (8 - accbits));
+}

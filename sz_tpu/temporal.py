@@ -176,7 +176,7 @@ def compress_1d_ts(data: np.ndarray, prev: np.ndarray,
             lead_num=enc.lead_packed(),
             exact_mid_bytes=bytes(enc.mid_bytes),
             residual_mid_bits=enc.resi_packed(),
-            exact_data_num=len(enc.lead_nums),
+            exact_data_num=enc.exact_count(),
             max_quant_intervals=max_range_radius * 2)
         return t, recon
 
@@ -212,7 +212,7 @@ def compress_1d_ts(data: np.ndarray, prev: np.ndarray,
         real_precision=rp, type_array=type_array,
         lead_num=enc.lead_packed(), exact_mid_bytes=bytes(enc.mid_bytes),
         residual_mid_bits=enc.resi_packed(),
-        exact_data_num=len(enc.lead_nums),
+        exact_data_num=enc.exact_count(),
         max_quant_intervals=max_range_radius * 2)
     return t, recon
 
