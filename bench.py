@@ -72,14 +72,17 @@ def attempt(n: int, engine: str) -> None:
 
     cfg = SZConfig(engine=engine).with_bound(ErrorBoundMode.ABS, EB)
     blob = sz_tpu.compress(data, cfg)  # cold (compile) run
+    # this shared host has bursty multi-second contention stalls; take
+    # the best of enough repetitions to ride one out
+    reps = 6 if engine == "numpy" else 3
     best = None
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.time()
         blob = sz_tpu.compress(data, cfg)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     ddt = None
-    for _ in range(2):
+    for _ in range(4 if engine == "numpy" else 2):
         t0 = time.time()
         out = sz_tpu.decompress(blob, data.shape, np.float32)
         d = time.time() - t0
