@@ -372,10 +372,9 @@ def decode(tree_L, tree_R, tree_C, tree_T, data: bytes,
             return _native.huff_tree_decode(
                 tree_L, tree_R, tree_C, tree_T,
                 np.frombuffer(data, dtype=np.uint8), count)
-        next_state, emit_cnt, emit_syms = _fsm_tables(
-            tree_L, tree_R, tree_C, tree_T)
-        return _native.huff_fsm_decode(
-            next_state, emit_cnt, emit_syms,
+        tab = _fsm_tables(tree_L, tree_R, tree_C, tree_T)
+        return _native.huff_fsm_decode2(
+            tab, tree_L, tree_R, tree_C, tree_T,
             np.frombuffer(data, dtype=np.uint8), out)
     if n_nodes * 256 <= 64_000_000:
         next_state, emit_cnt, emit_syms = _fsm_tables(
@@ -402,13 +401,15 @@ _fsm_cache = {}
 
 def _fsm_tables(L, R, C, T):
     """Build (state, byte) -> (next_state, symbols emitted) tables.
-    Cached per tree (repeated decodes of e.g. temporal streams)."""
+    Cached per tree (repeated decodes of e.g. temporal streams).
+    Native: a compact 16-byte-entry table (huff_fsm_build2); numpy
+    fallback: the 3-array layout."""
     key = (L.tobytes(), R.tobytes(), C.tobytes())
     hit = _fsm_cache.get(key)
     if hit is not None:
         return hit
     if _native is not None:
-        tabs = _native.huff_fsm_build(L, R, C, T)
+        tabs = _native.huff_fsm_build2(L, R, C, T)
         if len(_fsm_cache) > 16:
             _fsm_cache.clear()
         _fsm_cache[key] = tabs

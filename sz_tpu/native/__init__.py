@@ -45,6 +45,8 @@ _lib.huff_total_bits.restype = ctypes.c_int64
 _lib.huff_encode_u16.restype = ctypes.c_int64
 _lib.huff_total_bits_u16.restype = ctypes.c_int64
 _lib.huff_fsm_decode.restype = ctypes.c_int64
+_lib.huff_fsm_decode2.restype = ctypes.c_int64
+_lib.huff_fsm_decode_par.restype = ctypes.c_int64
 _lib.huff_tree_decode.restype = ctypes.c_int64
 
 
@@ -130,6 +132,38 @@ def huff_fsm_build(L, R, C, T):
         ctypes.c_int64(n_nodes),
         _ptr(next_state), _ptr(emit_cnt), _ptr(emit_syms))
     return next_state, emit_cnt, emit_syms
+
+
+def huff_fsm_build2(L, R, C, T):
+    """Compact byte-FSM: 16-byte (state, byte) entries with the first
+    two emitted symbols inline (one cache line per decode step), plus
+    a 4-byte packed (next | cnt<<28) mirror for count-only passes."""
+    n_nodes = len(L)
+    tab = np.zeros(n_nodes * 256 * 16, np.uint8)
+    packed = np.zeros(n_nodes * 256, np.uint32)
+    _lib.huff_fsm_build2(
+        _ptr(np.ascontiguousarray(L, np.int32)),
+        _ptr(np.ascontiguousarray(R, np.int32)),
+        _ptr(np.ascontiguousarray(C, np.int32)),
+        _ptr(np.ascontiguousarray(T, np.uint8)),
+        ctypes.c_int64(n_nodes), _ptr(tab), _ptr(packed))
+    return tab, packed
+
+
+def huff_fsm_decode2(tabs, L, R, C, T, data: np.ndarray,
+                     out: np.ndarray) -> np.ndarray:
+    """Speculative chunk-parallel FSM decode (self-synchronizing
+    Huffman chunks; serial compact-FSM fallback for short streams)."""
+    tab, packed = tabs
+    _lib.huff_fsm_decode_par(
+        _ptr(tab), _ptr(packed),
+        _ptr(np.ascontiguousarray(L, np.int32)),
+        _ptr(np.ascontiguousarray(R, np.int32)),
+        _ptr(np.ascontiguousarray(C, np.int32)),
+        _ptr(np.ascontiguousarray(T, np.uint8)),
+        _ptr(np.ascontiguousarray(data, np.uint8)),
+        ctypes.c_int64(data.size), _ptr(out), ctypes.c_int64(out.size))
+    return out
 
 
 def huff_fsm_decode(next_state: np.ndarray, emit_cnt: np.ndarray,
@@ -755,6 +789,13 @@ def regnd_prep(data: np.ndarray, dbs, noise, use_mean: bool, mean):
 
 _lib.classicnd_encode_f32.restype = ctypes.c_int64
 _lib.classicnd_encode_f64.restype = ctypes.c_int64
+_lib.classicnd_encode_wf_f32.restype = ctypes.c_int64
+_lib.classicnd_encode_wf_f64.restype = ctypes.c_int64
+
+# volumes at or above this size route to the blocked-wavefront classic
+# kernels (bit-identical; parallel over bs^3 tile anti-diagonals)
+_CLASSIC_WF_MIN = 1 << 16
+_CLASSIC_WF_BS = 32
 
 
 def classicnd_encode(data: np.ndarray, rp64: float, recip64: float,
@@ -778,15 +819,27 @@ def classicnd_encode(data: np.ndarray, rp64: float, recip64: float,
     resi = np.zeros(max(n, 1), np.uint8)
     nmid = np.zeros(1, np.int64)
     cF = ctypes.c_float if T is np.float32 else ctypes.c_double
-    fn = (_lib.classicnd_encode_f32 if T is np.float32
-          else _lib.classicnd_encode_f64)
-    cnt = int(fn(_ptr(x), ctypes.c_int64(q1), ctypes.c_int64(r1),
-                 ctypes.c_int64(r2), ctypes.c_int64(r3),
-                 ctypes.c_double(rp64), ctypes.c_double(recip64),
-                 cF(rp), cF(recip), ctypes.c_int(int(intervals)),
-                 ctypes.c_int(radius), ctypes.c_int(1 if dbl else 0),
-                 ctypes.c_int(req_length), cF(median), _ptr(types),
-                 _ptr(lead), _ptr(mid), _ptr(nmid), _ptr(resi)))
+    if n >= _CLASSIC_WF_MIN:
+        fn = (_lib.classicnd_encode_wf_f32 if T is np.float32
+              else _lib.classicnd_encode_wf_f64)
+        cnt = int(fn(_ptr(x), ctypes.c_int64(q1), ctypes.c_int64(r1),
+                     ctypes.c_int64(r2), ctypes.c_int64(r3),
+                     ctypes.c_double(rp64), ctypes.c_double(recip64),
+                     cF(rp), cF(recip), ctypes.c_int(int(intervals)),
+                     ctypes.c_int(radius), ctypes.c_int(1 if dbl else 0),
+                     ctypes.c_int(req_length), cF(median),
+                     ctypes.c_int(_CLASSIC_WF_BS), _ptr(types),
+                     _ptr(lead), _ptr(mid), _ptr(nmid), _ptr(resi)))
+    else:
+        fn = (_lib.classicnd_encode_f32 if T is np.float32
+              else _lib.classicnd_encode_f64)
+        cnt = int(fn(_ptr(x), ctypes.c_int64(q1), ctypes.c_int64(r1),
+                     ctypes.c_int64(r2), ctypes.c_int64(r3),
+                     ctypes.c_double(rp64), ctypes.c_double(recip64),
+                     cF(rp), cF(recip), ctypes.c_int(int(intervals)),
+                     ctypes.c_int(radius), ctypes.c_int(1 if dbl else 0),
+                     ctypes.c_int(req_length), cF(median), _ptr(types),
+                     _ptr(lead), _ptr(mid), _ptr(nmid), _ptr(resi)))
     esize = 4 if T is np.float32 else 8
     has_resi = (req_length % 8) != 0 and rb < esize
     return (types, lead[:cnt], mid[:int(nmid[0])].tobytes(),
@@ -810,6 +863,16 @@ def classicnd_decode(types: np.ndarray, shape, rp64: float, rp,
             else np.zeros(1, np.uint8))
     out = np.zeros(types.size, T)
     cF = ctypes.c_float if T is np.float32 else ctypes.c_double
+    if types.size >= _CLASSIC_WF_MIN:
+        fn = (_lib.classicnd_decode_wf_f32 if T is np.float32
+              else _lib.classicnd_decode_wf_f64)
+        fn(_ptr(types), ctypes.c_int64(q1), ctypes.c_int64(r1),
+           ctypes.c_int64(r2), ctypes.c_int64(r3), ctypes.c_double(rp64),
+           cF(rp), ctypes.c_int(radius), ctypes.c_int(1 if dbl else 0),
+           ctypes.c_int(req_length), cF(median), _ptr(lead), _ptr(midb),
+           _ptr(resb), ctypes.c_int64(int(lead.size)),
+           ctypes.c_int(_CLASSIC_WF_BS), _ptr(out))
+        return out
     fn = (_lib.classicnd_decode_f32 if T is np.float32
           else _lib.classicnd_decode_f64)
     fn(_ptr(types), ctypes.c_int64(q1), ctypes.c_int64(r1),

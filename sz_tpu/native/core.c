@@ -3422,3 +3422,543 @@ void pack_w_bits(const uint8_t *vals, int64_t n, int w, uint8_t *out) {
     }
     if (accbits) out[ob++] = (uint8_t)(acc << (8 - accbits));
 }
+
+/* ------------------------------------------------------------------ */
+/* Blocked-wavefront classic MDQ kernels (SZ1.4 cell Lorenzo,          */
+/* sz_float.c:353-1478 semantics).  The serial cell recurrence is      */
+/* re-scheduled over bs^3 tiles whose block anti-diagonals run in      */
+/* parallel: a tile only reads reconstructions at -1 offsets in each   */
+/* axis, i.e. from tiles earlier on the block-diagonal order.  Streams */
+/* are bit-identical to classicnd_encode/_decode because the escape    */
+/* reconstruction is state-free (the xenc lead-byte chain only shapes  */
+/* stream bytes, not recon values), so the lead/mid/resi streams are   */
+/* re-assembled in raster order after the sweep.                       */
+/* ------------------------------------------------------------------ */
+
+static inline float xtrunc_f32(float value, float median, int raw,
+                               uint32_t mask) {
+    float norm = raw ? value : value - median;
+    uint32_t ival;
+    memcpy(&ival, &norm, 4);
+    uint32_t rbits = ival & mask;
+    float recon;
+    memcpy(&recon, &rbits, 4);
+    if (!raw) recon = recon + median;
+    return recon;
+}
+
+static inline double xtrunc_f64(double value, double median, int raw,
+                                uint64_t mask) {
+    double norm = raw ? value : value - median;
+    uint64_t ival;
+    memcpy(&ival, &norm, 8);
+    uint64_t rbits = ival & mask;
+    double recon;
+    memcpy(&recon, &rbits, 8);
+    if (!raw) recon = recon + median;
+    return recon;
+}
+
+#define GEN_CLASSIC_WF(SUF, FT, ESIZE, MASKT, XADD, XNEXT)              \
+static inline FT cnd_quantwf_##SUF(int32_t *types, int64_t idx, FT cur, \
+                                   FT pred, double rp64, double recip64,\
+                                   FT rp, FT recip, int intervals,      \
+                                   int radius, int dbl, FT median,      \
+                                   MASKT mask) {                        \
+    FT diff = cur - pred;                                               \
+    if (dbl) {                                                          \
+        double itv = fabs((double)diff) * recip64 + 1.0;                \
+        if (itv < (double)intervals) {                                  \
+            if (diff < 0) itv = -itv;                                   \
+            int t = (int)(itv / 2.0) + radius;                          \
+            FT rec = (FT)((double)pred                                  \
+                          + (double)(2 * (t - radius)) * rp64);         \
+            if (fabs((double)(FT)(cur - rec)) > rp64) {                 \
+                types[idx] = 0;                                         \
+                return xtrunc_##SUF(cur, median, 0, mask);              \
+            }                                                           \
+            types[idx] = t;                                             \
+            return rec;                                                 \
+        }                                                               \
+    } else {                                                            \
+        FT itv = (FT)(fabs((double)diff) * (double)recip + 1.0);        \
+        if (itv < (FT)intervals) {                                      \
+            if (diff < 0) itv = -itv;                                   \
+            int t = (int)(itv / (FT)2) + radius;                        \
+            FT rec = pred + (FT)(2 * (t - radius)) * rp;                \
+            if (fabs((double)(FT)(cur - rec)) > (double)rp) {           \
+                types[idx] = 0;                                         \
+                return xtrunc_##SUF(cur, median, 0, mask);              \
+            }                                                           \
+            types[idx] = t;                                             \
+            return rec;                                                 \
+        }                                                               \
+    }                                                                   \
+    types[idx] = 0;                                                     \
+    return xtrunc_##SUF(cur, median, 0, mask);                          \
+}                                                                       \
+                                                                        \
+int64_t classicnd_encode_wf_##SUF(                                      \
+    const FT *x, int64_t q1, int64_t r1, int64_t r2, int64_t r3,        \
+    double rp64, double recip64, FT rp, FT recip, int intervals,        \
+    int radius, int dbl, int req_length, FT median, int bs,             \
+    int32_t *types, uint8_t *lead, uint8_t *mid, int64_t *nmid,         \
+    uint8_t *resi) {                                                    \
+    int64_t r23 = r2 * r3, vol = r1 * r23, ntot = q1 * vol;             \
+    MASKT mask = (MASKT)xenc_mask(ESIZE, req_length);                   \
+    FT *rec = malloc(vol * sizeof(FT));                                 \
+    int64_t nbx = (r1 + bs - 1) / bs, nby = (r2 + bs - 1) / bs,         \
+            nbz = (r3 + bs - 1) / bs;                                   \
+    int64_t *dstart, ndiag;                                             \
+    int64_t *order = regnd_diag_order3(nbx, nby, nbz, &dstart, &ndiag); \
+    for (int64_t l = 0; l < q1; l++) {                                  \
+        const FT *xl = x + l * vol;                                     \
+        int32_t *tl = types + l * vol;                                  \
+        for (int64_t d = 0; d < ndiag; d++) {                           \
+            int64_t lo = dstart[d], hi = dstart[d + 1];                 \
+            _Pragma("omp parallel for schedule(dynamic)")               \
+            for (int64_t bi = lo; bi < hi; bi++) {                      \
+                int64_t b = order[bi];                                  \
+                int64_t i = b / (nby * nbz), rm = b % (nby * nbz);      \
+                int64_t j = rm / nbz, kb = rm % nbz;                    \
+                int64_t ox = i * bs, oy = j * bs, oz = kb * bs;         \
+                int64_t ex = ox + bs < r1 ? ox + bs : r1;               \
+                int64_t ey = oy + bs < r2 ? oy + bs : r2;               \
+                int64_t ez = oz + bs < r3 ? oz + bs : r3;               \
+                if (ox > 0 && oy > 0 && oz > 0) {                       \
+                    /* interior tile: pure 7-point Lorenzo */           \
+                    for (int64_t a = ox; a < ex; a++)                   \
+                    for (int64_t bb = oy; bb < ey; bb++) {              \
+                        int64_t idx = a * r23 + bb * r3 + oz;           \
+                        for (int64_t c = oz; c < ez; c++, idx++) {      \
+                            FT p = rec[idx-1] + rec[idx-r3];            \
+                            p = p + rec[idx-r23];                       \
+                            p = p - rec[idx-r3-1];                      \
+                            p = p - rec[idx-r23-r3];                    \
+                            p = p - rec[idx-r23-1];                     \
+                            p = p + rec[idx-r23-r3-1];                  \
+                            rec[idx] = cnd_quantwf_##SUF(               \
+                                tl, idx, xl[idx], p, rp64, recip64,     \
+                                rp, recip, intervals, radius, dbl,      \
+                                median, mask);                          \
+                        }                                               \
+                    }                                                   \
+                } else if (oy > 0 && oz > 0) {                          \
+                    /* ox == 0 tile: first plane rows are 2D Lorenzo */ \
+                    for (int64_t a = ox; a < ex; a++)                   \
+                    for (int64_t bb = oy; bb < ey; bb++) {              \
+                        int64_t idx = a * r23 + bb * r3 + oz;           \
+                        if (a == 0) {                                   \
+                            for (int64_t c = oz; c < ez; c++, idx++) {  \
+                                FT p = rec[idx-1] + rec[idx-r3]         \
+                                       - rec[idx-r3-1];                 \
+                                rec[idx] = cnd_quantwf_##SUF(           \
+                                    tl, idx, xl[idx], p, rp64, recip64, \
+                                    rp, recip, intervals, radius, dbl,  \
+                                    median, mask);                      \
+                            }                                           \
+                        } else {                                        \
+                            for (int64_t c = oz; c < ez; c++, idx++) {  \
+                                FT p = rec[idx-1] + rec[idx-r3];        \
+                                p = p + rec[idx-r23];                   \
+                                p = p - rec[idx-r3-1];                  \
+                                p = p - rec[idx-r23-r3];                \
+                                p = p - rec[idx-r23-1];                 \
+                                p = p + rec[idx-r23-r3-1];              \
+                                rec[idx] = cnd_quantwf_##SUF(           \
+                                    tl, idx, xl[idx], p, rp64, recip64, \
+                                    rp, recip, intervals, radius, dbl,  \
+                                    median, mask);                      \
+                            }                                           \
+                        }                                               \
+                    }                                                   \
+                } else {                                                \
+                    /* boundary tile: per-cell case analysis */         \
+                    for (int64_t a = ox; a < ex; a++)                   \
+                    for (int64_t bb = oy; bb < ey; bb++)                \
+                    for (int64_t c = oz; c < ez; c++) {                 \
+                        int64_t idx = a * r23 + bb * r3 + c;            \
+                        FT cur = xl[idx];                               \
+                        FT p;                                           \
+                        if (a > 0 && bb > 0 && c > 0) {                 \
+                            p = rec[idx-1] + rec[idx-r3];               \
+                            p = p + rec[idx-r23];                       \
+                            p = p - rec[idx-r3-1];                      \
+                            p = p - rec[idx-r23-r3];                    \
+                            p = p - rec[idx-r23-1];                     \
+                            p = p + rec[idx-r23-r3-1];                  \
+                        } else if (a == 0) {                            \
+                            if (bb == 0) {                              \
+                                if (c == 0) {                           \
+                                    tl[idx] = 0;                        \
+                                    rec[idx] = xtrunc_##SUF(            \
+                                        cur, median, 0, mask);          \
+                                    continue;                           \
+                                } else if (c == 1) {                    \
+                                    p = rec[idx-1];                     \
+                                } else {                                \
+                                    p = (FT)2 * rec[idx-1]              \
+                                        - rec[idx-2];                   \
+                                }                                       \
+                            } else if (c == 0) {                        \
+                                p = rec[idx - r3];                      \
+                            } else {                                    \
+                                p = rec[idx-1] + rec[idx-r3]            \
+                                    - rec[idx-r3-1];                    \
+                            }                                           \
+                        } else if (bb == 0) {                           \
+                            if (c == 0) p = rec[idx - r23];             \
+                            else p = rec[idx-1] + rec[idx-r23]          \
+                                     - rec[idx-r23-1];                  \
+                        } else {                                        \
+                            p = rec[idx-r3] + rec[idx-r23]              \
+                                - rec[idx-r23-r3];                      \
+                        }                                               \
+                        rec[idx] = cnd_quantwf_##SUF(                   \
+                            tl, idx, cur, p, rp64, recip64, rp, recip,  \
+                            intervals, radius, dbl, median, mask);      \
+                    }                                                   \
+                }                                                       \
+            }                                                           \
+        }                                                               \
+    }                                                                   \
+    free(order); free(dstart); free(rec);                               \
+    /* escape streams in raster order (state-free recon above makes    \
+     * this equivalent to emitting inline) */                           \
+    xenc E;                                                             \
+    E.esize = ESIZE;                                                    \
+    E.req_bytes = req_length / 8; E.resi_len = req_length % 8;          \
+    if (E.req_bytes > ESIZE) E.req_bytes = ESIZE;                       \
+    memset(E.prev, 0, 8);                                               \
+    E.lead = lead; E.nlead = 0; E.mid = mid; E.nmid = 0;                \
+    E.resi = resi; E.nresi = 0;                                         \
+    for (int64_t idx = 0; idx < ntot; idx++)                            \
+        if (types[idx] == 0) XADD(&E, x[idx], median, 0, mask);         \
+    *nmid = E.nmid;                                                     \
+    return E.nlead;                                                     \
+}                                                                       \
+                                                                        \
+void classicnd_decode_wf_##SUF(                                         \
+    const int32_t *types, int64_t q1, int64_t r1, int64_t r2,           \
+    int64_t r3, double rp64, FT rp, int radius, int dbl,                \
+    int req_length, FT median, const uint8_t *lead,                     \
+    const uint8_t *mid, const uint8_t *resi, int64_t nesc, int bs,      \
+    FT *out) {                                                          \
+    int64_t r23 = r2 * r3, vol = r1 * r23;                              \
+    /* 1. serial escape-value decode (state chain is in the stream) */  \
+    xdec D;                                                             \
+    D.esize = ESIZE;                                                    \
+    D.req_bytes = req_length / 8; D.resi_len = req_length % 8;          \
+    if (D.req_bytes > ESIZE) D.req_bytes = ESIZE;                       \
+    memset(D.prev, 0, 8);                                               \
+    D.lead = lead; D.k = 0; D.mid = mid; D.midp = 0;                    \
+    D.resi = resi; D.bitp = 0;                                          \
+    FT *vals = malloc((nesc > 0 ? nesc : 1) * sizeof(FT));              \
+    for (int64_t m = 0; m < nesc; m++) vals[m] = XNEXT(&D, median, 0);  \
+    /* 2. escape-ordinal tables at (row, z-tile) granularity */         \
+    int64_t nbx = (r1 + bs - 1) / bs, nby = (r2 + bs - 1) / bs,         \
+            nbz = (r3 + bs - 1) / bs;                                   \
+    int64_t nrows = q1 * r1 * r2;                                       \
+    int64_t *zpre = malloc(nrows * (nbz + 1) * sizeof(int64_t));        \
+    _Pragma("omp parallel for schedule(static)")                        \
+    for (int64_t row = 0; row < nrows; row++) {                         \
+        const int32_t *ty = types + row * r3;                           \
+        int64_t *zp = zpre + row * (nbz + 1);                           \
+        int64_t cnt = 0, zb = 0;                                        \
+        for (int64_t c = 0; c < r3; c++) {                              \
+            if (c == zb * bs) zp[zb++] = cnt;                           \
+            if (ty[c] == 0) cnt++;                                      \
+        }                                                               \
+        zp[nbz] = cnt;                                                  \
+    }                                                                   \
+    int64_t *rowstart = malloc((nrows + 1) * sizeof(int64_t));          \
+    rowstart[0] = 0;                                                    \
+    for (int64_t row = 0; row < nrows; row++)                           \
+        rowstart[row + 1] = rowstart[row]                               \
+                            + zpre[row * (nbz + 1) + nbz];              \
+    /* 3. wavefront replay */                                           \
+    int64_t *dstart, ndiag;                                             \
+    int64_t *order = regnd_diag_order3(nbx, nby, nbz, &dstart, &ndiag); \
+    for (int64_t l = 0; l < q1; l++) {                                  \
+        const int32_t *tl = types + l * vol;                            \
+        FT *o = out + l * vol;                                          \
+        for (int64_t d = 0; d < ndiag; d++) {                           \
+            int64_t lo = dstart[d], hi = dstart[d + 1];                 \
+            _Pragma("omp parallel for schedule(dynamic)")               \
+            for (int64_t bi = lo; bi < hi; bi++) {                      \
+                int64_t b = order[bi];                                  \
+                int64_t i = b / (nby * nbz), rm = b % (nby * nbz);      \
+                int64_t j = rm / nbz, kb = rm % nbz;                    \
+                int64_t ox = i * bs, oy = j * bs, oz = kb * bs;         \
+                int64_t ex = ox + bs < r1 ? ox + bs : r1;               \
+                int64_t ey = oy + bs < r2 ? oy + bs : r2;               \
+                int64_t ez = oz + bs < r3 ? oz + bs : r3;               \
+                for (int64_t a = ox; a < ex; a++)                       \
+                for (int64_t bb = oy; bb < ey; bb++) {                  \
+                    int64_t row = (l * r1 + a) * r2 + bb;               \
+                    int64_t ord = rowstart[row]                         \
+                                  + zpre[row * (nbz + 1) + kb];         \
+                    int64_t idx = a * r23 + bb * r3 + oz;               \
+                    for (int64_t c = oz; c < ez; c++, idx++) {          \
+                        int t = tl[idx];                                \
+                        if (t == 0) { o[idx] = vals[ord++]; continue; } \
+                        FT p;                                           \
+                        if (a > 0 && bb > 0 && c > 0) {                 \
+                            p = o[idx-1] + o[idx-r3];                   \
+                            p = p + o[idx-r23];                         \
+                            p = p - o[idx-r3-1];                        \
+                            p = p - o[idx-r23-r3];                      \
+                            p = p - o[idx-r23-1];                       \
+                            p = p + o[idx-r23-r3-1];                    \
+                        } else if (a == 0) {                            \
+                            if (bb == 0) {                              \
+                                if (c == 1) p = o[idx-1];               \
+                                else p = (FT)2 * o[idx-1] - o[idx-2];   \
+                            } else if (c == 0) {                        \
+                                p = o[idx - r3];                        \
+                            } else {                                    \
+                                p = o[idx-1] + o[idx-r3]                \
+                                    - o[idx-r3-1];                      \
+                            }                                           \
+                        } else if (bb == 0) {                           \
+                            if (c == 0) p = o[idx - r23];               \
+                            else p = o[idx-1] + o[idx-r23]              \
+                                     - o[idx-r23-1];                    \
+                        } else {                                        \
+                            p = o[idx-r3] + o[idx-r23]                  \
+                                - o[idx-r23-r3];                        \
+                        }                                               \
+                        if (dbl)                                        \
+                            o[idx] = (FT)((double)p                     \
+                                + (double)(2 * (t - radius)) * rp64);   \
+                        else                                            \
+                            o[idx] = p + (FT)(2 * (t - radius)) * rp;   \
+                    }                                                   \
+                }                                                       \
+            }                                                           \
+        }                                                               \
+    }                                                                   \
+    free(order); free(dstart); free(vals); free(zpre); free(rowstart);  \
+}
+
+GEN_CLASSIC_WF(f32, float, 4, uint32_t, xenc_add_f32, xdec_next_f32)
+GEN_CLASSIC_WF(f64, double, 8, uint64_t, xenc_add_f64, xdec_next_f64)
+#undef GEN_CLASSIC_WF
+
+/* Compact byte-FSM: one 16-byte entry per (state, byte) so a decode
+ * step costs a single cache line (the 3-array layout above costs up to
+ * three).  Entries inline the first two emitted symbols; the rare >2
+ * case (codes shorter than 4 bits) re-walks the byte bit-by-bit. */
+typedef struct {
+    int32_t next;
+    int32_t sym0;
+    int32_t sym1;
+    int16_t cnt;
+    int16_t pad;
+} fsme2;
+
+void huff_fsm_build2(const int32_t *L, const int32_t *R, const int32_t *C,
+                     const uint8_t *T, int64_t n_nodes, uint8_t *tab,
+                     uint32_t *packed) {
+    /* packed[e] = next_state | cnt<<28 : a 4-byte-per-entry mirror for
+     * the count-only speculative pass (fits caches 4x better). */
+    fsme2 *t = (fsme2 *)tab;
+    #pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t s = 0; s < n_nodes; s++) {
+        if (T[s]) continue;
+        for (int byte = 0; byte < 256; byte++) {
+            int32_t st = (int32_t)s;
+            int cnt = 0;
+            fsme2 e = {0, 0, 0, 0, 0};
+            for (int bit = 7; bit >= 0; bit--) {
+                st = ((byte >> bit) & 1) ? R[st] : L[st];
+                if (T[st]) {
+                    if (cnt == 0) e.sym0 = C[st];
+                    else if (cnt == 1) e.sym1 = C[st];
+                    cnt++;
+                    st = 0;
+                }
+            }
+            e.next = st;
+            e.cnt = (int16_t)cnt;
+            t[s * 256 + byte] = e;
+            packed[s * 256 + byte] =
+                (uint32_t)st | ((uint32_t)cnt << 28);
+        }
+    }
+}
+
+int64_t huff_fsm_decode2(const uint8_t *tab, const int32_t *L,
+                         const int32_t *R, const int32_t *C,
+                         const uint8_t *T, const uint8_t *data,
+                         int64_t nbytes, int32_t *out, int64_t count) {
+    const fsme2 *t = (const fsme2 *)tab;
+    int32_t s = 0;
+    int64_t k = 0;
+    for (int64_t i = 0; i < nbytes; i++) {
+        fsme2 e = t[((int64_t)s << 8) | data[i]];
+        int c = e.cnt;
+        if (c) {
+            if (c <= 2 && k + c <= count) {
+                out[k] = e.sym0;
+                if (c == 2) out[k + 1] = e.sym1;
+                k += c;
+            } else {
+                /* >2 symbols in one byte, or output-tail clamp */
+                int32_t st = s;
+                uint8_t b = data[i];
+                for (int bit = 7; bit >= 0 && k < count; bit--) {
+                    st = ((b >> bit) & 1) ? R[st] : L[st];
+                    if (T[st]) { out[k++] = C[st]; st = 0; }
+                }
+            }
+            if (k >= count) return k;
+        }
+        s = e.next;
+    }
+    return k;
+}
+
+/* Speculative chunk-parallel byte-FSM decode.  Huffman byte streams
+ * self-synchronize: decoding a chunk from the wrong entry state almost
+ * always converges to the true state trajectory within a few bytes.
+ * Phase 1 (parallel) decodes every chunk from assumed state 0,
+ * count-only, recording the first PROBE per-byte (state, count) pairs.
+ * Phase 2 (serial, cheap) chains true entry states: walking a chunk
+ * from its true entry until the state matches the probe trajectory
+ * yields the chunk's true symbol count without re-decoding it.
+ * Phase 3 (parallel) re-decodes each chunk from its true entry state,
+ * emitting directly at its true output offset.  Output is bit-identical
+ * to huff_fsm_decode2 (which is the fallback for short streams). */
+
+#define FSM_PROBE 4096
+
+static int64_t fsm_emit_range(const fsme2 *t, const int32_t *L,
+                              const int32_t *R, const int32_t *C,
+                              const uint8_t *T, const uint8_t *data,
+                              int64_t lo, int64_t hi, int32_t s,
+                              int32_t *out, int64_t k, int64_t count) {
+    for (int64_t i = lo; i < hi; i++) {
+        fsme2 e = t[((int64_t)s << 8) | data[i]];
+        int c = e.cnt;
+        if (c) {
+            if (c <= 2 && k + c <= count) {
+                out[k] = e.sym0;
+                if (c == 2) out[k + 1] = e.sym1;
+                k += c;
+            } else {
+                int32_t st = s;
+                uint8_t b = data[i];
+                for (int bit = 7; bit >= 0 && k < count; bit--) {
+                    st = ((b >> bit) & 1) ? R[st] : L[st];
+                    if (T[st]) { out[k++] = C[st]; st = 0; }
+                }
+            }
+            if (k >= count) return k;
+        }
+        s = e.next;
+    }
+    return k;
+}
+
+int64_t huff_fsm_decode_par(const uint8_t *tab, const uint32_t *packed,
+                            const int32_t *L,
+                            const int32_t *R, const int32_t *C,
+                            const uint8_t *T, const uint8_t *data,
+                            int64_t nbytes, int32_t *out, int64_t count) {
+#ifndef _OPENMP
+    return huff_fsm_decode2(tab, L, R, C, T, data, nbytes, out, count);
+#else
+    int nth = omp_get_max_threads();
+    if (nth <= 1 || nbytes < (1 << 19))
+        return huff_fsm_decode2(tab, L, R, C, T, data, nbytes, out,
+                                count);
+    const fsme2 *t = (const fsme2 *)tab;
+    int64_t nchunks = (int64_t)nth * 4;
+    if (nchunks > 64) nchunks = 64;
+    int64_t csize = (nbytes + nchunks - 1) / nchunks;
+    if (csize <= FSM_PROBE) {
+        nchunks = 1 + (nbytes - 1) / (FSM_PROBE * 2);
+        csize = (nbytes + nchunks - 1) / nchunks;
+    }
+    int64_t probe_n = csize < FSM_PROBE ? csize : FSM_PROBE;
+    int32_t *probe_state = malloc(nchunks * probe_n * sizeof(int32_t));
+    int64_t *probe_cnt = malloc(nchunks * probe_n * sizeof(int64_t));
+    int32_t *exit_state = malloc(nchunks * sizeof(int32_t));
+    int64_t *spec_cnt = malloc(nchunks * sizeof(int64_t));
+    int64_t *true_cnt = malloc(nchunks * sizeof(int64_t));
+    int32_t *true_entry = malloc(nchunks * sizeof(int32_t));
+    /* phase 1: speculative count-only decode from state 0 */
+    #pragma omp parallel for schedule(static)
+    for (int64_t c = 0; c < nchunks; c++) {
+        int64_t lo = c * csize;
+        int64_t hi = lo + csize < nbytes ? lo + csize : nbytes;
+        int32_t *ps = probe_state + c * probe_n;
+        int64_t *pc = probe_cnt + c * probe_n;
+        int32_t s = 0;
+        int64_t k = 0;
+        for (int64_t i = lo; i < hi; i++) {
+            uint32_t e = packed[((int64_t)s << 8) | data[i]];
+            k += e >> 28;
+            s = (int32_t)(e & 0x0FFFFFFFu);
+            if (i - lo < probe_n) { ps[i - lo] = s; pc[i - lo] = k; }
+        }
+        exit_state[c] = s;
+        spec_cnt[c] = k;
+    }
+    /* phase 2: chain true entry states through sync points */
+    true_entry[0] = 0;
+    int ok = 1;
+    for (int64_t c = 0; c < nchunks && ok; c++) {
+        int32_t te = true_entry[c];
+        if (te == 0) {
+            true_cnt[c] = spec_cnt[c];
+        } else {
+            int64_t lo = c * csize;
+            int64_t hi = lo + csize < nbytes ? lo + csize : nbytes;
+            int64_t pn = hi - lo < probe_n ? hi - lo : probe_n;
+            const int32_t *ps = probe_state + c * probe_n;
+            const int64_t *pc = probe_cnt + c * probe_n;
+            int32_t s = te;
+            int64_t k = 0;
+            int64_t sync = -1;
+            for (int64_t i = 0; i < pn; i++) {
+                uint32_t e = packed[((int64_t)s << 8) | data[lo + i]];
+                k += e >> 28;
+                s = (int32_t)(e & 0x0FFFFFFFu);
+                if (s == ps[i]) { sync = i; break; }
+            }
+            if (sync < 0) { ok = 0; break; }
+            true_cnt[c] = k + (spec_cnt[c] - pc[sync]);
+        }
+        if (c + 1 < nchunks) true_entry[c + 1] = exit_state[c];
+    }
+    free(probe_state); free(probe_cnt);
+    if (!ok) {
+        /* pathological stream: no self-sync within the probe window */
+        free(exit_state); free(spec_cnt); free(true_cnt);
+        free(true_entry);
+        return huff_fsm_decode2(tab, L, R, C, T, data, nbytes, out,
+                                count);
+    }
+    /* exclusive-scan offsets */
+    int64_t *off = malloc((nchunks + 1) * sizeof(int64_t));
+    off[0] = 0;
+    for (int64_t c = 0; c < nchunks; c++)
+        off[c + 1] = off[c] + true_cnt[c];
+    /* phase 3: exact emission at true offsets */
+    int64_t total = off[nchunks] < count ? off[nchunks] : count;
+    #pragma omp parallel for schedule(static)
+    for (int64_t c = 0; c < nchunks; c++) {
+        if (off[c] >= count) continue;
+        int64_t lo = c * csize;
+        int64_t hi = lo + csize < nbytes ? lo + csize : nbytes;
+        fsm_emit_range(t, L, R, C, T, data, lo, hi, true_entry[c],
+                       out, off[c], off[c + 1] < count ? off[c + 1]
+                                                       : count);
+    }
+    free(exit_state); free(spec_cnt); free(true_cnt); free(true_entry);
+    free(off);
+    return total;
+#endif
+}

@@ -185,3 +185,76 @@ def test_wavefront_parity_2d(shape, dt):
        native._ptr(out0))
     assert np.array_equal(out0.view(np.uint8),
                           out_wf.reshape(-1).view(np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# Blocked-wavefront classic MDQ kernels (classicnd_encode_wf/_decode_wf)
+# vs the serial cell kernels (golden-gated in test_golden_classic_nd).
+# ---------------------------------------------------------------------------
+
+def _classic_args(shape, dt, seed):
+    rng = np.random.default_rng(seed)
+    n = int(np.prod(shape))
+    data = (np.cumsum(rng.standard_normal(n)).reshape(shape)
+            .astype(dt))
+    # spikes force escapes (type==0) scattered through the volume
+    spikes = rng.integers(0, n, size=max(n // 997, 3))
+    data.reshape(-1)[spikes] += rng.standard_normal(len(spikes)) * 1e5
+    T = np.dtype(dt).type
+    rp = float(5e-3 * (data.max() - data.min()))
+    dbl = (np.dtype(dt) == np.float64) or len(shape) == 4
+    return data, T, rp, dbl
+
+
+def _classic_run(minsize, data, rp, dbl, median, req_length):
+    old = native._CLASSIC_WF_MIN
+    native._CLASSIC_WF_MIN = minsize
+    try:
+        T = data.dtype.type
+        return native.classicnd_encode(
+            data, rp, 1.0 / rp, T(rp), T(1.0 / rp), 256, 128, dbl,
+            req_length, T(median))
+    finally:
+        native._CLASSIC_WF_MIN = old
+
+
+def _classic_dec(minsize, types, shape, rp, dbl, median, req_length,
+                 lead, mid, resi, T):
+    old = native._CLASSIC_WF_MIN
+    native._CLASSIC_WF_MIN = minsize
+    try:
+        return native.classicnd_decode(
+            types, shape, rp, T(rp), 128, dbl, req_length,
+            T(median), lead, mid, resi, T)
+    finally:
+        native._CLASSIC_WF_MIN = old
+
+
+@pytest.mark.parametrize("shape", [(48, 48, 48), (67, 41, 45),
+                                   (130, 517), (3, 17, 38, 41)])
+@pytest.mark.parametrize("dt", [np.float32, np.float64])
+def test_classic_wavefront_parity(shape, dt):
+    data, T, rp, dbl = _classic_args(shape, dt, hash((shape, str(dt)))
+                                     % 2**31)
+    median = float(np.float32(data.mean())) if dt is np.float32 \
+        else float(data.mean())
+    req_length = 23 if dt is np.float32 else 44
+
+    t0, l0, m0, r0, c0 = _classic_run(1 << 62, data, rp, dbl, median,
+                                      req_length)
+    t1, l1, m1, r1, c1 = _classic_run(0, data, rp, dbl, median,
+                                      req_length)
+    assert c0 == c1 and c0 > 0, (c0, c1)
+    assert np.array_equal(t0, t1)
+    assert np.array_equal(l0, l1)
+    assert m0 == m1
+    assert np.array_equal(r0, r1)
+
+    # decode: both paths reproduce the serial reconstruction
+    resi_packed = (native.pack_w_bits(r1, req_length % 8)
+                   if r1.size and req_length % 8 else b"")
+    o0 = _classic_dec(1 << 62, t1, shape, rp, dbl, median, req_length,
+                      l1, m1, resi_packed, T)
+    o1 = _classic_dec(0, t1, shape, rp, dbl, median, req_length,
+                      l1, m1, resi_packed, T)
+    assert np.array_equal(o0.view(np.uint8), o1.view(np.uint8))
