@@ -439,13 +439,16 @@ class RAStream:
 
 
 def compress_ra(data: np.ndarray, real_precision, cfg,
-                engine: str = "native") -> RAStream:
+                engine: str = "native",
+                n_devices: int | None = None) -> RAStream:
     """Produce the randomAccess body (from the block_size field on;
     the caller frames it with the header + num_elements).
 
     engine="jax" runs the block quantization on the device
     (sz_tpu.tpu.ra_engine — the SURVEY 2.3 mapping of the RA format
-    onto a regular device grid); identical bytes either way."""
+    onto a regular device grid); identical bytes either way.
+    n_devices > 1 additionally shards the block batch over a
+    jax.sharding mesh (data parallelism over independent blocks)."""
     from sz_tpu import api  # lazy: nested SZ int streams
     from sz_tpu.config import ErrorBoundMode
 
@@ -506,7 +509,8 @@ def compress_ra(data: np.ndarray, real_precision, cfg,
         from sz_tpu.tpu import ra_engine
         types = ra_engine.encode_blocks(blocks, indicator, qc_full,
                                         rank, bs, rp, intervals,
-                                        use_mean, mean).reshape(
+                                        use_mean, mean,
+                                        n_devices=n_devices).reshape(
             nb, ncell)
     else:
         types = _encode_blocks(blocks, indicator, qc_full, rank, bs, rp,
@@ -574,7 +578,8 @@ def compress_ra(data: np.ndarray, real_precision, cfg,
 
 def decompress_ra(body: bytes, shape, dtype=np.float32, start=None,
                   end=None, size_type: int = 8,
-                  engine: str = "native") -> np.ndarray:
+                  engine: str = "native",
+                  n_devices: int | None = None) -> np.ndarray:
     """Region decode of a randomAccess body (the given_areas decoders,
     szd_float.c:6567/6872/7213).  start/end are per-dimension corners
     (end exclusive); None decodes the full array."""
@@ -707,7 +712,8 @@ def decompress_ra(body: bytes, shape, dtype=np.float32, start=None,
         from sz_tpu.tpu import ra_engine
         native_blocks = ra_engine.decode_blocks(
             types, rank, bs, lor_sel, qc_sel, float(rp), radius,
-            bool(use_mean), float(mean32), unpred, esc_base)
+            bool(use_mean), float(mean32), unpred, esc_base,
+            n_devices=n_devices)
     else:
         try:
             from sz_tpu.native import ra_decode_blocks

@@ -503,6 +503,8 @@ def ra_coeff_chain_decode(ctypes_arr: np.ndarray, prec, cradius,
 
 _lib.msst19_encode_f32.restype = ctypes.c_int64
 _lib.msst19_encode_f64.restype = ctypes.c_int64
+_lib.msst19_encode_wf_f32.restype = ctypes.c_int64
+_lib.msst19_encode_wf_f64.restype = ctypes.c_int64
 
 
 def msst19_encode(data: np.ndarray, table: np.ndarray, base_index: int,
@@ -528,14 +530,28 @@ def msst19_encode(data: np.ndarray, table: np.ndarray, base_index: int,
     mid = np.zeros(max(n * max(rb, 1), 1), np.uint8)
     resi = np.zeros(max(n, 1), np.uint8)
     nmid = np.zeros(1, np.int64)
-    fn = _lib.msst19_encode_f32 if T is np.float32 \
-        else _lib.msst19_encode_f64
-    cnt = int(fn(_ptr(x), ctypes.c_int(rank), ctypes.c_int64(r1),
-                 ctypes.c_int64(r2), ctypes.c_int64(r3), _ptr(table),
-                 ctypes.c_int64(base_index), ctypes.c_int64(top_index),
-                 ctypes.c_int(bits), ctypes.c_int64(table.shape[1]),
-                 _ptr(ptable), ctypes.c_int(req_length), _ptr(types),
-                 _ptr(lead), _ptr(mid), _ptr(nmid), _ptr(resi)))
+    if rank >= 2 and n >= _CLASSIC_WF_MIN:
+        # blocked-wavefront tiles (bit-identical; OpenMP anti-diagonals)
+        fn = _lib.msst19_encode_wf_f32 if T is np.float32 \
+            else _lib.msst19_encode_wf_f64
+        cnt = int(fn(_ptr(x), ctypes.c_int(rank), ctypes.c_int64(r1),
+                     ctypes.c_int64(r2), ctypes.c_int64(r3), _ptr(table),
+                     ctypes.c_int64(base_index),
+                     ctypes.c_int64(top_index),
+                     ctypes.c_int(bits), ctypes.c_int64(table.shape[1]),
+                     _ptr(ptable), ctypes.c_int(req_length),
+                     ctypes.c_int(_CLASSIC_WF_BS), _ptr(types),
+                     _ptr(lead), _ptr(mid), _ptr(nmid), _ptr(resi)))
+    else:
+        fn = _lib.msst19_encode_f32 if T is np.float32 \
+            else _lib.msst19_encode_f64
+        cnt = int(fn(_ptr(x), ctypes.c_int(rank), ctypes.c_int64(r1),
+                     ctypes.c_int64(r2), ctypes.c_int64(r3), _ptr(table),
+                     ctypes.c_int64(base_index),
+                     ctypes.c_int64(top_index),
+                     ctypes.c_int(bits), ctypes.c_int64(table.shape[1]),
+                     _ptr(ptable), ctypes.c_int(req_length), _ptr(types),
+                     _ptr(lead), _ptr(mid), _ptr(nmid), _ptr(resi)))
     esize = 4 if T is np.float32 else 8
     has_resi = (req_length % 8) != 0 and rb < esize
     return (types, lead[:cnt], mid[:int(nmid[0])].tobytes(),
@@ -559,6 +575,15 @@ def msst19_decode(types: np.ndarray, shape, ptable: np.ndarray,
     resb = (np.frombuffer(resi, np.uint8) if len(resi)
             else np.zeros(1, np.uint8))
     out = np.zeros(types.size, T)
+    if rank >= 2 and types.size >= _CLASSIC_WF_MIN:
+        fn = _lib.msst19_decode_wf_f32 if T is np.float32 \
+            else _lib.msst19_decode_wf_f64
+        fn(_ptr(types), ctypes.c_int(rank), ctypes.c_int64(r1),
+           ctypes.c_int64(r2), ctypes.c_int64(r3), _ptr(ptable),
+           ctypes.c_int(req_length), _ptr(lead), _ptr(midb), _ptr(resb),
+           ctypes.c_int64(int(lead.size)),
+           ctypes.c_int(_CLASSIC_WF_BS), _ptr(out))
+        return out
     fn = _lib.msst19_decode_f32 if T is np.float32 \
         else _lib.msst19_decode_f64
     fn(_ptr(types), ctypes.c_int(rank), ctypes.c_int64(r1),

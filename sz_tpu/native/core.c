@@ -3962,3 +3962,214 @@ int64_t huff_fsm_decode_par(const uint8_t *tab, const uint32_t *packed,
     return total;
 #endif
 }
+
+/* ------------------------------------------------------------------ */
+/* Blocked-wavefront MSST19 kernels (multiplicative Lorenzo,           */
+/* sz_float_pwr.c:1978-2090 semantics).  Same tile anti-diagonal       */
+/* schedule as the classic wavefront; the escape recon is the raw      */
+/* bit truncation (state-free), so lead/mid/resi streams are           */
+/* re-assembled in raster order after the sweep.  Bit-identical to     */
+/* msst19_encode/_decode (which stay as the small-array path).         */
+/* rank==2 keeps the float product chains of the 2D kernel; rank==3    */
+/* routes products through double temps (both no-ops for f64).        */
+/* ------------------------------------------------------------------ */
+
+#define GEN_MSST19_WF(SUF, FT, ESIZE, MASKT, XADD, XNEXT)               \
+static inline FT ms_pred_##SUF(const FT *rec, int64_t idx, int64_t a,   \
+                               int64_t b, int64_t c, int64_t r3,        \
+                               int64_t r23, int rank) {                 \
+    if (a > 0 && b > 0 && c > 0) {                                      \
+        double num = (double)rec[idx-1] * (double)rec[idx-r3]           \
+                   * (double)rec[idx-r23] * (double)rec[idx-r23-r3-1];  \
+        double den = (double)rec[idx-r3-1] * (double)rec[idx-r23-r3]    \
+                   * (double)rec[idx-r23-1];                            \
+        return (FT)(num / den);                                         \
+    }                                                                   \
+    if (a == 0) {                                                       \
+        if (b == 0) {                                                   \
+            if (c == 1) return rec[idx-1];                              \
+            if (rank == 2)                                              \
+                return (FT)(rec[idx-1] * rec[idx-1]) / rec[idx-2];      \
+            return (FT)((double)rec[idx-1] * (double)rec[idx-1]         \
+                        / (double)rec[idx-2]);                          \
+        }                                                               \
+        if (c == 0) return rec[idx - r3];                               \
+        if (rank == 2)                                                  \
+            return (FT)(rec[idx-1] * rec[idx-r3]) / rec[idx-r3-1];      \
+        return (FT)((double)rec[idx-1] * (double)rec[idx-r3]            \
+                    / (double)rec[idx-r3-1]);                           \
+    }                                                                   \
+    if (b == 0) {                                                       \
+        if (c == 0) return rec[idx - r23];                              \
+        return (FT)((double)rec[idx-1] * (double)rec[idx-r23]           \
+                    / (double)rec[idx-r23-1]);                          \
+    }                                                                   \
+    /* b > 0, c == 0 */                                                 \
+    return (FT)((double)rec[idx-r3] * (double)rec[idx-r23]              \
+                / (double)rec[idx-r23-r3]);                             \
+}                                                                       \
+                                                                        \
+int64_t msst19_encode_wf_##SUF(                                         \
+    const FT *x, int rank, int64_t r1, int64_t r2, int64_t r3,          \
+    const uint16_t *table, int64_t base_index, int64_t top_index,       \
+    int bits, int64_t row_size, const double *ptable, int req_length,   \
+    int bs, int32_t *types, uint8_t *lead, uint8_t *mid,                \
+    int64_t *nmid, uint8_t *resi) {                                     \
+    int64_t r23 = r2 * r3, n = r1 * r23;                                \
+    MASKT mask = (MASKT)xenc_mask(ESIZE, req_length);                   \
+    FT *rec = malloc(n * sizeof(FT));                                   \
+    int64_t nbx = (r1 + bs - 1) / bs, nby = (r2 + bs - 1) / bs,         \
+            nbz = (r3 + bs - 1) / bs;                                   \
+    int64_t *dstart, ndiag;                                             \
+    int64_t *order = regnd_diag_order3(nbx, nby, nbz, &dstart, &ndiag); \
+    for (int64_t d = 0; d < ndiag; d++) {                               \
+        int64_t lo = dstart[d], hi = dstart[d + 1];                     \
+        _Pragma("omp parallel for schedule(dynamic)")                   \
+        for (int64_t bi = lo; bi < hi; bi++) {                          \
+            int64_t bk = order[bi];                                     \
+            int64_t i = bk / (nby * nbz), rm = bk % (nby * nbz);        \
+            int64_t j = rm / nbz, kb = rm % nbz;                        \
+            int64_t ox = i * bs, oy = j * bs, oz = kb * bs;             \
+            int64_t ex = ox + bs < r1 ? ox + bs : r1;                   \
+            int64_t ey = oy + bs < r2 ? oy + bs : r2;                   \
+            int64_t ez = oz + bs < r3 ? oz + bs : r3;                   \
+            int interior = (ox > 0 && oy > 0 && oz > 0);                \
+            for (int64_t a = ox; a < ex; a++)                           \
+            for (int64_t b = oy; b < ey; b++) {                         \
+                int64_t idx = a * r23 + b * r3 + oz;                    \
+                for (int64_t c = oz; c < ez; c++, idx++) {              \
+                    FT pred;                                            \
+                    if (interior) {                                     \
+                        double num = (double)rec[idx-1]                 \
+                                   * (double)rec[idx-r3]                \
+                                   * (double)rec[idx-r23]               \
+                                   * (double)rec[idx-r23-r3-1];         \
+                        double den = (double)rec[idx-r3-1]              \
+                                   * (double)rec[idx-r23-r3]            \
+                                   * (double)rec[idx-r23-1];            \
+                        pred = (FT)(num / den);                         \
+                    } else {                                            \
+                        if (idx == 0) {                                 \
+                            types[0] = 0;                               \
+                            rec[0] = xtrunc_##SUF(x[0], (FT)0, 1,       \
+                                                  mask);                \
+                            continue;                                   \
+                        }                                               \
+                        pred = ms_pred_##SUF(rec, idx, a, b, c, r3,     \
+                                             r23, rank);                \
+                    }                                                   \
+                    FT cur = x[idx];                                    \
+                    FT ratio = cur / pred;                              \
+                    int st = msst19_lookup((double)ratio, table,        \
+                                           base_index, top_index,       \
+                                           bits, row_size);             \
+                    if (st) {                                           \
+                        types[idx] = st;                                \
+                        rec[idx] = (FT)(fabs((double)pred)              \
+                                        * ptable[st]);                  \
+                    } else {                                            \
+                        types[idx] = 0;                                 \
+                        rec[idx] = xtrunc_##SUF(cur, (FT)0, 1, mask);   \
+                    }                                                   \
+                }                                                       \
+            }                                                           \
+        }                                                               \
+    }                                                                   \
+    free(order); free(dstart); free(rec);                               \
+    xenc E;                                                             \
+    E.esize = ESIZE;                                                    \
+    E.req_bytes = req_length / 8; E.resi_len = req_length % 8;          \
+    if (E.req_bytes > ESIZE) E.req_bytes = ESIZE;                       \
+    memset(E.prev, 0, 8);                                               \
+    E.lead = lead; E.nlead = 0; E.mid = mid; E.nmid = 0;                \
+    E.resi = resi; E.nresi = 0;                                         \
+    for (int64_t idx = 0; idx < n; idx++)                               \
+        if (types[idx] == 0) XADD(&E, x[idx], (FT)0, 1, mask);          \
+    *nmid = E.nmid;                                                     \
+    return E.nlead;                                                     \
+}                                                                       \
+                                                                        \
+void msst19_decode_wf_##SUF(                                            \
+    const int32_t *types, int rank, int64_t r1, int64_t r2,             \
+    int64_t r3, const double *ptable, int req_length,                   \
+    const uint8_t *lead, const uint8_t *mid, const uint8_t *resi,       \
+    int64_t nesc, int bs, FT *out) {                                    \
+    int64_t r23 = r2 * r3;                                              \
+    xdec D;                                                             \
+    D.esize = ESIZE;                                                    \
+    D.req_bytes = req_length / 8; D.resi_len = req_length % 8;          \
+    if (D.req_bytes > ESIZE) D.req_bytes = ESIZE;                       \
+    memset(D.prev, 0, 8);                                               \
+    D.lead = lead; D.k = 0; D.mid = mid; D.midp = 0;                    \
+    D.resi = resi; D.bitp = 0;                                          \
+    FT *vals = malloc((nesc > 0 ? nesc : 1) * sizeof(FT));              \
+    for (int64_t m = 0; m < nesc; m++)                                  \
+        vals[m] = XNEXT(&D, (FT)0, 1);                                  \
+    int64_t nbx = (r1 + bs - 1) / bs, nby = (r2 + bs - 1) / bs,         \
+            nbz = (r3 + bs - 1) / bs;                                   \
+    int64_t nrows = r1 * r2;                                            \
+    int64_t *zpre = malloc(nrows * (nbz + 1) * sizeof(int64_t));        \
+    _Pragma("omp parallel for schedule(static)")                        \
+    for (int64_t row = 0; row < nrows; row++) {                         \
+        const int32_t *ty = types + row * r3;                           \
+        int64_t *zp = zpre + row * (nbz + 1);                           \
+        int64_t cnt = 0, zb = 0;                                        \
+        for (int64_t c = 0; c < r3; c++) {                              \
+            if (c == zb * bs) zp[zb++] = cnt;                           \
+            if (ty[c] == 0) cnt++;                                      \
+        }                                                               \
+        zp[nbz] = cnt;                                                  \
+    }                                                                   \
+    int64_t *rowstart = malloc((nrows + 1) * sizeof(int64_t));          \
+    rowstart[0] = 0;                                                    \
+    for (int64_t row = 0; row < nrows; row++)                           \
+        rowstart[row + 1] = rowstart[row]                               \
+                            + zpre[row * (nbz + 1) + nbz];              \
+    int64_t *dstart, ndiag;                                             \
+    int64_t *order = regnd_diag_order3(nbx, nby, nbz, &dstart, &ndiag); \
+    for (int64_t d = 0; d < ndiag; d++) {                               \
+        int64_t lo = dstart[d], hi = dstart[d + 1];                     \
+        _Pragma("omp parallel for schedule(dynamic)")                   \
+        for (int64_t bi = lo; bi < hi; bi++) {                          \
+            int64_t bk = order[bi];                                     \
+            int64_t i = bk / (nby * nbz), rm = bk % (nby * nbz);        \
+            int64_t j = rm / nbz, kb = rm % nbz;                        \
+            int64_t ox = i * bs, oy = j * bs, oz = kb * bs;             \
+            int64_t ex = ox + bs < r1 ? ox + bs : r1;                   \
+            int64_t ey = oy + bs < r2 ? oy + bs : r2;                   \
+            int64_t ez = oz + bs < r3 ? oz + bs : r3;                   \
+            int interior = (ox > 0 && oy > 0 && oz > 0);                \
+            for (int64_t a = ox; a < ex; a++)                           \
+            for (int64_t b = oy; b < ey; b++) {                         \
+                int64_t row = a * r2 + b;                               \
+                int64_t ord = rowstart[row]                             \
+                              + zpre[row * (nbz + 1) + kb];             \
+                int64_t idx = a * r23 + b * r3 + oz;                    \
+                for (int64_t c = oz; c < ez; c++, idx++) {              \
+                    int t = types[idx];                                 \
+                    if (t == 0) { out[idx] = vals[ord++]; continue; }   \
+                    FT pred;                                            \
+                    if (interior) {                                     \
+                        double num = (double)out[idx-1]                 \
+                                   * (double)out[idx-r3]                \
+                                   * (double)out[idx-r23]               \
+                                   * (double)out[idx-r23-r3-1];         \
+                        double den = (double)out[idx-r3-1]              \
+                                   * (double)out[idx-r23-r3]            \
+                                   * (double)out[idx-r23-1];            \
+                        pred = (FT)(num / den);                         \
+                    } else {                                            \
+                        pred = ms_pred_##SUF(out, idx, a, b, c, r3,     \
+                                             r23, rank);                \
+                    }                                                   \
+                    out[idx] = (FT)(fabs((double)pred) * ptable[t]);    \
+                }                                                       \
+            }                                                           \
+        }                                                               \
+    }                                                                   \
+    free(order); free(dstart); free(vals); free(zpre); free(rowstart);  \
+}
+
+GEN_MSST19_WF(f32, float, 4, uint32_t, xenc_add_f32, xdec_next_f32)
+GEN_MSST19_WF(f64, double, 8, uint64_t, xenc_add_f64, xdec_next_f64)
+#undef GEN_MSST19_WF

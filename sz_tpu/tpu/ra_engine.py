@@ -151,21 +151,60 @@ def _encode_fn(rank: int, bs: int, nc: int, use_mean: bool,
     return _eng._strict_jit(f, backend)
 
 
+def _shard_over_blocks(fn_raw, n_devices: int, arrs, scalars):
+    """Run a per-block device computation data-parallel over an
+    n-device mesh: the (independent) block batches shard over the mesh
+    axis, scalars replicate — the SURVEY §2.3 regular-device-grid
+    mapping of the RA format.  Pads the block axis to a multiple of the
+    mesh size (duplicate blocks are discarded)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map  # type: ignore
+    devs = np.array(jax.devices()[:n_devices])
+    mesh = Mesh(devs, ("blocks",))
+    nb = arrs[0].shape[0]
+    pad = (-nb) % n_devices
+    if pad:
+        arrs = [np.concatenate([np.asarray(a),
+                                np.repeat(np.asarray(a)[-1:], pad, 0)])
+                for a in arrs]
+    in_specs = tuple([P("blocks")] * len(arrs) + [P()] * len(scalars))
+    # check_vma off: the scan carry is created inside the body
+    # (unvarying zeros) and joins the varying block batch — no
+    # collectives anywhere, every block is independent
+    f = shard_map(fn_raw, mesh=mesh, in_specs=in_specs,
+                  out_specs=P("blocks"), check_vma=False)
+    f = _eng._strict_jit(f, jax.default_backend())
+    out = np.asarray(f(*[jnp.asarray(a) for a in arrs], *scalars))
+    return out[:nb]
+
+
 def encode_blocks(blocks: np.ndarray, indicator: np.ndarray,
                   qcoeffs_full: np.ndarray, rank: int, bs: int, rp,
-                  intervals: int, use_mean: bool, mean) -> np.ndarray:
+                  intervals: int, use_mean: bool, mean,
+                  n_devices: int | None = None) -> np.ndarray:
     """Device analog of rablock._encode_blocks — identical type
-    lattices (tests gate byte equality of the assembled body)."""
+    lattices (tests gate byte equality of the assembled body).
+    n_devices > 1 shards the block batch over a device mesh."""
     be = jax.default_backend()
     ncell = bs ** rank
-    fn = _encode_fn(rank, bs, qcoeffs_full.shape[1], bool(use_mean), be)
-    types = fn(jnp.asarray(blocks.reshape(blocks.shape[0], ncell)),
-               jnp.asarray(np.asarray(indicator, np.uint8)),
-               jnp.asarray(qcoeffs_full),
-               jnp.float64(float(rp)),
+    scalars = (jnp.float64(float(rp)),
                jnp.asarray(int(intervals), jnp.int32),
                jnp.asarray(int(intervals) // 2, jnp.int32),
                jnp.float32(mean))
+    if n_devices and n_devices > 1:
+        fn = _encode_fn(rank, bs, qcoeffs_full.shape[1], bool(use_mean),
+                        "raw")
+        return _shard_over_blocks(
+            fn, n_devices,
+            [blocks.reshape(blocks.shape[0], ncell),
+             np.asarray(indicator, np.uint8), qcoeffs_full], scalars)
+    fn = _encode_fn(rank, bs, qcoeffs_full.shape[1], bool(use_mean), be)
+    types = fn(jnp.asarray(blocks.reshape(blocks.shape[0], ncell)),
+               jnp.asarray(np.asarray(indicator, np.uint8)),
+               jnp.asarray(qcoeffs_full), *scalars)
     return np.asarray(types)
 
 
@@ -225,11 +264,12 @@ def _decode_fn(rank: int, bs: int, nc: int, use_mean: bool,
 def decode_blocks(types: np.ndarray, rank: int, bs: int,
                   lor_sel: np.ndarray, qc_sel: np.ndarray, rp,
                   radius: int, use_mean: bool, mean,
-                  unpred: np.ndarray,
-                  esc_base: np.ndarray) -> np.ndarray:
+                  unpred: np.ndarray, esc_base: np.ndarray,
+                  n_devices: int | None = None) -> np.ndarray:
     """Device analog of the host per-block reconstruction: escape
     values are pre-gathered per cell on host (cumulative escape ranks),
-    so the scan is one fused elementwise step per cell."""
+    so the scan is one fused elementwise step per cell.
+    n_devices > 1 shards the block batch over a device mesh."""
     be = jax.default_backend()
     nsel, ncell = types.shape
     esc_mask = types == 0
@@ -238,9 +278,17 @@ def decode_blocks(types: np.ndarray, rank: int, bs: int,
     escv = np.zeros((nsel, ncell), np.float32)
     if len(unpred):
         escv[esc_mask] = np.asarray(unpred, np.float32)[take[esc_mask]]
+    scalars = (jnp.float64(float(rp)),
+               jnp.asarray(int(radius), jnp.int32), jnp.float32(mean))
+    if n_devices and n_devices > 1:
+        fn = _decode_fn(rank, bs, qc_sel.shape[1], bool(use_mean),
+                        "raw")
+        return _shard_over_blocks(
+            fn, n_devices,
+            [types, escv, np.asarray(lor_sel, np.uint8),
+             np.asarray(qc_sel, np.float32)], scalars)
     fn = _decode_fn(rank, bs, qc_sel.shape[1], bool(use_mean), be)
     out = fn(jnp.asarray(types), jnp.asarray(escv),
              jnp.asarray(np.asarray(lor_sel, np.uint8)),
-             jnp.asarray(qc_sel, np.float32), jnp.float64(float(rp)),
-             jnp.asarray(int(radius), jnp.int32), jnp.float32(mean))
+             jnp.asarray(qc_sel, np.float32), *scalars)
     return np.asarray(out)

@@ -49,3 +49,37 @@ def test_fast_bound_large():
     out = pwr.decompress_msst19(b, shape, np.float32)
     rel = np.abs(out - data) / np.abs(data)
     assert rel.max() <= 1e-3 * (1 + 1e-5)
+
+
+@pytest.mark.parametrize("shape", [(48, 48, 48), (67, 41, 45),
+                                   (130, 517)])
+@pytest.mark.parametrize("T", [np.float32, np.float64])
+def test_wavefront_matches_serial(shape, T):
+    """Blocked-wavefront MSST19 native kernels (msst19_encode_wf /
+    _decode_wf) vs the serial cell kernels: byte-identical streams and
+    bit-identical reconstructions on volumes above the routing
+    threshold (with escapes from value spikes)."""
+    from sz_tpu import native
+    data = synth(shape, T, hash((shape, str(T))) % 2**31)
+    # spikes force escapes scattered through the volume
+    rng = np.random.default_rng(7)
+    flat = data.reshape(-1)
+    spikes = rng.integers(0, flat.size, size=max(flat.size // 997, 3))
+    flat[spikes] *= T(1e5)
+    fmax = float(np.abs(data).max())
+    nz = float(np.abs(data[np.abs(data) > 0]).min())
+
+    old = native._CLASSIC_WF_MIN
+    try:
+        native._CLASSIC_WF_MIN = 1 << 62
+        a = pwr.compress_msst19(data, 1e-3, fmax, nz, **KW)
+        native._CLASSIC_WF_MIN = 0
+        b = pwr.compress_msst19(data, 1e-3, fmax, nz, **KW)
+        assert tdps_mod.to_bytes(a) == tdps_mod.to_bytes(b)
+        native._CLASSIC_WF_MIN = 1 << 62
+        da = pwr.decompress_msst19(a, shape, T)
+        native._CLASSIC_WF_MIN = 0
+        db = pwr.decompress_msst19(a, shape, T)
+        assert np.array_equal(da.view(np.uint8), db.view(np.uint8))
+    finally:
+        native._CLASSIC_WF_MIN = old

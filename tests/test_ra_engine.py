@@ -60,3 +60,28 @@ def test_jax_ra_mean_flush():
     assert host.body == dev.body
     out = rb.decompress_ra(dev.body, data.shape)
     assert np.abs(out - data).max() <= 1e-3 * (1 + 1e-6)
+
+
+@pytest.mark.parametrize("shape", [(30, 28, 26), (48, 36)])
+def test_jax_ra_mesh_sharded(shape):
+    """Block batches sharded over the 8-device virtual mesh
+    (shard_map data parallelism over independent RA blocks) produce
+    the same container bytes and reconstruction as the host path."""
+    import jax
+    n_dev = min(8, len(jax.devices()))
+    if n_dev < 2:
+        pytest.skip("needs a multi-device mesh")
+    data = synth(shape, seed=len(shape) + 77)
+    host = rb.compress_ra(data, 1e-3, CFG)
+    dev = rb.compress_ra(data, 1e-3, CFG, engine="jax",
+                         n_devices=n_dev)
+    assert host.body == dev.body
+    out = rb.decompress_ra(host.body, shape, engine="jax",
+                           n_devices=n_dev)
+    ref = rb.decompress_ra(host.body, shape)
+    assert np.array_equal(out, ref)
+    if len(shape) == 3:
+        reg = rb.decompress_ra(host.body, shape, start=(5, 2, 9),
+                               end=(22, 21, 25), engine="jax",
+                               n_devices=n_dev)
+        assert np.array_equal(reg, ref[5:22, 2:21, 9:25])
