@@ -909,6 +909,7 @@ def classicnd_decode(types: np.ndarray, shape, rp64: float, rp,
 
 
 _lib.intnd_encode2.restype = ctypes.c_int64
+_lib.intnd_encode_wf.restype = ctypes.c_int64
 
 
 def intnd_encode(data: np.ndarray, rp: float, intervals: int,
@@ -929,17 +930,25 @@ def intnd_encode(data: np.ndarray, rp: float, intervals: int,
     dn = np.dtype(dn_dtype)
     types = np.zeros(n, np.int32)
     exact = np.zeros(max(n * byte_size, 1), np.uint8)
-    cnt = int(_lib.intnd_encode2(
-        _ptr(x), ctypes.c_int(dt.itemsize),
-        ctypes.c_int(1 if dt.kind == "i" else 0),
-        ctypes.c_int64(q1), ctypes.c_int64(r1), ctypes.c_int64(r2),
-        ctypes.c_int64(r3), ctypes.c_double(rp),
-        ctypes.c_int(int(intervals)), ctypes.c_int(radius),
-        ctypes.c_int(an.itemsize * 8),
-        ctypes.c_int(1 if an.kind == "i" else 0),
-        ctypes.c_int(dn.itemsize * 8), ctypes.c_int64(int(min_value)),
-        ctypes.c_int(byte_size), ctypes.c_int(store_esize),
-        ctypes.c_int(1 if quirk4d else 0), _ptr(types), _ptr(exact)))
+    common = (ctypes.c_int64(q1), ctypes.c_int64(r1),
+              ctypes.c_int64(r2), ctypes.c_int64(r3),
+              ctypes.c_double(rp), ctypes.c_int(int(intervals)),
+              ctypes.c_int(radius), ctypes.c_int(an.itemsize * 8),
+              ctypes.c_int(1 if an.kind == "i" else 0),
+              ctypes.c_int(dn.itemsize * 8),
+              ctypes.c_int64(int(min_value)), ctypes.c_int(byte_size),
+              ctypes.c_int(store_esize),
+              ctypes.c_int(1 if quirk4d else 0))
+    if n >= _CLASSIC_WF_MIN:
+        cnt = int(_lib.intnd_encode_wf(
+            _ptr(x), ctypes.c_int(dt.itemsize),
+            ctypes.c_int(1 if dt.kind == "i" else 0), *common,
+            ctypes.c_int(_CLASSIC_WF_BS), _ptr(types), _ptr(exact)))
+    else:
+        cnt = int(_lib.intnd_encode2(
+            _ptr(x), ctypes.c_int(dt.itemsize),
+            ctypes.c_int(1 if dt.kind == "i" else 0), *common,
+            _ptr(types), _ptr(exact)))
     return types, exact[:cnt * byte_size].tobytes(), cnt
 
 
@@ -957,14 +966,18 @@ def intnd_decode(types: np.ndarray, shape, interval2: float,
     eb = (np.frombuffer(exact, np.uint8) if len(exact)
           else np.zeros(1, np.uint8))
     out = np.zeros(types.size, np.int64)
-    _lib.intnd_decode(
-        _ptr(types), ctypes.c_int64(q1), ctypes.c_int64(r1),
-        ctypes.c_int64(r2), ctypes.c_int64(r3),
-        ctypes.c_double(interval2), ctypes.c_int(radius),
-        ctypes.c_int(dt.itemsize * 8),
-        ctypes.c_int(1 if dt.kind == "i" else 0),
-        ctypes.c_int64(int(min_value)), ctypes.c_int(byte_size),
-        ctypes.c_int(store_esize), _ptr(eb), _ptr(out))
+    common = (ctypes.c_int64(q1), ctypes.c_int64(r1),
+              ctypes.c_int64(r2), ctypes.c_int64(r3),
+              ctypes.c_double(interval2), ctypes.c_int(radius),
+              ctypes.c_int(dt.itemsize * 8),
+              ctypes.c_int(1 if dt.kind == "i" else 0),
+              ctypes.c_int64(int(min_value)), ctypes.c_int(byte_size),
+              ctypes.c_int(store_esize), _ptr(eb))
+    if types.size >= _CLASSIC_WF_MIN:
+        _lib.intnd_decode_wf(_ptr(types), *common,
+                             ctypes.c_int(_CLASSIC_WF_BS), _ptr(out))
+    else:
+        _lib.intnd_decode(_ptr(types), *common, _ptr(out))
     return out.astype(out_dtype)
 
 

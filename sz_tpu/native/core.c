@@ -4173,3 +4173,265 @@ void msst19_decode_wf_##SUF(                                            \
 GEN_MSST19_WF(f32, float, 4, uint32_t, xenc_add_f32, xdec_next_f32)
 GEN_MSST19_WF(f64, double, 8, uint64_t, xenc_add_f64, xdec_next_f64)
 #undef GEN_MSST19_WF
+
+/* ------------------------------------------------------------------ */
+/* Blocked-wavefront integer MDQ kernels (sz_[u]int*.c semantics).     */
+/* Escapes are fixed-width min-offset values with no cross-escape      */
+/* state, so raster-order re-assembly after the tile sweep is exact;   */
+/* the 4D "Row-0 data 1" stale-curValue bug is replicated at cell      */
+/* (l,0,0,1) of every slice.  Bit-identical to intnd_encode2/decode.   */
+/* ------------------------------------------------------------------ */
+
+static inline int64_t iq_wf(double rp, int intervals, int radius,
+                            int an_bits, int an_sgn, int dn_bits,
+                            int32_t *types, int64_t idx, int64_t cur,
+                            int64_t pred) {
+    int64_t diff = wrap_bits(cur - pred, dn_bits, 1);
+    double itv = (double)(diff < 0 ? -diff : diff) / rp + 1.0;
+    if (itv < (double)intervals) {
+        if (diff < 0) itv = -itv;
+        int t = (int)(itv / 2) + radius;
+        types[idx] = t;
+        double v = (double)pred + 2.0 * (t - radius) * rp;
+        return wrap_bits((int64_t)trunc(v), an_bits, an_sgn);
+    }
+    types[idx] = 0;
+    return wrap_bits(cur, an_bits, an_sgn);
+}
+
+int64_t intnd_encode_wf(const uint8_t *x, int in_esize, int in_sgn,
+                        int64_t q1, int64_t r1, int64_t r2, int64_t r3,
+                        double rp, int intervals, int radius,
+                        int an_bits, int an_sgn, int dn_bits,
+                        int64_t min_value, int byte_size,
+                        int store_esize, int quirk4d, int bs,
+                        int32_t *types, uint8_t *exact) {
+    int64_t r23 = r2 * r3, vol = r1 * r23;
+    int64_t *rec = malloc(vol * sizeof(int64_t));
+    int64_t global_first = ld_int(x, in_esize, in_sgn);
+    int64_t nbx = (r1 + bs - 1) / bs, nby = (r2 + bs - 1) / bs,
+            nbz = (r3 + bs - 1) / bs;
+    int64_t *dstart, ndiag;
+    int64_t *order = regnd_diag_order3(nbx, nby, nbz, &dstart, &ndiag);
+#define LDW(i_) ld_int(x + (i_) * in_esize, in_esize, in_sgn)
+    for (int64_t l = 0; l < q1; l++) {
+        int64_t base = l * vol;
+        int32_t *tl = types + base;
+        for (int64_t d = 0; d < ndiag; d++) {
+            int64_t lo = dstart[d], hi = dstart[d + 1];
+            _Pragma("omp parallel for schedule(dynamic)")
+            for (int64_t bi = lo; bi < hi; bi++) {
+                int64_t bk = order[bi];
+                int64_t i = bk / (nby * nbz), rm = bk % (nby * nbz);
+                int64_t j = rm / nbz, kb = rm % nbz;
+                int64_t ox = i * bs, oy = j * bs, oz = kb * bs;
+                int64_t ex = ox + bs < r1 ? ox + bs : r1;
+                int64_t ey = oy + bs < r2 ? oy + bs : r2;
+                int64_t ez = oz + bs < r3 ? oz + bs : r3;
+                int interior = (ox > 0 && oy > 0 && oz > 0);
+                for (int64_t a = ox; a < ex; a++)
+                for (int64_t b = oy; b < ey; b++) {
+                    int64_t idx = a * r23 + b * r3 + oz;
+                    for (int64_t c = oz; c < ez; c++, idx++) {
+                        int64_t pred;
+                        if (interior) {
+                            pred = wrap_bits(
+                                rec[idx-1] + rec[idx-r3] + rec[idx-r23]
+                                - rec[idx-r3-1] - rec[idx-r23-r3]
+                                - rec[idx-r23-1] + rec[idx-r23-r3-1],
+                                an_bits, an_sgn);
+                        } else if (a == 0) {
+                            if (b == 0) {
+                                if (c == 0) {
+                                    tl[idx] = 0;
+                                    rec[idx] = wrap_bits(
+                                        LDW(base), an_bits, an_sgn);
+                                    continue;
+                                }
+                                if (c == 1) {
+                                    if (quirk4d) {
+                                        /* stale curValue; escape
+                                         * stores the GLOBAL first */
+                                        int64_t stale = LDW(base);
+                                        int64_t df = wrap_bits(
+                                            stale - rec[0], dn_bits, 1);
+                                        double itv = (double)(df < 0
+                                            ? -df : df) / rp + 1.0;
+                                        if (itv < (double)intervals) {
+                                            if (df < 0) itv = -itv;
+                                            int t = (int)(itv / 2)
+                                                    + radius;
+                                            tl[idx] = t;
+                                            double v = (double)rec[0]
+                                                + 2.0 * (t - radius)
+                                                  * rp;
+                                            rec[idx] = wrap_bits(
+                                                (int64_t)trunc(v),
+                                                an_bits, an_sgn);
+                                        } else {
+                                            tl[idx] = 0;
+                                            rec[idx] = wrap_bits(
+                                                global_first, an_bits,
+                                                an_sgn);
+                                        }
+                                        continue;
+                                    }
+                                    pred = rec[idx-1];
+                                } else {
+                                    pred = wrap_bits(
+                                        2 * rec[idx-1] - rec[idx-2],
+                                        an_bits, an_sgn);
+                                }
+                            } else if (c == 0) {
+                                pred = rec[idx - r3];
+                            } else {
+                                pred = wrap_bits(
+                                    rec[idx-1] + rec[idx-r3]
+                                    - rec[idx-r3-1], an_bits, an_sgn);
+                            }
+                        } else if (b == 0) {
+                            if (c == 0) pred = rec[idx - r23];
+                            else pred = wrap_bits(
+                                rec[idx-1] + rec[idx-r23]
+                                - rec[idx-r23-1], an_bits, an_sgn);
+                        } else if (c == 0) {
+                            pred = wrap_bits(
+                                rec[idx-r3] + rec[idx-r23]
+                                - rec[idx-r23-r3], an_bits, an_sgn);
+                        } else {
+                            pred = wrap_bits(
+                                rec[idx-1] + rec[idx-r3] + rec[idx-r23]
+                                - rec[idx-r3-1] - rec[idx-r23-r3]
+                                - rec[idx-r23-1] + rec[idx-r23-r3-1],
+                                an_bits, an_sgn);
+                        }
+                        rec[idx] = iq_wf(rp, intervals, radius,
+                                         an_bits, an_sgn, dn_bits, tl,
+                                         idx, LDW(base + idx), pred);
+                    }
+                }
+            }
+        }
+    }
+    free(order); free(dstart); free(rec);
+    /* escape stream, raster order */
+    ienc E;
+    E.rp = rp; E.intervals = intervals; E.radius = radius;
+    E.an_bits = an_bits; E.an_sgn = an_sgn; E.dn_bits = dn_bits;
+    E.min_value = min_value; E.byte_size = byte_size;
+    E.store_esize = store_esize;
+    E.exact = exact; E.ecnt = 0;
+    for (int64_t l = 0; l < q1; l++) {
+        int64_t base = l * vol;
+        for (int64_t idx = 0; idx < vol; idx++) {
+            if (types[base + idx] != 0) continue;
+            if (quirk4d && idx == 1) ienc_store(&E, global_first);
+            else ienc_store(&E, LDW(base + idx));
+        }
+    }
+#undef LDW
+    return E.ecnt;
+}
+
+void intnd_decode_wf(const int32_t *types, int64_t q1, int64_t r1,
+                     int64_t r2, int64_t r3, double interval2,
+                     int radius, int t_bits, int t_sgn,
+                     int64_t min_value, int byte_size, int store_esize,
+                     const uint8_t *exact, int bs, int64_t *out) {
+    int64_t r23 = r2 * r3, vol = r1 * r23, n = q1 * vol;
+    uint64_t mask = (store_esize >= 8) ? ~0ull
+                    : ((~0ull) >> (64 - 8 * store_esize));
+    int64_t nbx = (r1 + bs - 1) / bs, nby = (r2 + bs - 1) / bs,
+            nbz = (r3 + bs - 1) / bs;
+    int64_t nrows = n / r3;
+    int64_t *zpre = malloc(nrows * (nbz + 1) * sizeof(int64_t));
+    #pragma omp parallel for schedule(static)
+    for (int64_t row = 0; row < nrows; row++) {
+        const int32_t *ty = types + row * r3;
+        int64_t *zp = zpre + row * (nbz + 1);
+        int64_t cnt = 0, zb = 0;
+        for (int64_t c = 0; c < r3; c++) {
+            if (c == zb * bs) zp[zb++] = cnt;
+            if (ty[c] == 0) cnt++;
+        }
+        zp[nbz] = cnt;
+    }
+    int64_t *rowstart = malloc((nrows + 1) * sizeof(int64_t));
+    rowstart[0] = 0;
+    for (int64_t row = 0; row < nrows; row++)
+        rowstart[row + 1] = rowstart[row] + zpre[row * (nbz + 1) + nbz];
+    int64_t *dstart, ndiag;
+    int64_t *order = regnd_diag_order3(nbx, nby, nbz, &dstart, &ndiag);
+    for (int64_t l = 0; l < q1; l++) {
+        const int32_t *tl = types + l * vol;
+        int64_t *o = out + l * vol;
+        for (int64_t d = 0; d < ndiag; d++) {
+            int64_t lo = dstart[d], hi = dstart[d + 1];
+            _Pragma("omp parallel for schedule(dynamic)")
+            for (int64_t bi = lo; bi < hi; bi++) {
+                int64_t bk = order[bi];
+                int64_t i = bk / (nby * nbz), rm = bk % (nby * nbz);
+                int64_t j = rm / nbz, kb = rm % nbz;
+                int64_t ox = i * bs, oy = j * bs, oz = kb * bs;
+                int64_t ex = ox + bs < r1 ? ox + bs : r1;
+                int64_t ey = oy + bs < r2 ? oy + bs : r2;
+                int64_t ez = oz + bs < r3 ? oz + bs : r3;
+                int interior = (ox > 0 && oy > 0 && oz > 0);
+                for (int64_t a = ox; a < ex; a++)
+                for (int64_t b = oy; b < ey; b++) {
+                    int64_t row = (l * r1 + a) * r2 + b;
+                    int64_t ord = rowstart[row]
+                                  + zpre[row * (nbz + 1) + kb];
+                    int64_t idx = a * r23 + b * r3 + oz;
+                    for (int64_t c = oz; c < ez; c++, idx++) {
+                        int t = tl[idx];
+                        if (t == 0) {
+                            uint64_t v = 0;
+                            const uint8_t *p = exact
+                                + ord * byte_size;
+                            for (int bb = 0; bb < byte_size; bb++)
+                                v = (v << 8) | p[bb];
+                            v = (v + (uint64_t)min_value) & mask;
+                            o[idx] = wrap_bits((int64_t)v, t_bits,
+                                               t_sgn);
+                            ord++;
+                            continue;
+                        }
+                        int64_t pred;
+                        if (interior) {
+                            pred = o[idx-1] + o[idx-r3] + o[idx-r23]
+                                 - o[idx-r3-1] - o[idx-r23-r3]
+                                 - o[idx-r23-1] + o[idx-r23-r3-1];
+                        } else if (a == 0) {
+                            if (b == 0) {
+                                if (c == 1) pred = o[idx-1];
+                                else pred = 2 * o[idx-1] - o[idx-2];
+                            } else if (c == 0) {
+                                pred = o[idx - r3];
+                            } else {
+                                pred = o[idx-1] + o[idx-r3]
+                                     - o[idx-r3-1];
+                            }
+                        } else if (b == 0) {
+                            if (c == 0) pred = o[idx - r23];
+                            else pred = o[idx-1] + o[idx-r23]
+                                      - o[idx-r23-1];
+                        } else if (c == 0) {
+                            pred = o[idx-r3] + o[idx-r23]
+                                 - o[idx-r23-r3];
+                        } else {
+                            pred = o[idx-1] + o[idx-r3] + o[idx-r23]
+                                 - o[idx-r3-1] - o[idx-r23-r3]
+                                 - o[idx-r23-1] + o[idx-r23-r3-1];
+                        }
+                        o[idx] = wrap_bits(
+                            (int64_t)trunc((double)pred
+                                           + (t - radius) * interval2),
+                            t_bits, t_sgn);
+                    }
+                }
+            }
+        }
+    }
+    free(order); free(dstart); free(zpre); free(rowstart);
+}

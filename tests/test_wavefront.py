@@ -258,3 +258,35 @@ def test_classic_wavefront_parity(shape, dt):
     o1 = _classic_dec(0, t1, shape, rp, dbl, median, req_length,
                       l1, m1, resi_packed, T)
     assert np.array_equal(o0.view(np.uint8), o1.view(np.uint8))
+
+
+@pytest.mark.parametrize("dt", [np.int32, np.uint16, np.int64, np.int8])
+@pytest.mark.parametrize("shape", [(48, 48, 48), (130, 517),
+                                   (3, 17, 38, 41)])
+def test_int_wavefront_parity(shape, dt):
+    """Blocked-wavefront integer MDQ kernels vs the serial cell kernels
+    (incl. the 4D stale-curValue quirk): identical streams and
+    reconstructions through the public int codec."""
+    import sz_tpu
+    from sz_tpu.config import SZConfig, ErrorBoundMode
+    info = np.iinfo(dt)
+    rng = np.random.default_rng(hash((shape, str(dt))) % 2**31)
+    n = int(np.prod(shape))
+    walk = np.cumsum(rng.integers(-3, 4, n))
+    spikes = rng.integers(0, n, size=max(n // 997, 3))
+    walk[spikes] += rng.integers(-1000, 1000, len(spikes))
+    data = np.clip(walk, info.min, info.max).astype(dt).reshape(shape)
+    cfg = SZConfig(engine="numpy").with_bound(ErrorBoundMode.ABS, 2.0)
+
+    old = native._CLASSIC_WF_MIN
+    try:
+        native._CLASSIC_WF_MIN = 1 << 62
+        a = sz_tpu.compress(data, cfg)
+        oa = sz_tpu.decompress(a, shape, dt)
+        native._CLASSIC_WF_MIN = 0
+        b = sz_tpu.compress(data, cfg)
+        ob = sz_tpu.decompress(a, shape, dt)
+        assert a == b
+        assert np.array_equal(oa, ob)
+    finally:
+        native._CLASSIC_WF_MIN = old
