@@ -1062,7 +1062,15 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
     encoded = None
     result_type = None
     n = int(np.prod(shape))
-    if 0 < max_len <= 32 and total_bits > 0:
+    # SZ_TPU_DEVICE_BITPACK=0 downloads the u16 type stream and packs on
+    # the host (OpenMP chunk pack) instead: on PCIe/DMA hosts the larger
+    # transfer is cheap and the host pack beats the device segment-sums;
+    # the default (device pack) minimizes transfer for link-bound setups.
+    # (Measured alternatives on v5e, 256^3: two u32 segment-sums 0.68 s;
+    # searchsorted+cumsum-difference 2.5 s; one 2-wide-payload scatter
+    # 1.38 s — XLA's sorted scatter-add is the best formulation.)
+    dev_pack = _os.environ.get("SZ_TPU_DEVICE_BITPACK", "1") != "0"
+    if dev_pack and 0 < max_len <= 32 and total_bits > 0:
         # device-side bit pack; download only the packed stream
         nbytes = (total_bits + 7) // 8
         out_pad = _pad_pow2(nbytes + 8)
@@ -1072,7 +1080,7 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
                 jax.device_put(tables.code_len.astype(np.int32))))
         encoded = packed[:nbytes].tobytes()
         result_type = np.zeros(0, np.uint16)  # not needed downstream
-    else:  # pragma: no cover - pathological trees
+    else:
         with _tr.trace("types_download"):
             result_type = np.asarray(t_stream_d)
 
