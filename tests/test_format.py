@@ -78,3 +78,36 @@ def test_metadata_header_roundtrip():
     assert np.isclose(p.params.bound1, 1e-4)
     assert p.params.fmin == np.float32(-1.5)
     assert p.params.max_quant_intervals == 65536
+
+
+def test_huffman_parallel_decode_no_sync_fallback():
+    """Adversarial case for the speculative chunk-parallel FSM decode:
+    a uniform 8-symbol tree gives every code exactly 3 bits, so a chunk
+    entered at a bit phase not divisible by 3 NEVER re-synchronizes
+    with the speculative (state-0) trajectory — the decoder must detect
+    this and fall back to the serial path with identical output."""
+    rng = np.random.default_rng(7)
+    n = 3_000_000  # > the 2^19-byte parallel threshold after encoding
+    syms = rng.integers(0, 8, n).astype(np.int32)
+    t = huffman.build_tables(syms, 16)
+    assert int(t.code_len[t.code_len > 0].max()) == 3  # uniform tree
+    enc = huffman.encode(t, syms)
+    assert len(enc) >= (1 << 19)
+    dec = huffman.decode(t.L, t.R, t.C, t.T, enc, n)
+    np.testing.assert_array_equal(dec, syms)
+
+
+def test_huffman_parallel_decode_matches_serial_large():
+    """Self-syncing large stream: the chunk-parallel FSM decode must be
+    bit-identical to the serial FSM walk."""
+    rng = np.random.default_rng(8)
+    n = 2_000_000
+    syms = np.minimum(rng.geometric(0.03, n), 1000).astype(np.int32)
+    t = huffman.build_tables(syms, 2048)
+    enc = huffman.encode(t, syms)
+    dec = huffman.decode(t.L, t.R, t.C, t.T, enc, n)
+    np.testing.assert_array_equal(dec, syms)
+    # truncated decode (count < full symbol stream) stays exact
+    m = n // 3 + 17
+    dec2 = huffman.decode(t.L, t.R, t.C, t.T, enc, m)
+    np.testing.assert_array_equal(dec2, syms[:m])
