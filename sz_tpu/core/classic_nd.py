@@ -456,7 +456,25 @@ def compress_nd(data: np.ndarray, real_precision: float, value_range,
             types[idx] = 0
             return enc.add(cur)
 
-    if not subblock and not oracle:
+    native_sb = None
+    if subblock and not oracle and min(data.shape[-1:]) >= 2:
+        # subblock quantizer lives in the wavefront kernel only; small
+        # regions stay on the Python loops below
+        try:
+            from sz_tpu import native as _nat
+            if data.size >= _nat._CLASSIC_WF_MIN:
+                native_sb = _nat.classicnd_encode(
+                    data, float(rp), float(recip), T(rp), T(recip),
+                    int(intervals), radius, RT is np.float64,
+                    req_length, median, subblock=True)
+        except ImportError:  # pragma: no cover
+            native_sb = None
+    if native_sb is not None:
+        types, lead, mid_b, resi, _cnt = native_sb
+        enc._lead_arrays = [lead]
+        enc.mid_bytes = bytearray(mid_b)
+        enc._resi_arrays = [resi] if resi.size else []
+    elif not subblock and not oracle:
         native_t = None
         if min(data.shape[-1:]) >= 2:
             try:

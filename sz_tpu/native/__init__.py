@@ -825,9 +825,11 @@ _CLASSIC_WF_BS = 32
 
 def classicnd_encode(data: np.ndarray, rp64: float, recip64: float,
                      rp, recip, intervals: int, radius: int, dbl: bool,
-                     req_length: int, median):
+                     req_length: int, median, subblock: bool = False):
     """Classic 2D/3D/4D MDQ encode.  Returns
-    (types, lead u8, mid bytes, resi u8 entries, cnt)."""
+    (types, lead u8, mid bytes, resi u8 entries, cnt).
+    subblock=True selects the *_MDQ_subblock quantizer (double
+    division, no epsilon recheck; wavefront kernel only)."""
     T = data.dtype.type
     x = np.ascontiguousarray(data)
     if x.ndim == 2:
@@ -844,6 +846,9 @@ def classicnd_encode(data: np.ndarray, rp64: float, recip64: float,
     resi = np.zeros(max(n, 1), np.uint8)
     nmid = np.zeros(1, np.int64)
     cF = ctypes.c_float if T is np.float32 else ctypes.c_double
+    if subblock and n < _CLASSIC_WF_MIN:
+        raise ValueError("subblock native encode needs the wavefront "
+                         "kernel (n >= _CLASSIC_WF_MIN)")
     if n >= _CLASSIC_WF_MIN:
         fn = (_lib.classicnd_encode_wf_f32 if T is np.float32
               else _lib.classicnd_encode_wf_f64)
@@ -852,6 +857,7 @@ def classicnd_encode(data: np.ndarray, rp64: float, recip64: float,
                      ctypes.c_double(rp64), ctypes.c_double(recip64),
                      cF(rp), cF(recip), ctypes.c_int(int(intervals)),
                      ctypes.c_int(radius), ctypes.c_int(1 if dbl else 0),
+                     ctypes.c_int(1 if subblock else 0),
                      ctypes.c_int(req_length), cF(median),
                      ctypes.c_int(_CLASSIC_WF_BS), _ptr(types),
                      _ptr(lead), _ptr(mid), _ptr(nmid), _ptr(resi)))

@@ -3463,9 +3463,24 @@ static inline double xtrunc_f64(double value, double median, int raw,
 static inline FT cnd_quantwf_##SUF(int32_t *types, int64_t idx, FT cur, \
                                    FT pred, double rp64, double recip64,\
                                    FT rp, FT recip, int intervals,      \
-                                   int radius, int dbl, FT median,      \
-                                   MASKT mask) {                        \
+                                   int radius, int dbl, int sb,         \
+                                   FT median, MASKT mask) {             \
     FT diff = cur - pred;                                               \
+    if (sb) {                                                           \
+        /* subblock quantizer: double division, no epsilon recheck      \
+         * (sz_float.c:3862-3871) */                                    \
+        double itv = fabs((double)diff) / rp64 + 1.0;                   \
+        if (itv < (double)intervals) {                                  \
+            if (diff < 0) itv = -itv;                                   \
+            int t = (int)(itv / 2.0) + radius;                          \
+            FT rec = (FT)((double)pred                                  \
+                          + (double)(2 * (t - radius)) * rp64);         \
+            types[idx] = t;                                             \
+            return rec;                                                 \
+        }                                                               \
+        types[idx] = 0;                                                 \
+        return xtrunc_##SUF(cur, median, 0, mask);                      \
+    }                                                                   \
     if (dbl) {                                                          \
         double itv = fabs((double)diff) * recip64 + 1.0;                \
         if (itv < (double)intervals) {                                  \
@@ -3501,7 +3516,7 @@ static inline FT cnd_quantwf_##SUF(int32_t *types, int64_t idx, FT cur, \
 int64_t classicnd_encode_wf_##SUF(                                      \
     const FT *x, int64_t q1, int64_t r1, int64_t r2, int64_t r3,        \
     double rp64, double recip64, FT rp, FT recip, int intervals,        \
-    int radius, int dbl, int req_length, FT median, int bs,             \
+    int radius, int dbl, int sb, int req_length, FT median, int bs,     \
     int32_t *types, uint8_t *lead, uint8_t *mid, int64_t *nmid,         \
     uint8_t *resi) {                                                    \
     int64_t r23 = r2 * r3, vol = r1 * r23, ntot = q1 * vol;             \
@@ -3539,7 +3554,7 @@ int64_t classicnd_encode_wf_##SUF(                                      \
                             p = p + rec[idx-r23-r3-1];                  \
                             rec[idx] = cnd_quantwf_##SUF(               \
                                 tl, idx, xl[idx], p, rp64, recip64,     \
-                                rp, recip, intervals, radius, dbl,      \
+                                rp, recip, intervals, radius, dbl, sb,  \
                                 median, mask);                          \
                         }                                               \
                     }                                                   \
@@ -3555,7 +3570,7 @@ int64_t classicnd_encode_wf_##SUF(                                      \
                                 rec[idx] = cnd_quantwf_##SUF(           \
                                     tl, idx, xl[idx], p, rp64, recip64, \
                                     rp, recip, intervals, radius, dbl,  \
-                                    median, mask);                      \
+                                    sb, median, mask);                      \
                             }                                           \
                         } else {                                        \
                             for (int64_t c = oz; c < ez; c++, idx++) {  \
@@ -3568,7 +3583,7 @@ int64_t classicnd_encode_wf_##SUF(                                      \
                                 rec[idx] = cnd_quantwf_##SUF(           \
                                     tl, idx, xl[idx], p, rp64, recip64, \
                                     rp, recip, intervals, radius, dbl,  \
-                                    median, mask);                      \
+                                    sb, median, mask);                      \
                             }                                           \
                         }                                               \
                     }                                                   \
@@ -3616,7 +3631,7 @@ int64_t classicnd_encode_wf_##SUF(                                      \
                         }                                               \
                         rec[idx] = cnd_quantwf_##SUF(                   \
                             tl, idx, cur, p, rp64, recip64, rp, recip,  \
-                            intervals, radius, dbl, median, mask);      \
+                            intervals, radius, dbl, sb, median, mask);      \
                     }                                                   \
                 }                                                       \
             }                                                           \

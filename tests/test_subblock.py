@@ -68,6 +68,7 @@ def _norm(inner: bytes) -> bytes:
 
 
 D3 = synth((40, 30, 25))
+D3BIG = synth((80, 70, 60))
 
 
 @need_ref
@@ -80,6 +81,8 @@ D3 = synth((40, 30, 25))
     (np.ascontiguousarray(D3[:24].reshape(4, 6, 30, 25)), (1, 1, 2, 3),
      (4, 5, 28, 22), ErrorBoundMode.ABS, 1e-3, 0.0),
     (D3, (0, 0, 0), (40, 30, 25), ErrorBoundMode.REL, 0.0, 1e-4),
+    # large region: routes to the native wavefront subblock kernel
+    (D3BIG, (3, 2, 1), (73, 68, 55), ErrorBoundMode.ABS, 1e-2, 0.0),
 ])
 def test_subblock_golden_bytes(data, start, end, mode, ab, rb):
     golden = _ref_args3(data, start, end, mode, ab, rb)
@@ -113,3 +116,32 @@ def test_subblock_constant_region():
                                   mode=ErrorBoundMode.ABS, abs_bound=1e-3)
     out = sz_tpu.decompress(blob, (8, 8), np.float32)
     assert np.array_equal(out, np.zeros((8, 8), np.float32))
+
+
+def test_subblock_native_wavefront_parity():
+    """Large regions route to the native wavefront subblock kernel
+    (double-division quantizer, no recheck); must be byte-identical to
+    the Python loops.
+
+    No bound assertion on the roundtrip: upstream's subblock encoders
+    chain reconstructions through `double realPrecision`
+    (sz_float.c:3796) while the classic decoder narrows it to float
+    (szd_float.c:611), so large-region subblock roundtrips drift in
+    the reference too — we replicate that bug-for-bug (the golden test
+    above pins byte parity with libSZ)."""
+    from sz_tpu import native
+    rng = np.random.default_rng(11)
+    data = (np.cumsum(rng.standard_normal(80 * 70 * 60))
+            .reshape(80, 70, 60).astype(np.float32))
+    s, e = (3, 2, 1), (73, 68, 55)  # 286k cells: above the threshold
+    old = native._CLASSIC_WF_MIN
+    try:
+        native._CLASSIC_WF_MIN = 1 << 62
+        a = sz_tpu.compress_region(data, s, e, SZConfig(),
+                                   abs_bound=1e-2)
+        native._CLASSIC_WF_MIN = 0
+        b = sz_tpu.compress_region(data, s, e, SZConfig(),
+                                   abs_bound=1e-2)
+    finally:
+        native._CLASSIC_WF_MIN = old
+    assert a == b
