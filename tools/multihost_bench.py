@@ -19,7 +19,7 @@ import subprocess
 import sys
 import time
 
-SLAB = (64, 64, 64)  # per-process slab (weak scaling)
+SLAB = (128, 128, 128)  # per-process slab (weak scaling)
 
 
 def worker(rank: int, nprocs: int, port: int) -> None:
