@@ -116,6 +116,12 @@ def main():
                 (64, "numpy", 120)]
     for n, engine, budget in attempts:
         env = dict(os.environ)
+        # this VM reclaims freed large allocations and re-faults pages
+        # at ~7 MB/s; keep numpy's big temporaries on the heap so only
+        # the first touch pays (measured: 512MB elementwise op 77s ->
+        # 2s warm with these thresholds)
+        env.setdefault("MALLOC_MMAP_THRESHOLD_", "17179869184")
+        env.setdefault("MALLOC_TRIM_THRESHOLD_", "17179869184")
         if engine == "numpy":
             # The sitecustomize hook in this environment dials the TPU
             # tunnel (axon.register) in EVERY python process whenever

@@ -13,6 +13,18 @@ import os
 _plat = os.environ.get("SZ_TPU_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = _plat
 
+# Some sandbox VMs reclaim freed large allocations and re-fault pages
+# extremely slowly (~7 MB/s measured); keep big malloc'd buffers on the
+# heap so only the first touch pays.  Env vars are too late for this
+# process — use mallopt directly (M_TRIM_THRESHOLD=-1, M_MMAP_THRESHOLD=-3).
+try:
+    import ctypes as _ct
+    _libc = _ct.CDLL("libc.so.6", use_errno=True)
+    _libc.mallopt(_ct.c_int(-1), _ct.c_int(2**31 - 1))  # M_TRIM_THRESHOLD
+    _libc.mallopt(_ct.c_int(-3), _ct.c_int(2**31 - 1))  # M_MMAP_THRESHOLD
+except Exception:  # pragma: no cover - non-glibc
+    pass
+
 import jax
 
 jax.config.update("jax_platforms", _plat)
