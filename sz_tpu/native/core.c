@@ -3459,6 +3459,34 @@ static inline double xtrunc_f64(double value, double median, int raw,
     return recon;
 }
 
+
+/* Per-(row, z-tile) escape-count prefix tables shared by the wavefront
+ * decoders: zpre[row][zb] = zeros in [row*r3, row*r3 + zb*bs), with
+ * zpre[row][nbz] = the row total; rowstart = exclusive scan of row
+ * totals.  Caller frees both. */
+static void wf_zero_ordinals(const int32_t *types, int64_t nrows,
+                             int64_t r3, int64_t nbz, int bs,
+                             int64_t **zpre_out, int64_t **rowstart_out) {
+    int64_t *zpre = malloc(nrows * (nbz + 1) * sizeof(int64_t));
+    #pragma omp parallel for schedule(static)
+    for (int64_t row = 0; row < nrows; row++) {
+        const int32_t *ty = types + row * r3;
+        int64_t *zp = zpre + row * (nbz + 1);
+        int64_t cnt = 0, zb = 0;
+        for (int64_t c = 0; c < r3; c++) {
+            if (c == zb * bs) zp[zb++] = cnt;
+            if (ty[c] == 0) cnt++;
+        }
+        zp[nbz] = cnt;
+    }
+    int64_t *rowstart = malloc((nrows + 1) * sizeof(int64_t));
+    rowstart[0] = 0;
+    for (int64_t row = 0; row < nrows; row++)
+        rowstart[row + 1] = rowstart[row] + zpre[row * (nbz + 1) + nbz];
+    *zpre_out = zpre;
+    *rowstart_out = rowstart;
+}
+
 #define GEN_CLASSIC_WF(SUF, FT, ESIZE, MASKT, XADD, XNEXT)              \
 static inline FT cnd_quantwf_##SUF(int32_t *types, int64_t idx, FT cur, \
                                    FT pred, double rp64, double recip64,\
@@ -3674,23 +3702,8 @@ void classicnd_decode_wf_##SUF(                                         \
     int64_t nbx = (r1 + bs - 1) / bs, nby = (r2 + bs - 1) / bs,         \
             nbz = (r3 + bs - 1) / bs;                                   \
     int64_t nrows = q1 * r1 * r2;                                       \
-    int64_t *zpre = malloc(nrows * (nbz + 1) * sizeof(int64_t));        \
-    _Pragma("omp parallel for schedule(static)")                        \
-    for (int64_t row = 0; row < nrows; row++) {                         \
-        const int32_t *ty = types + row * r3;                           \
-        int64_t *zp = zpre + row * (nbz + 1);                           \
-        int64_t cnt = 0, zb = 0;                                        \
-        for (int64_t c = 0; c < r3; c++) {                              \
-            if (c == zb * bs) zp[zb++] = cnt;                           \
-            if (ty[c] == 0) cnt++;                                      \
-        }                                                               \
-        zp[nbz] = cnt;                                                  \
-    }                                                                   \
-    int64_t *rowstart = malloc((nrows + 1) * sizeof(int64_t));          \
-    rowstart[0] = 0;                                                    \
-    for (int64_t row = 0; row < nrows; row++)                           \
-        rowstart[row + 1] = rowstart[row]                               \
-                            + zpre[row * (nbz + 1) + nbz];              \
+    int64_t *zpre, *rowstart;                                           \
+    wf_zero_ordinals(types, nrows, r3, nbz, bs, &zpre, &rowstart);      \
     /* 3. wavefront replay */                                           \
     int64_t *dstart, ndiag;                                             \
     int64_t *order = regnd_diag_order3(nbx, nby, nbz, &dstart, &ndiag); \
@@ -3727,7 +3740,12 @@ void classicnd_decode_wf_##SUF(                                         \
                             p = p + o[idx-r23-r3-1];                    \
                         } else if (a == 0) {                            \
                             if (bb == 0) {                              \
-                                if (c == 1) p = o[idx-1];               \
+                                /* c==0 is the slice's first cell: the  \
+                                 * serial decoder passes pred 0 (a      \
+                                 * corrupt stream can carry a nonzero   \
+                                 * type there) */                       \
+                                if (c == 0) p = (FT)0;                  \
+                                else if (c == 1) p = o[idx-1];          \
                                 else p = (FT)2 * o[idx-1] - o[idx-2];   \
                             } else if (c == 0) {                        \
                                 p = o[idx - r3];                        \
@@ -3891,12 +3909,10 @@ int64_t huff_fsm_decode_par(const uint8_t *tab, const uint32_t *packed,
     const fsme2 *t = (const fsme2 *)tab;
     int64_t nchunks = (int64_t)nth * 4;
     if (nchunks > 64) nchunks = 64;
+    /* nbytes >= 1<<19 and nchunks <= 64 give csize >= 8192 > FSM_PROBE,
+     * so the probe window always fits inside a chunk */
     int64_t csize = (nbytes + nchunks - 1) / nchunks;
-    if (csize <= FSM_PROBE) {
-        nchunks = 1 + (nbytes - 1) / (FSM_PROBE * 2);
-        csize = (nbytes + nchunks - 1) / nchunks;
-    }
-    int64_t probe_n = csize < FSM_PROBE ? csize : FSM_PROBE;
+    int64_t probe_n = FSM_PROBE;
     int32_t *probe_state = malloc(nchunks * probe_n * sizeof(int32_t));
     int64_t *probe_cnt = malloc(nchunks * probe_n * sizeof(int64_t));
     int32_t *exit_state = malloc(nchunks * sizeof(int32_t));
@@ -4002,6 +4018,7 @@ static inline FT ms_pred_##SUF(const FT *rec, int64_t idx, int64_t a,   \
     }                                                                   \
     if (a == 0) {                                                       \
         if (b == 0) {                                                   \
+            if (c == 0) return (FT)0;  /* corrupt-stream guard */       \
             if (c == 1) return rec[idx-1];                              \
             if (rank == 2)                                              \
                 return (FT)(rec[idx-1] * rec[idx-1]) / rec[idx-2];      \
@@ -4123,23 +4140,8 @@ void msst19_decode_wf_##SUF(                                            \
     int64_t nbx = (r1 + bs - 1) / bs, nby = (r2 + bs - 1) / bs,         \
             nbz = (r3 + bs - 1) / bs;                                   \
     int64_t nrows = r1 * r2;                                            \
-    int64_t *zpre = malloc(nrows * (nbz + 1) * sizeof(int64_t));        \
-    _Pragma("omp parallel for schedule(static)")                        \
-    for (int64_t row = 0; row < nrows; row++) {                         \
-        const int32_t *ty = types + row * r3;                           \
-        int64_t *zp = zpre + row * (nbz + 1);                           \
-        int64_t cnt = 0, zb = 0;                                        \
-        for (int64_t c = 0; c < r3; c++) {                              \
-            if (c == zb * bs) zp[zb++] = cnt;                           \
-            if (ty[c] == 0) cnt++;                                      \
-        }                                                               \
-        zp[nbz] = cnt;                                                  \
-    }                                                                   \
-    int64_t *rowstart = malloc((nrows + 1) * sizeof(int64_t));          \
-    rowstart[0] = 0;                                                    \
-    for (int64_t row = 0; row < nrows; row++)                           \
-        rowstart[row + 1] = rowstart[row]                               \
-                            + zpre[row * (nbz + 1) + nbz];              \
+    int64_t *zpre, *rowstart;                                           \
+    wf_zero_ordinals(types, nrows, r3, nbz, bs, &zpre, &rowstart);      \
     int64_t *dstart, ndiag;                                             \
     int64_t *order = regnd_diag_order3(nbx, nby, nbz, &dstart, &ndiag); \
     for (int64_t d = 0; d < ndiag; d++) {                               \
@@ -4359,22 +4361,8 @@ void intnd_decode_wf(const int32_t *types, int64_t q1, int64_t r1,
     int64_t nbx = (r1 + bs - 1) / bs, nby = (r2 + bs - 1) / bs,
             nbz = (r3 + bs - 1) / bs;
     int64_t nrows = n / r3;
-    int64_t *zpre = malloc(nrows * (nbz + 1) * sizeof(int64_t));
-    #pragma omp parallel for schedule(static)
-    for (int64_t row = 0; row < nrows; row++) {
-        const int32_t *ty = types + row * r3;
-        int64_t *zp = zpre + row * (nbz + 1);
-        int64_t cnt = 0, zb = 0;
-        for (int64_t c = 0; c < r3; c++) {
-            if (c == zb * bs) zp[zb++] = cnt;
-            if (ty[c] == 0) cnt++;
-        }
-        zp[nbz] = cnt;
-    }
-    int64_t *rowstart = malloc((nrows + 1) * sizeof(int64_t));
-    rowstart[0] = 0;
-    for (int64_t row = 0; row < nrows; row++)
-        rowstart[row + 1] = rowstart[row] + zpre[row * (nbz + 1) + nbz];
+    int64_t *zpre, *rowstart;
+    wf_zero_ordinals(types, nrows, r3, nbz, bs, &zpre, &rowstart);
     int64_t *dstart, ndiag;
     int64_t *order = regnd_diag_order3(nbx, nby, nbz, &dstart, &ndiag);
     for (int64_t l = 0; l < q1; l++) {
@@ -4419,7 +4407,11 @@ void intnd_decode_wf(const int32_t *types, int64_t q1, int64_t r1,
                                  - o[idx-r23-1] + o[idx-r23-r3-1];
                         } else if (a == 0) {
                             if (b == 0) {
-                                if (c == 1) pred = o[idx-1];
+                                /* slice-first cell: serial decoder
+                                 * passes pred 0 (corrupt-stream
+                                 * guard) */
+                                if (c == 0) pred = 0;
+                                else if (c == 1) pred = o[idx-1];
                                 else pred = 2 * o[idx-1] - o[idx-2];
                             } else if (c == 0) {
                                 pred = o[idx - r3];

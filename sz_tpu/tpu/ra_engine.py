@@ -160,8 +160,14 @@ def _shard_over_blocks(fn_raw, n_devices: int, arrs, scalars):
     from jax.sharding import Mesh, PartitionSpec as P
     try:
         from jax import shard_map  # jax >= 0.8
+        vma_kw = {"check_vma": False}
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map  # type: ignore
+        vma_kw = {"check_rep": False}
+    avail = len(jax.devices())
+    if n_devices > avail:
+        raise ValueError(
+            f"n_devices={n_devices} but only {avail} devices attached")
     devs = np.array(jax.devices()[:n_devices])
     mesh = Mesh(devs, ("blocks",))
     nb = arrs[0].shape[0]
@@ -171,11 +177,11 @@ def _shard_over_blocks(fn_raw, n_devices: int, arrs, scalars):
                                 np.repeat(np.asarray(a)[-1:], pad, 0)])
                 for a in arrs]
     in_specs = tuple([P("blocks")] * len(arrs) + [P()] * len(scalars))
-    # check_vma off: the scan carry is created inside the body
+    # vma/rep check off: the scan carry is created inside the body
     # (unvarying zeros) and joins the varying block batch — no
     # collectives anywhere, every block is independent
     f = shard_map(fn_raw, mesh=mesh, in_specs=in_specs,
-                  out_specs=P("blocks"), check_vma=False)
+                  out_specs=P("blocks"), **vma_kw)
     f = _eng._strict_jit(f, jax.default_backend())
     out = np.asarray(f(*[jnp.asarray(a) for a in arrs], *scalars))
     return out[:nb]

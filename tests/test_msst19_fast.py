@@ -59,8 +59,10 @@ def test_wavefront_matches_serial(shape, T):
     _decode_wf) vs the serial cell kernels: byte-identical streams and
     bit-identical reconstructions on volumes above the routing
     threshold (with escapes from value spikes)."""
+    import zlib
     from sz_tpu import native
-    data = synth(shape, T, hash((shape, str(T))) % 2**31)
+    data = synth(shape, T,
+                 zlib.crc32(repr((shape, np.dtype(T).name)).encode()))
     # spikes force escapes scattered through the volume
     rng = np.random.default_rng(7)
     flat = data.reshape(-1)

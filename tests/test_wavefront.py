@@ -234,8 +234,9 @@ def _classic_dec(minsize, types, shape, rp, dbl, median, req_length,
                                    (130, 517), (3, 17, 38, 41)])
 @pytest.mark.parametrize("dt", [np.float32, np.float64])
 def test_classic_wavefront_parity(shape, dt):
-    data, T, rp, dbl = _classic_args(shape, dt, hash((shape, str(dt)))
-                                     % 2**31)
+    import zlib
+    seed = zlib.crc32(repr((shape, np.dtype(dt).name)).encode())
+    data, T, rp, dbl = _classic_args(shape, dt, seed)
     median = float(np.float32(data.mean())) if dt is np.float32 \
         else float(data.mean())
     req_length = 23 if dt is np.float32 else 44
@@ -269,8 +270,10 @@ def test_int_wavefront_parity(shape, dt):
     reconstructions through the public int codec."""
     import sz_tpu
     from sz_tpu.config import SZConfig, ErrorBoundMode
+    import zlib
     info = np.iinfo(dt)
-    rng = np.random.default_rng(hash((shape, str(dt))) % 2**31)
+    rng = np.random.default_rng(
+        zlib.crc32(repr((shape, np.dtype(dt).name)).encode()))
     n = int(np.prod(shape))
     walk = np.cumsum(rng.integers(-3, 4, n))
     spikes = rng.integers(0, n, size=max(n // 997, 3))
@@ -290,3 +293,26 @@ def test_int_wavefront_parity(shape, dt):
         assert np.array_equal(oa, ob)
     finally:
         native._CLASSIC_WF_MIN = old
+
+
+def test_classic_decode_corrupt_first_cell():
+    """A corrupt stream can carry a nonzero type at the slice-first
+    cell; the wavefront decoder must mirror the serial decoder's
+    pred=0 there instead of reading before the buffer."""
+    shape = (48, 48, 48)
+    n = int(np.prod(shape))
+    types = np.full(n, 130, np.int32)  # no escapes anywhere
+    lead = np.zeros(0, np.uint8)
+    old = native._CLASSIC_WF_MIN
+    try:
+        native._CLASSIC_WF_MIN = 1 << 62
+        a = native.classicnd_decode(types, shape, 1e-3, np.float32(1e-3),
+                                    128, False, 23, np.float32(0),
+                                    lead, b"", b"", np.float32)
+        native._CLASSIC_WF_MIN = 0
+        b = native.classicnd_decode(types, shape, 1e-3, np.float32(1e-3),
+                                    128, False, 23, np.float32(0),
+                                    lead, b"", b"", np.float32)
+    finally:
+        native._CLASSIC_WF_MIN = old
+    assert np.array_equal(a.view(np.uint8), b.view(np.uint8))
