@@ -2979,6 +2979,26 @@ int64_t i32_hist_mt(const int32_t *x, int64_t n, int64_t *hist,
  * afterwards.  Streams are byte-identical to the serial kernels.
  * ------------------------------------------------------------------ */
 
+
+/* Thread-local scratch buffers for the wavefront kernels' big
+ * per-call lattices.  A fresh multi-hundred-MB malloc/free per call
+ * costs mmap + page faults every time (and on VMs that return freed
+ * pages to the host, a catastrophic re-fault); growth-only reuse pays
+ * the fault once per thread.  Requested outside OpenMP regions only,
+ * so each *calling* thread owns its cache (thread-safe API holds). */
+typedef struct { void *p; size_t cap; } tls_buf;
+static _Thread_local tls_buf tl_bufs[3];
+
+static void *wf_scratch(int slot, size_t bytes) {
+    tls_buf *b = &tl_bufs[slot];
+    if (b->cap < bytes) {
+        free(b->p);
+        b->p = malloc(bytes);
+        b->cap = b->p ? bytes : 0;
+    }
+    return b->p;
+}
+
 static int64_t *regnd_diag_order3(int64_t nbx, int64_t nby, int64_t nbz,
                                   int64_t **dstart_out, int64_t *nd_out) {
     int64_t nb = nbx * nby * nbz;
@@ -3014,8 +3034,9 @@ int64_t regnd_encode3d_wf_##SUF(                                        \
     int radius = intervals / 2;                                         \
     int64_t nb = nbx * nby * nbz, n = r1 * r2 * r3;                     \
     int64_t ps1 = (r2 + 1) * (r3 + 1), pr3 = r3 + 1;                    \
-    FT *rec = calloc((r1 + 1) * ps1, sizeof(FT));                       \
-    FT *ubuf = malloc(n * sizeof(FT));                                  \
+    FT *rec = wf_scratch(0, (size_t)(r1 + 1) * ps1 * sizeof(FT));      \
+    memset(rec, 0, (size_t)(r1 + 1) * ps1 * sizeof(FT));                \
+    FT *ubuf = wf_scratch(1, (size_t)n * sizeof(FT));                   \
     int64_t *tpos = malloc(nb * sizeof(int64_t));                       \
     int64_t *qpre = malloc(nb * sizeof(int64_t));                       \
     int64_t *ucb = calloc(nb, sizeof(int64_t));                         \
@@ -3100,7 +3121,7 @@ int64_t regnd_encode3d_wf_##SUF(                                        \
             ucnt += ucb[b];                                             \
         }                                                               \
     }                                                                   \
-    free(rec); free(ubuf); free(tpos); free(qpre); free(ucb);           \
+    free(tpos); free(qpre); free(ucb);                                  \
     free(order); free(dstart);                                          \
     return ucnt;                                                        \
 }                                                                       \
@@ -3222,8 +3243,9 @@ int64_t regnd_encode2d_wf_##SUF(                                        \
     FT cap = (FT)intervals, cap_sz = (FT)(intervals - 2);               \
     int radius = intervals / 2;                                         \
     int64_t nb = nbx * nby, n = r1 * r2, pr2 = r2 + 1;                  \
-    FT *rec = calloc((r1 + 1) * pr2, sizeof(FT));                       \
-    FT *ubuf = malloc(n * sizeof(FT));                                  \
+    FT *rec = wf_scratch(0, (size_t)(r1 + 1) * pr2 * sizeof(FT));      \
+    memset(rec, 0, (size_t)(r1 + 1) * pr2 * sizeof(FT));                \
+    FT *ubuf = wf_scratch(1, (size_t)n * sizeof(FT));                   \
     int64_t *tpos = malloc(nb * sizeof(int64_t));                       \
     int64_t *qpre = malloc(nb * sizeof(int64_t));                       \
     int64_t *ucb = calloc(nb, sizeof(int64_t));                         \
@@ -3287,7 +3309,7 @@ int64_t regnd_encode2d_wf_##SUF(                                        \
             ucnt += ucb[b];                                             \
         }                                                               \
     }                                                                   \
-    free(rec); free(ubuf); free(tpos); free(qpre); free(ucb);           \
+    free(tpos); free(qpre); free(ucb);                                  \
     return ucnt;                                                        \
 }                                                                       \
                                                                         \
@@ -3549,7 +3571,7 @@ int64_t classicnd_encode_wf_##SUF(                                      \
     uint8_t *resi) {                                                    \
     int64_t r23 = r2 * r3, vol = r1 * r23, ntot = q1 * vol;             \
     MASKT mask = (MASKT)xenc_mask(ESIZE, req_length);                   \
-    FT *rec = malloc(vol * sizeof(FT));                                 \
+    FT *rec = wf_scratch(0, (size_t)vol * sizeof(FT));                  \
     int64_t nbx = (r1 + bs - 1) / bs, nby = (r2 + bs - 1) / bs,         \
             nbz = (r3 + bs - 1) / bs;                                   \
     int64_t *dstart, ndiag;                                             \
@@ -3665,7 +3687,7 @@ int64_t classicnd_encode_wf_##SUF(                                      \
             }                                                           \
         }                                                               \
     }                                                                   \
-    free(order); free(dstart); free(rec);                               \
+    free(order); free(dstart);                                          \
     /* escape streams in raster order (state-free recon above makes    \
      * this equivalent to emitting inline) */                           \
     xenc E;                                                             \
@@ -3696,7 +3718,8 @@ void classicnd_decode_wf_##SUF(                                         \
     memset(D.prev, 0, 8);                                               \
     D.lead = lead; D.k = 0; D.mid = mid; D.midp = 0;                    \
     D.resi = resi; D.bitp = 0;                                          \
-    FT *vals = malloc((nesc > 0 ? nesc : 1) * sizeof(FT));              \
+    FT *vals = wf_scratch(2, (size_t)(nesc > 0 ? nesc : 1)             \
+                          * sizeof(FT));                                \
     for (int64_t m = 0; m < nesc; m++) vals[m] = XNEXT(&D, median, 0);  \
     /* 2. escape-ordinal tables at (row, z-tile) granularity */         \
     int64_t nbx = (r1 + bs - 1) / bs, nby = (r2 + bs - 1) / bs,         \
@@ -3771,7 +3794,7 @@ void classicnd_decode_wf_##SUF(                                         \
             }                                                           \
         }                                                               \
     }                                                                   \
-    free(order); free(dstart); free(vals); free(zpre); free(rowstart);  \
+    free(order); free(dstart); free(zpre); free(rowstart);              \
 }
 
 GEN_CLASSIC_WF(f32, float, 4, uint32_t, xenc_add_f32, xdec_next_f32)
@@ -4049,7 +4072,7 @@ int64_t msst19_encode_wf_##SUF(                                         \
     int64_t *nmid, uint8_t *resi) {                                     \
     int64_t r23 = r2 * r3, n = r1 * r23;                                \
     MASKT mask = (MASKT)xenc_mask(ESIZE, req_length);                   \
-    FT *rec = malloc(n * sizeof(FT));                                   \
+    FT *rec = wf_scratch(0, (size_t)n * sizeof(FT));                   \
     int64_t nbx = (r1 + bs - 1) / bs, nby = (r2 + bs - 1) / bs,         \
             nbz = (r3 + bs - 1) / bs;                                   \
     int64_t *dstart, ndiag;                                             \
@@ -4107,7 +4130,7 @@ int64_t msst19_encode_wf_##SUF(                                         \
             }                                                           \
         }                                                               \
     }                                                                   \
-    free(order); free(dstart); free(rec);                               \
+    free(order); free(dstart);                                          \
     xenc E;                                                             \
     E.esize = ESIZE;                                                    \
     E.req_bytes = req_length / 8; E.resi_len = req_length % 8;          \
@@ -4134,7 +4157,8 @@ void msst19_decode_wf_##SUF(                                            \
     memset(D.prev, 0, 8);                                               \
     D.lead = lead; D.k = 0; D.mid = mid; D.midp = 0;                    \
     D.resi = resi; D.bitp = 0;                                          \
-    FT *vals = malloc((nesc > 0 ? nesc : 1) * sizeof(FT));              \
+    FT *vals = wf_scratch(2, (size_t)(nesc > 0 ? nesc : 1)             \
+                          * sizeof(FT));                                \
     for (int64_t m = 0; m < nesc; m++)                                  \
         vals[m] = XNEXT(&D, (FT)0, 1);                                  \
     int64_t nbx = (r1 + bs - 1) / bs, nby = (r2 + bs - 1) / bs,         \
@@ -4184,7 +4208,7 @@ void msst19_decode_wf_##SUF(                                            \
             }                                                           \
         }                                                               \
     }                                                                   \
-    free(order); free(dstart); free(vals); free(zpre); free(rowstart);  \
+    free(order); free(dstart); free(zpre); free(rowstart);              \
 }
 
 GEN_MSST19_WF(f32, float, 4, uint32_t, xenc_add_f32, xdec_next_f32)
@@ -4224,7 +4248,7 @@ int64_t intnd_encode_wf(const uint8_t *x, int in_esize, int in_sgn,
                         int store_esize, int quirk4d, int bs,
                         int32_t *types, uint8_t *exact) {
     int64_t r23 = r2 * r3, vol = r1 * r23;
-    int64_t *rec = malloc(vol * sizeof(int64_t));
+    int64_t *rec = wf_scratch(0, (size_t)vol * sizeof(int64_t));
     int64_t global_first = ld_int(x, in_esize, in_sgn);
     int64_t nbx = (r1 + bs - 1) / bs, nby = (r2 + bs - 1) / bs,
             nbz = (r3 + bs - 1) / bs;
@@ -4330,7 +4354,7 @@ int64_t intnd_encode_wf(const uint8_t *x, int in_esize, int in_sgn,
             }
         }
     }
-    free(order); free(dstart); free(rec);
+    free(order); free(dstart);
     /* escape stream, raster order */
     ienc E;
     E.rp = rp; E.intervals = intervals; E.radius = radius;
