@@ -38,6 +38,20 @@ if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
 
 _lib = ctypes.CDLL(str(_SO))
 
+# Raise glibc's mmap threshold so the codec's large numpy temporaries
+# (type lattices, masks — tens to hundreds of MB per call) come from
+# the reusable brk heap instead of fresh mmaps that are returned to the
+# OS on free and page-fault again on the next call (on VMs that hand
+# freed pages back to the hypervisor this costs ~7 MB/s per call).
+# Standard big-array tuning (glibc itself auto-raises the threshold to
+# 32 MB); opt out with SZ_TPU_MALLOC_TUNE=0.
+if os.environ.get("SZ_TPU_MALLOC_TUNE", "1") != "0":
+    try:
+        _libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        _libc.mallopt(ctypes.c_int(-3), ctypes.c_int(2**31 - 1))
+    except Exception:  # pragma: no cover - non-glibc
+        pass
+
 _lib.seq_sum_f32.restype = ctypes.c_float
 _lib.seq_sum_f64.restype = ctypes.c_double
 _lib.huff_encode.restype = ctypes.c_int64
