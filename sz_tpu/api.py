@@ -80,7 +80,7 @@ def _resolve_precision(cfg: SZConfig, value_range: float, n: int,
 _AUTO_JAX_MIN_SIZE = 1 << 18
 
 
-def _regnd_engine(engine: str, n: int):
+def _regnd_engine(engine: str, n: int, dtype=np.float32):
     """Pick the regression-codec implementation: numpy oracle or the TPU
     (JAX) engine — both produce identical bytes (tests/test_tpu_engine)."""
     if engine == "numpy":
@@ -90,9 +90,16 @@ def _regnd_engine(engine: str, n: int):
             from sz_tpu.tpu import engine as tpu_engine
             # "auto" only picks the device engine when an accelerator
             # is attached: on CPU-only hosts the native host codec beats
-            # XLA:CPU (which also runs fusion-disabled for bit parity)
-            if engine == "jax" \
-                    or tpu_engine.jax.default_backend() != "cpu":
+            # XLA:CPU (which also runs fusion-disabled for bit parity).
+            # float64 never auto-routes to a real TPU: the hardware has
+            # no native f64 and XLA:TPU's double-double emulation rounds
+            # a ~1e-6 fraction of points differently from IEEE (streams
+            # stay bound-safe + self-consistent but lose reference
+            # bit-parity; measured on v5e).  Explicit engine="jax"
+            # still honors the request.
+            backend = tpu_engine.jax.default_backend()
+            if engine == "jax" or (backend != "cpu"
+                                   and np.dtype(dtype) != np.float64):
                 return tpu_engine
         except Exception:  # pragma: no cover - jax unavailable
             if engine == "jax":
@@ -259,7 +266,7 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
         ndim = 3
 
     if ndim in (2, 3) and cfg.with_regression and not cfg.random_access:
-        res = _regnd_engine(cfg.engine, data.size).compress(
+        res = _regnd_engine(cfg.engine, data.size, data.dtype).compress(
             data, rp, max_range_radius=cfg.max_range_radius,
             sample_distance=cfg.sample_distance,
             pred_threshold=np.float32(cfg.pred_threshold),
@@ -427,7 +434,7 @@ def decompress(blob: bytes, shape, dtype=np.float32,
                                      ).reshape(shape)
     if hdr.regression:
         body = inner[off:]
-        eng = _regnd_engine(engine, n)
+        eng = _regnd_engine(engine, n, dtype)
         kw = {"as_jax": True} if (as_jax and eng is not regnd) else {}
         if len(dims) == 4:
             dims3 = (dims[0] * dims[1], dims[2], dims[3])
