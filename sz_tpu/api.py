@@ -296,7 +296,8 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
             sample_distance=cfg.sample_distance,
             pred_threshold=np.float32(cfg.pred_threshold),
             opt_quant_mode=1 if cfg.quantization_intervals == 0 else 0,
-            fixed_intervals=cfg.quantization_intervals)
+            fixed_intervals=cfg.quantization_intervals,
+            engine=cfg.engine)
         header = md.make_header(hdr_cfg, dt, fmin, fmax)
         body = (header + bu.size_be(n, cfg.size_type)
                 + tdps_mod.to_bytes(t, cfg.size_type))
@@ -460,7 +461,8 @@ def decompress(blob: bytes, shape, dtype=np.float32,
     elif len(dims) == 1:
         out = classic.decompress_1d(t, n, dtype)
     elif len(dims) in (2, 3, 4):
-        out = classic_nd.decompress_nd(t, dims, dtype)
+        out = classic_nd.decompress_nd(t, dims, dtype, engine=engine,
+                                       as_jax=as_jax)
     else:
         raise NotImplementedError(f"classic {len(dims)}D decode")
     return _protect_clamp(out, hdr, T).reshape(shape)

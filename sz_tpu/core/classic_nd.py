@@ -105,6 +105,34 @@ def _optimize_intervals_nd(data: np.ndarray, real_precision: float,
     return max(pow2, 32)
 
 
+_DEVICE_MIN_SIZE = 1 << 18
+
+
+def _device_engine(engine: str, dtype, ndim: int, n: int):
+    """Pick the TPU device engine (sz_tpu/tpu/classic_engine.py) or None
+    for the host kernels.  Same policy as api._regnd_engine: "auto"
+    requires an attached accelerator and a large-enough array; float64
+    never runs on a real TPU (its f64 emulation cannot bitcast and is
+    not IEEE-bit-exact), falling back to the host kernels even under
+    explicit engine="jax"."""
+    if engine not in ("jax", "auto") or ndim not in (2, 3, 4):
+        return None
+    if engine == "auto" and n < _DEVICE_MIN_SIZE:
+        return None
+    try:
+        from sz_tpu.tpu import classic_engine as ce
+    except Exception:  # pragma: no cover - jax unavailable
+        if engine == "jax":
+            raise
+        return None
+    backend = ce.jax.default_backend()
+    if np.dtype(dtype) == np.float64 and backend != "cpu":
+        return None
+    if engine == "auto" and backend == "cpu":
+        return None
+    return ce
+
+
 def _optimize_intervals_subblock(data, origin, rp, max_range_radius,
                                  sample_distance, pred_threshold):
     """Subblock interval optimizers (sz_float.c:3278,3330,3382): the
@@ -369,7 +397,7 @@ def compress_nd(data: np.ndarray, real_precision: float, value_range,
                 median, *, max_range_radius: int, sample_distance: int,
                 pred_threshold: float, opt_quant_mode: int = 1,
                 fixed_intervals: int = 0, subblock_origin=None,
-                oracle: bool = False) -> TDPS:
+                oracle: bool = False, engine: str = "numpy") -> TDPS:
     """Classic 2D/3D/4D MDQ encode -> TDPS.
 
     subblock_origin: when set (SZ_compress_args3 path), the kernel is
@@ -382,6 +410,17 @@ def compress_nd(data: np.ndarray, real_precision: float, value_range,
     data = np.ascontiguousarray(data, dtype=T)
     n = data.size
     subblock = subblock_origin is not None
+
+    if not subblock and not oracle:
+        ce = _device_engine(engine, T, data.ndim, n)
+        if ce is not None:
+            return ce.compress(
+                data, real_precision, value_range, median,
+                max_range_radius=max_range_radius,
+                sample_distance=sample_distance,
+                pred_threshold=pred_threshold,
+                opt_quant_mode=opt_quant_mode,
+                fixed_intervals=fixed_intervals)
 
     # the float 2D/3D kernels receive realPrecision narrowed to float;
     # the float 4D kernel (and all double kernels) keep it double
@@ -578,10 +617,16 @@ def _encode_3d_block(data3, base, flat, types, quant, enc, T):
 
 
 def decompress_nd(tdps: TDPS, shape, dtype,
-                  oracle: bool = False) -> np.ndarray:
+                  oracle: bool = False, engine: str = "numpy",
+                  as_jax: bool = False) -> np.ndarray:
     """Classic 2D/3D MDQ decode (szd_float.c:284/600 and double analogs)."""
     T = np.float32 if np.dtype(dtype) == np.float32 else np.float64
     n = int(np.prod(shape))
+
+    if not oracle:
+        ce = _device_engine(engine, T, len(shape), n)
+        if ce is not None:
+            return ce.decompress(tdps, shape, dtype, as_jax=as_jax)
     types = huffman.decode_with_tree(tdps.type_array, n)
     dec = classic.ExactDecoder(tdps, T)
     out = np.zeros(n, dtype=T)
