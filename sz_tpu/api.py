@@ -107,8 +107,48 @@ def _regnd_engine(engine: str, n: int, dtype=np.float32):
     return regnd
 
 
+def _is_jax_array(x) -> bool:
+    if isinstance(x, np.ndarray):
+        return False
+    try:
+        import jax
+        return isinstance(x, jax.Array)
+    except Exception:  # pragma: no cover - jax unavailable
+        return False
+
+
+def _try_compress_device(data, cfg: SZConfig):
+    """Compress-from-device fast path: a jax.Array input (simulation
+    output / checkpoint shard already in HBM) goes straight into the TPU
+    regression engine with NO host round-trip of the lattice — the range
+    scan, optimizer sampling gathers, quantize, histogram, escape gather
+    and Huffman bit-pack all run on device; only compact vectors and the
+    compressed stream cross the link.  Returns None when the requested
+    codec has no device path (PW_REL, classic, RA, ints, tiny arrays,
+    explicit engine="numpy"); the caller then materializes to numpy."""
+    dims = _filter_dims(data.shape)
+    n = int(np.prod(dims))
+    dt = _DTYPE_MAP.get(np.dtype(data.dtype))
+    if (dt is None or n <= MIN_NUM_OF_ELEMENTS
+            or cfg.error_bound_mode.is_pw_rel or cfg.random_access
+            or not cfg.with_regression or len(dims) not in (2, 3, 4)
+            or cfg.engine == "numpy"):
+        return None
+    if cfg.engine == "auto":
+        cfg = dataclasses.replace(cfg, engine="jax")
+    return _compress_fp(data.reshape(dims), cfg, dt)
+
+
 def compress(data: np.ndarray, cfg: SZConfig = DEFAULT_CONFIG) -> bytes:
-    """Compress an array into a reference-compatible SZ2 stream."""
+    """Compress an array into a reference-compatible SZ2 stream.
+
+    `data` may be a device-resident jax.Array (compress-from-device):
+    regression-codec configs then run end-to-end on the TPU without
+    materializing the array on the host."""
+    if _is_jax_array(data):
+        blob = _try_compress_device(data, cfg)
+        if blob is not None:
+            return blob
     data = np.asarray(data)
     dims = _filter_dims(data.shape)
     n = int(np.prod(dims))
@@ -358,7 +398,8 @@ def _constant_stream(cfg, dt, fmin, fmax, value, n) -> bytes:
 
 def _store_ori(cfg, dt, fmin, fmax, flat, n) -> bytes:
     header = md.make_header(cfg, dt, fmin, fmax, lossless=True)
-    be = flat.astype(">f4" if dt == DataType.FLOAT else ">f8").tobytes()
+    be = np.asarray(flat).astype(
+        ">f4" if dt == DataType.FLOAT else ">f8").tobytes()
     return header + bu.size_be(n, cfg.size_type) + be
 
 

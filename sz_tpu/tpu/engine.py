@@ -933,6 +933,108 @@ def _decode_fn(shape: tuple, dtype_str: str, block_size: int,
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=32)
+def _opt_gather_fn(shape: tuple, dtype_str: str, backend: str = "cpu"):
+    """Device gathers for the interval optimizer (device-resident input).
+
+    The sampling walks (optimizer.optimize_intervals_*_freq_dense,
+    sz_float.c:6399/6442) read ~n/sample_distance points plus their
+    Lorenzo neighbors; only these compact sample vectors leave the
+    device.  The float64 histogram + selection tail runs on the host
+    (optimizer._finish) for exact C parity — XLA:TPU's f64 emulation is
+    not bit-IEEE, and the bin edges are f64 divisions.  Neighbor sums
+    accumulate in the data dtype in the serial order (each op a
+    separately rounded HLO, FMA-free per _strict_jit)."""
+    rank = len(shape)
+    if rank == 3:
+        r3 = int(shape[2])
+        r23 = int(shape[1] * shape[2])
+    else:
+        r2 = int(shape[1])
+
+    def f(flat, midx, sidx):
+        mean_vals = jnp.take(flat, midx)
+        cur = jnp.take(flat, sidx)
+        if rank == 3:
+            pred = jnp.take(flat, sidx - 1) + jnp.take(flat, sidx - r3)
+            pred = pred + jnp.take(flat, sidx - r23)
+            pred = pred - jnp.take(flat, sidx - 1 - r23)
+            pred = pred - jnp.take(flat, sidx - r3 - 1)
+            pred = pred - jnp.take(flat, sidx - r3 - r23)
+            pred = pred + jnp.take(flat, sidx - r3 - r23 - 1)
+        else:
+            pred = (jnp.take(flat, sidx - 1) + jnp.take(flat, sidx - r2)
+                    - jnp.take(flat, sidx - r2 - 1))
+        return mean_vals, cur, pred
+
+    return _strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=32)
+def _mask_vals_fn(n: int, dtype_str: str, k: int, backend: str = "cpu"):
+    """Dense-value extraction for the mean flush (device-resident input):
+    values within rp of dense_pos, compacted in flat order and padded to
+    k, plus the exact count (sz_float.c:6811-6817 mask).  The strictly
+    sequential mean accumulation (C fold order) runs on the host over
+    the downloaded compact vector — it cannot be parallelized
+    bit-exactly.  Same cumsum+index-scatter formulation as
+    _escape_values (no data-dependent nonzero)."""
+
+    def f(flat, dense_pos, rp):
+        m = jnp.abs(flat - dense_pos) < rp
+        count = jnp.sum(m.astype(jnp.int32))
+        rankc = jnp.cumsum(m.astype(jnp.int32)) - 1
+        idx = jnp.where(m, jnp.minimum(rankc, k), k)
+        sel = jnp.full((k + 1,), n, jnp.int32).at[idx].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")[:k]
+        vals = jnp.take(flat, sel, mode="fill", fill_value=0.0)
+        return count, vals
+
+    return _strict_jit(f, backend)
+
+
+def _device_optimizer(dev, shape, rank, real_precision, max_range_radius,
+                      sample_distance, pred_threshold, T, dstr, be):
+    """Interval optimizer for device-resident input: walk indices are
+    data-independent (host-cached), gathers run on device, and the f64
+    histogram/selection tail is the shared host implementation."""
+    if rank == 3:
+        midx = opt._mean_walk_indices_3d(*shape)
+        sidx = opt._sample_walk_indices_3d(*shape, sample_distance)
+    else:
+        midx = opt._mean_walk_indices_2d(*shape)
+        sidx = opt._sample_walk_indices_2d(*shape, sample_distance)
+    it = np.int32 if int(np.prod(shape)) < (1 << 31) else np.int64
+    mv, cur, pred = _opt_gather_fn(shape, dstr, be)(
+        dev.reshape(-1), jax.device_put(midx.astype(it)),
+        jax.device_put(sidx.astype(it)))
+    mv = np.asarray(mv)
+    mean0 = opt.seq_sum(mv, T)
+    if len(midx) > 0:
+        mean0 = T(mean0 / T(len(midx)))
+    return opt._finish(np.asarray(cur), np.asarray(pred), mean0,
+                       float(real_precision), len(sidx),
+                       max_range_radius, pred_threshold, T)
+
+
+def _device_dense_mean(dev, n, dense_pos, rp, T, dstr, be):
+    """Mean of the dense-value cluster for device-resident input: compact
+    device gather + host sequential fold (exact C order)."""
+    k = 1 << 16
+    count, vals_pad = _mask_vals_fn(n, dstr, k, be)(
+        dev.reshape(-1), T(dense_pos), rp)
+    count = int(count)
+    if count > k:
+        k = _pad_pow2(count)
+        _, vals_pad = _mask_vals_fn(n, dstr, k, be)(
+            dev.reshape(-1), T(dense_pos), rp)
+    vals = np.asarray(vals_pad)[:count]
+    if len(vals):
+        s = opt.seq_sum(vals, T)
+        return T(s / T(len(vals)))
+    return T(0)
+
+
+@functools.lru_cache(maxsize=32)
 def _delattice_fn(shape: tuple, dtype_str: str, k: int,
                   backend: str = "cpu"):
     """Decode-side device staging: stream-ordered uint16 types + padded
@@ -956,7 +1058,7 @@ def _pad_pow2(n: int) -> int:
     return 1 << max(int(n - 1).bit_length(), 4)
 
 
-def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
+def compress(data, real_precision, *, max_range_radius: int,
              sample_distance: int, pred_threshold, opt_quant_mode: int = 1,
              fixed_intervals: int = 0, size_type: int = 8) -> EncodeResult:
     """TPU-engine analog of regnd.compress — identical byte output.
@@ -966,13 +1068,19 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
     device; the host only receives the uint16 type stream, the 65536-bin
     histogram and the escape values, then runs the serial byte stages
     (Huffman tree, native bitstream pack, assembly).
+
+    `data` may be a jax.Array already resident on the device
+    (compress-from-device: simulation output / checkpoint shards living
+    in HBM) — the upload is skipped entirely and the optimizer's
+    sampling walks gather on device, so only compact sample vectors
+    (~n/sample_distance elements) cross the link before the compressed
+    stream itself.
     """
+    is_dev = isinstance(data, jax.Array) and not isinstance(data, np.ndarray)
     rank = data.ndim
-    spec = regnd._spec(rank, data.dtype)
+    spec = regnd._spec(rank, np.dtype(data.dtype))
     T = spec.T
-    data = np.ascontiguousarray(data, dtype=T)
     shape = tuple(int(r) for r in data.shape)
-    flat = data.reshape(-1)
     rp = T(real_precision)
     recip = T(T(1) / rp)
     dstr = np.dtype(T).str.lstrip("<>=")
@@ -982,9 +1090,17 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
     dg = _dev_geom(shape, spec.block_size, be)
     dbs = g["dbs"]
 
-    with _tr.trace("upload"):
-        dev = jax.device_put(data)
-        dev.block_until_ready()
+    if is_dev:
+        with _tr.trace("device_input"):
+            dev = jnp.asarray(data, T)
+            dev.block_until_ready()
+        flat = None
+    else:
+        data = np.ascontiguousarray(data, dtype=T)
+        flat = data.reshape(-1)
+        with _tr.trace("upload"):
+            dev = jax.device_put(data)
+            dev.block_until_ready()
     with _tr.trace("coeff_sums"):
         sums = np.asarray(_coeff_sums_fn(shape, dstr, spec.block_size,
                                          be)(dev))
@@ -996,7 +1112,11 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
     dense_pos = T(0)
     if opt_quant_mode == 1:
         _t_opt = _tr.trace("optimizer"); _t_opt.__enter__()
-        if rank == 3:
+        if is_dev:
+            intervals, dense_pos, max_freq, mean_freq = _device_optimizer(
+                dev, shape, rank, real_precision, max_range_radius,
+                sample_distance, pred_threshold, T, dstr, be)
+        elif rank == 3:
             intervals, dense_pos, max_freq, mean_freq = \
                 opt.optimize_intervals_3d_freq_dense(
                     flat, *shape, float(real_precision), max_range_radius,
@@ -1014,11 +1134,15 @@ def compress(data: np.ndarray, real_precision, *, max_range_radius: int,
         use_mean = False  # forced (sz_float.c:5615)
 
     if use_mean:
-        mask = np.abs(data - dense_pos) < rp
-        vals = flat[np.flatnonzero(mask.reshape(-1))]
-        if len(vals):
-            s = opt.seq_sum(vals, T)
-            mean = T(s / T(len(vals)))
+        if is_dev:
+            mean = _device_dense_mean(dev, int(np.prod(shape)), dense_pos,
+                                      rp, T, dstr, be)
+        else:
+            mask = np.abs(data - dense_pos) < rp
+            vals = flat[np.flatnonzero(mask.reshape(-1))]
+            if len(vals):
+                s = opt.seq_sum(vals, T)
+                mean = T(s / T(len(vals)))
 
     noise = T(np.float64(rp) * spec.noise_factor)
     with _tr.trace("select"):

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--noise", action="store_true",
                     help="pure-noise field: worst-case fixpoint sweep "
                          "count (~ny+nz sweeps/plane vs ~15 for smooth)")
+    ap.add_argument("--device-input", action="store_true",
+                    help="also time compress-from-device (jax.Array "
+                         "input: upload skipped, optimizer gathers on "
+                         "device)")
     args = ap.parse_args()
 
     import numpy as np
@@ -81,6 +85,28 @@ def main():
             ok = (host_body is None) or (out.body == host_body)
             print(json.dumps({"engine": "jax", "mode": mode, "rep": rep,
                               "t": round(dt, 3),
+                              "MBps": round(data.nbytes / 1e6 / dt, 1),
+                              "parity": ok, "len": len(out.body),
+                              "spans": spans}), flush=True)
+            if not ok:
+                print("PARITY FAILURE", file=sys.stderr)
+                sys.exit(1)
+
+    if args.device_input:
+        import jax
+        dev_data = jax.device_put(data)
+        dev_data.block_until_ready()
+        for rep in range(args.repeats):
+            tr.reset()
+            t0 = time.perf_counter()
+            out = engine.compress(dev_data, args.prec, **kw)
+            dt = time.perf_counter() - t0
+            spans = {}
+            for name, s in tr.last_spans():
+                spans[name] = round(spans.get(name, 0.0) + s, 4)
+            ok = (host_body is None) or (out.body == host_body)
+            print(json.dumps({"engine": "jax", "mode": "device-input",
+                              "rep": rep, "t": round(dt, 3),
                               "MBps": round(data.nbytes / 1e6 / dt, 1),
                               "parity": ok, "len": len(out.body),
                               "spans": spans}), flush=True)
