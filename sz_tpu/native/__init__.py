@@ -131,6 +131,23 @@ def pack_w_bits(vals: np.ndarray, w: int) -> bytes:
     return out.tobytes()
 
 
+def pack_wide_bits_u32(vals: np.ndarray, w: int) -> np.ndarray:
+    """MSB-first fixed-width (w <= 24) bit pack of int32 symbols,
+    returned as native uint32 words whose value order matches the
+    big-endian bit stream (word k = stream bits [32k, 32k+32), MSB
+    first).  One pad word is appended so a device unpack may always
+    gather word k+1."""
+    vals = np.ascontiguousarray(vals, np.int32)
+    n = vals.size
+    nbytes = (n * w + 7) // 8
+    nwords = (nbytes + 3) // 4 + 1
+    out = np.zeros(nwords * 4, np.uint8)
+    if n:
+        _lib.pack_wide_bits(_ptr(vals), ctypes.c_int64(n),
+                            ctypes.c_int(w), _ptr(out))
+    return out.view(">u4").astype(np.uint32)
+
+
 def huff_fsm_build(L, R, C, T):
     """(state, byte) -> (next_state, emitted symbols) tables, OpenMP
     over states.  Same contract as huffman._fsm_tables."""

@@ -3445,6 +3445,33 @@ void pack_w_bits(const uint8_t *vals, int64_t n, int w, uint8_t *out) {
     if (accbits) out[ob++] = (uint8_t)(acc << (8 - accbits));
 }
 
+/* MSB-first fixed-width (w <= 24) bit pack of int32 symbol values.
+ * Feeds the TPU decode path: the packed stream uploads ~w/16 of the
+ * raw uint16 types and unpacks on device with two word gathers per
+ * symbol (sz_tpu/tpu/engine._delattice_packed_fn).  OpenMP chunks are
+ * 8-symbol aligned so every chunk starts on a byte boundary. */
+void pack_wide_bits(const int32_t *vals, int64_t n, int w, uint8_t *out) {
+    const int64_t chunk = 1 << 18; /* multiple of 8 symbols */
+    const int64_t nch = (n + chunk - 1) / chunk;
+    #pragma omp parallel for schedule(static)
+    for (int64_t c = 0; c < nch; c++) {
+        int64_t a = c * chunk;
+        int64_t b = a + chunk < n ? a + chunk : n;
+        uint64_t acc = 0;
+        int accbits = 0;
+        int64_t ob = a * w / 8;
+        for (int64_t i = a; i < b; i++) {
+            acc = (acc << w) | (uint32_t)vals[i];
+            accbits += w;
+            while (accbits >= 8) {
+                out[ob++] = (uint8_t)(acc >> (accbits - 8));
+                accbits -= 8;
+            }
+        }
+        if (accbits) out[ob] = (uint8_t)(acc << (8 - accbits));
+    }
+}
+
 /* ------------------------------------------------------------------ */
 /* Blocked-wavefront classic MDQ kernels (SZ1.4 cell Lorenzo,          */
 /* sz_float.c:353-1478 semantics).  The serial cell recurrence is      */

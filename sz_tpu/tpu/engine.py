@@ -1054,6 +1054,40 @@ def _delattice_fn(shape: tuple, dtype_str: str, k: int,
     return _strict_jit(f, backend)
 
 
+@functools.lru_cache(maxsize=32)
+def _delattice_packed_fn(shape: tuple, dtype_str: str, k: int, w: int,
+                         backend: str = "cpu"):
+    """_delattice_fn over a fixed-width bit-packed type stream.
+
+    The host packs the decoded type codes MSB-first at w bits/symbol
+    (native.pack_wide_bits_u32) so the decode upload is ~w/16 of the
+    raw uint16 stream (w is typically 9: intervals=256); the device
+    unpacks with two u32 word gathers + shifts per symbol — pure VPU
+    work, no scatter."""
+    T = jnp.dtype(dtype_str)
+    n = int(np.prod(shape))
+    ot = jnp.int64 if n * w >= (1 << 31) else jnp.int32
+
+    def f(packed, unpred_pad, pos, iperm):
+        o = jnp.arange(n, dtype=ot) * w
+        w0 = (o >> 5).astype(jnp.int32)
+        s = (o & 31).astype(jnp.uint32)
+        word0 = jnp.take(packed, w0)
+        word1 = jnp.take(packed, w0 + 1)
+        comb = (word0 << s) | jnp.where(
+            s > 0, word1 >> ((jnp.uint32(32) - s) & jnp.uint32(31)),
+            jnp.uint32(0))
+        t_stream = (comb >> jnp.uint32(32 - w)).astype(jnp.int32)
+        t_lat = jnp.take(t_stream, pos.reshape(-1)).reshape(shape)
+        esc_stream = jnp.nonzero(t_stream == 0, size=k, fill_value=n)[0]
+        lat_idx = jnp.take(iperm, esc_stream, mode="fill", fill_value=n)
+        unpred_lat = jnp.zeros((n,), T).at[lat_idx].set(
+            unpred_pad, mode="drop").reshape(shape)
+        return t_lat, unpred_lat
+
+    return _strict_jit(f, backend)
+
+
 def _pad_pow2(n: int) -> int:
     return 1 << max(int(n - 1).bit_length(), 4)
 
@@ -1240,10 +1274,25 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
     k = _pad_pow2(max(n_esc, 1))
     unpred_pad = np.zeros(k, dtype=T)
     unpred_pad[:n_esc] = p.unpred
+    # fixed-width pack of the type codes (native, OpenMP) cuts the
+    # decode upload to ~w/16 of the raw uint16 stream on link-bound
+    # hosts; SZ_TPU_PACKED_TYPES=0 uploads raw u16 instead
+    w = int(max(int(p.types.max(initial=0)), 1)).bit_length()
+    packed_ok = (w < 16 and _os.environ.get("SZ_TPU_PACKED_TYPES", "1")
+                 != "0")
     with _tr.trace("delattice"):
-        t_lat, unpred_lat = _delattice_fn(shape, dstr, k, be)(
-            jax.device_put(p.types.astype(np.uint16)),
-            jax.device_put(unpred_pad), dg["pos"], dg["iperm"])
+        if packed_ok:
+            from sz_tpu import native as _nat
+            packed = _nat.pack_wide_bits_u32(
+                np.asarray(p.types, np.int32), w)
+            t_lat, unpred_lat = _delattice_packed_fn(shape, dstr, k, w,
+                                                     be)(
+                jax.device_put(packed), jax.device_put(unpred_pad),
+                dg["pos"], dg["iperm"])
+        else:
+            t_lat, unpred_lat = _delattice_fn(shape, dstr, k, be)(
+                jax.device_put(p.types.astype(np.uint16)),
+                jax.device_put(unpred_pad), dg["pos"], dg["iperm"])
 
     with _tr.trace("decode_fixpoint"):
         out, iters = _decode_fn(shape, dstr, spec.block_size,

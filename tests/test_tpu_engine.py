@@ -86,3 +86,48 @@ def test_engine_escape_overflow_path():
     b = engine.compress(data, 1e-5, **kw)
     assert a.total_unpred > engine.ESC_K
     assert a.body == b.body
+
+
+def test_engine_packed_types_decode():
+    """The fixed-width packed type upload (_delattice_packed_fn +
+    native.pack_wide_bits_u32) must reconstruct bit-identically to the
+    raw-u16 upload path and the numpy oracle, including wide codes
+    (intervals up to 2^15 -> w=15) and the w>=16 raw fallback."""
+    import os
+    data = _synth64()
+    res = regnd.compress(data, 1e-3, **KW)
+    oracle = regnd.decompress(res.body, data.shape, np.float32)
+    out = engine.decompress(res.body, data.shape, np.float32)
+    np.testing.assert_array_equal(out.view(np.uint32),
+                                  oracle.view(np.uint32))
+    old = os.environ.get("SZ_TPU_PACKED_TYPES")
+    os.environ["SZ_TPU_PACKED_TYPES"] = "0"
+    try:
+        raw = engine.decompress(res.body, data.shape, np.float32)
+    finally:
+        if old is None:
+            os.environ.pop("SZ_TPU_PACKED_TYPES", None)
+        else:
+            os.environ["SZ_TPU_PACKED_TYPES"] = old
+    np.testing.assert_array_equal(out.view(np.uint32),
+                                  raw.view(np.uint32))
+
+
+def test_pack_wide_bits_u32():
+    """Native fixed-width packer vs a pure-python bit stream, across
+    widths and OpenMP chunk boundaries."""
+    from sz_tpu import native
+    rng = np.random.default_rng(9)
+    for w in (1, 5, 9, 12, 15):
+        for n in (0, 1, 7, 8, 4096, (1 << 18) + 13):
+            vals = rng.integers(0, 1 << w, size=n).astype(np.int32)
+            words = native.pack_wide_bits_u32(vals, w)
+            bits = np.zeros(len(words) * 32, np.uint8)
+            for i, v in enumerate(vals[: min(n, 3000)]):
+                for b in range(w):
+                    bits[i * w + b] = (v >> (w - 1 - b)) & 1
+            # check the first min(n,3000) symbols bit-exactly
+            stream = np.unpackbits(
+                words.astype(">u4").view(np.uint8))
+            m = min(n, 3000) * w
+            np.testing.assert_array_equal(stream[:m], bits[:m])
