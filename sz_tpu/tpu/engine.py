@@ -1232,10 +1232,16 @@ def compress(data, real_precision, *, max_range_radius: int,
         # device-side bit pack; download only the packed stream
         nbytes = (total_bits + 7) // 8
         out_pad = _pad_pow2(nbytes + 8)
+        # the pow2 padding keeps the kernel shape-cached, but the D2H
+        # link is the slow direction (~20 MB/s vs ~1 GB/s H2D on the
+        # tunnel): slice to 1 MB granularity on device so the download
+        # carries at most 1 MB of padding instead of up to 2x
+        cut = min(out_pad, ((nbytes + 8 + (1 << 20) - 1) >> 20) << 20)
         with _tr.trace("bitpack_device"):
-            packed = np.asarray(_bitpack_fn(n, out_pad, be)(
+            packed_d = _bitpack_fn(n, out_pad, be)(
                 t_stream_d, jax.device_put(tables.code_hi),
-                jax.device_put(tables.code_len.astype(np.int32))))
+                jax.device_put(tables.code_len.astype(np.int32)))
+            packed = np.asarray(packed_d[:cut])
         encoded = packed[:nbytes].tobytes()
         result_type = np.zeros(0, np.uint16)  # not needed downstream
     else:
