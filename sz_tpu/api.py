@@ -225,10 +225,21 @@ def _fp_stream_params(data: np.ndarray, cfg: SZConfig, dt: DataType):
         # computeRangeSize (dataCompression.c:102/148): order-independent
         fmin = T(flat.min())
         value_range = T(T(flat.max()) - fmin)
-    # the reference serializes max as min+range (sz_float.c:2847), which can
-    # differ from the true max by one ulp — replicate the double rounding
-    fmax = T(fmin + value_range)
+    # the reference serializes max as min+range (sz_float.c:2847), which
+    # can differ from the true max by one ulp — _fp_params_from_range
+    # replicates the double rounding
+    out = _fp_params_from_range(cfg, dt, fmin, value_range, n)
+    return (*out[:6], range_info)
 
+
+def _fp_params_from_range(cfg: SZConfig, dt: DataType, fmin, value_range,
+                          n: int):
+    """Bound resolution + header rewrite from an already-computed range
+    (fmin/value_range in the stream dtype).  Shared by the data-scanning
+    path above and the sharded device-input path (parallel/slab.py),
+    whose per-slab ranges come from on-device reductions."""
+    T = np.float32 if dt == DataType.FLOAT else np.float64
+    fmax = T(fmin + value_range)
     rp, eff_mode = _resolve_precision(cfg, float(value_range), n, dt)
     hdr_cfg = cfg
     if cfg.error_bound_mode in (ErrorBoundMode.PSNR, ErrorBoundMode.NORM):
@@ -238,7 +249,7 @@ def _fp_stream_params(data: np.ndarray, cfg: SZConfig, dt: DataType):
             cfg, error_bound_mode=ErrorBoundMode.ABS, abs_err_bound=rp)
     elif not cfg.error_bound_mode.is_pw_rel:
         hdr_cfg = dataclasses.replace(cfg, abs_err_bound=rp)
-    return fmin, fmax, value_range, rp, eff_mode, hdr_cfg, range_info
+    return fmin, fmax, value_range, rp, eff_mode, hdr_cfg, None
 
 
 def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
@@ -453,6 +464,15 @@ def decompress(blob: bytes, shape, dtype=np.float32,
         inner = ll.decompress(blob, expected_size=n * esize + 4 + mlen + 8)
     else:
         inner = blob
+    # every stream self-describes its element type in the params block
+    # (same nibble get_metadata reads); a float/double mismatch would
+    # misparse the whole body 8 bytes off — fail loudly instead (the
+    # reference CLI derives the type from its -f/-d flag and misparses)
+    sdt = DataType(inner[4 + 5] & 0x0F)
+    if sdt in (DataType.FLOAT, DataType.DOUBLE) and sdt != dt:
+        raise TypeError(
+            f"stream holds {sdt.name} data but dtype="
+            f"{np.dtype(dtype).name} was requested")
     hdr = md.parse_header(inner, dt)
     off = hdr.body_offset
     ds_len = bu.read_size_be(inner, off, hdr.size_type)

@@ -138,6 +138,75 @@ def _encode_stages(n_dev: int, lshape: tuple, dtype_str: str,
             _jit(quant_sh, backend))
 
 
+@functools.lru_cache(maxsize=8)
+def _range_stage(n_dev: int, lshape: tuple, backend: str):
+    """Per-slab (min, max) in one sharded dispatch — the device-input
+    analog of computeRangeSize (dataCompression.c:102; both reductions
+    are order-independent, so any tree order is bit-exact)."""
+    mesh = _mesh(n_dev)
+    dspec = P(AXIS, *([None] * (len(lshape) - 1)))
+
+    def local(d):
+        f = d.reshape(-1)
+        return jnp.min(f)[None], jnp.max(f)[None]
+
+    sh = shard_map(local, mesh=mesh, in_specs=(dspec,),
+                   out_specs=(P(AXIS), P(AXIS)), check_vma=False)
+    return _jit(sh, backend)
+
+
+@functools.lru_cache(maxsize=8)
+def _optgather_stage(n_dev: int, lshape: tuple, dtype_str: str,
+                     sample_distance: int, backend: str):
+    """Per-slab optimizer sampling gathers (device-input path): the
+    walk indices are data-independent lshape constants, so one sharded
+    dispatch returns the compact (mean_vals, cur, pred) sample vectors
+    for every slab; the f64 histogram/selection tail stays on the host
+    (engine._opt_gather_fn rationale)."""
+    mesh = _mesh(n_dev)
+    rank = len(lshape)
+    dspec = P(AXIS, *([None] * (rank - 1)))
+    gather_f = engine._opt_gather_fn(lshape, dtype_str, "raw")
+    if rank == 3:
+        midx = opt._mean_walk_indices_3d(*lshape)
+        sidx = opt._sample_walk_indices_3d(*lshape, sample_distance)
+    else:
+        midx = opt._mean_walk_indices_2d(*lshape)
+        sidx = opt._sample_walk_indices_2d(*lshape, sample_distance)
+    it = np.int32 if int(np.prod(lshape)) < (1 << 31) else np.int64
+    midx = midx.astype(it)
+    sidx = sidx.astype(it)
+
+    def local(d):
+        mv, cur, pred = gather_f(d.reshape(-1), jnp.asarray(midx),
+                                 jnp.asarray(sidx))
+        return mv[None], cur[None], pred[None]
+
+    sh = shard_map(local, mesh=mesh, in_specs=(dspec,),
+                   out_specs=(P(AXIS),) * 3, check_vma=False)
+    return _jit(sh, backend), len(midx), len(sidx)
+
+
+@functools.lru_cache(maxsize=8)
+def _maskvals_stage(n_dev: int, lshape: tuple, dtype_str: str, k: int,
+                    backend: str):
+    """Per-slab dense-value extraction for the mean flush (device-input
+    path): compact masked vectors + exact counts in one dispatch; the
+    sequential mean fold runs on the host per slab."""
+    mesh = _mesh(n_dev)
+    dspec = P(AXIS, *([None] * (len(lshape) - 1)))
+    n_local = int(np.prod(lshape))
+    mask_f = engine._mask_vals_fn(n_local, dtype_str, k, "raw")
+
+    def local(d, dense_pos, rp):
+        c, v = mask_f(d.reshape(-1), dense_pos[0], rp[0])
+        return c[None], v[None]
+
+    sh = shard_map(local, mesh=mesh, in_specs=(dspec, P(AXIS), P(AXIS)),
+                   out_specs=(P(AXIS), P(AXIS)), check_vma=False)
+    return _jit(sh, backend)
+
+
 @functools.lru_cache(maxsize=16)
 def _bitpack_stage(n_dev: int, npts: int, out_bytes: int, backend: str):
     """Per-slab Huffman bit-pack (shared dispatch, per-slab code tables)."""
@@ -191,7 +260,7 @@ def _eligible(cfg: SZConfig, lshape: tuple) -> bool:
             and cfg.error_bound_mode != ErrorBoundMode.PW_REL)
 
 
-def compress_sharded(data: np.ndarray, cfg: SZConfig = DEFAULT_CONFIG,
+def compress_sharded(data, cfg: SZConfig = DEFAULT_CONFIG,
                      n_devices: int = None) -> bytes:
     """Data-parallel compress over a device mesh into an SZRA container.
 
@@ -199,22 +268,31 @@ def compress_sharded(data: np.ndarray, cfg: SZConfig = DEFAULT_CONFIG,
     slabs that the fast path cannot serve (constant fields, PW_REL,
     classic-path configs, non-float dtypes) fall back to the serial
     driver per slab, preserving the parity guarantee by construction.
+
+    `data` may be a device-resident (sharded) jax.Array — the SPMD
+    checkpoint-compression case: each shard is compressed where it
+    lives with NO host round-trip of the lattice (per-slab range scan,
+    optimizer sampling gathers and dense-mean extraction all run as
+    sharded dispatches; only compact vectors and the streams cross the
+    link).
     """
-    data = np.asarray(data)
+    is_dev = api._is_jax_array(data)
+    if not is_dev:
+        data = np.asarray(data)
     if n_devices is None:
         n_devices = len(jax.devices())
-    dt = _DTYPE_MAP.get(data.dtype)
-    shape = data.shape
+    dt = _DTYPE_MAP.get(np.dtype(data.dtype))
+    shape = tuple(int(r) for r in data.shape)
     eligible = (dt is not None and data.ndim >= 2
                 and shape[0] % n_devices == 0
                 and all(int(d) > 1 for d in shape)  # filterDimension
                 and _eligible(cfg, slab_shapes(shape, n_devices)))
     if not eligible:
         # serial per-slab fallback (still the MPI-chunk pattern)
-        return ra.compress(data, cfg, n_slabs=min(n_devices, shape[0]))
+        return ra.compress(np.asarray(data), cfg,
+                           n_slabs=min(n_devices, shape[0]))
 
     T = np.float32 if dt == DataType.FLOAT else np.float64
-    data = np.ascontiguousarray(data, dtype=T)
     lshape0 = slab_shapes(shape, n_devices)
     # 4D regression folds to 3D per slab (sz_float.c:3010)
     lshape = lshape0
@@ -229,14 +307,28 @@ def compress_sharded(data: np.ndarray, cfg: SZConfig = DEFAULT_CONFIG,
     nblocks = int(np.prod([db.num for db in dbs]))
     n_local = int(np.prod(lshape))
     starts = ra._slab_bounds(shape[0], n_devices)
+    mesh = _mesh(n_devices)
+    dsh = NamedSharding(mesh, P(AXIS, *([None] * (len(shape) - 1))))
 
-    # --- host pre-pass: per-slab range / bound / header params -----------
-    slabs = [data[int(starts[i]):int(starts[i + 1])]
-             for i in range(n_devices)]
-    params = [api._fp_stream_params(s, cfg, dt) for s in slabs]
+    # --- pre-pass: per-slab range / bound / header params -----------------
+    if is_dev:
+        dev = jax.device_put(jnp.asarray(data, T), dsh)
+        slabs = None
+        mins, maxs = _range_stage(n_devices, lshape0, backend)(dev)
+        mins, maxs = np.asarray(mins), np.asarray(maxs)
+        ne = int(np.prod(lshape0))
+        params = [api._fp_params_from_range(
+            cfg, dt, T(mins[i]), T(T(maxs[i]) - T(mins[i])), ne)
+            for i in range(n_devices)]
+    else:
+        data = np.ascontiguousarray(data, dtype=T)
+        dev = None
+        slabs = [data[int(starts[i]):int(starts[i + 1])]
+                 for i in range(n_devices)]
+        params = [api._fp_stream_params(s, cfg, dt) for s in slabs]
     # constant slabs (value_range <= rp) can't use the fast path
     if any(p[2] <= p[3] for p in params):
-        return ra.compress(data, cfg, n_slabs=n_devices)
+        return ra.compress(np.asarray(data), cfg, n_slabs=n_devices)
 
     rp_arr = np.array([T(p[3]) for p in params], dtype=T)
     recip_arr = np.array([T(T(1) / T(p[3])) for p in params], dtype=T)
@@ -246,9 +338,8 @@ def compress_sharded(data: np.ndarray, cfg: SZConfig = DEFAULT_CONFIG,
 
     sums_st, select_st, quant_st = _encode_stages(
         n_devices, lshape, dstr, bs, backend)
-    mesh = _mesh(n_devices)
-    dsh = NamedSharding(mesh, P(AXIS, *([None] * (len(shape) - 1))))
-    dev = jax.device_put(data, dsh)
+    if dev is None:
+        dev = jax.device_put(data, dsh)
 
     # --- stage 1: coefficient sums (device) + finalize (host) ------------
     sums = np.asarray(sums_st(dev))  # (n_dev, nblocks, ncoeff)
@@ -256,17 +347,59 @@ def compress_sharded(data: np.ndarray, cfg: SZConfig = DEFAULT_CONFIG,
         engine._finalize_coeffs(sums[i], lshape, bs, T)
         for i in range(n_devices)])
 
-    # --- per-slab interval optimizer / mean (host, sampled) --------------
+    # --- per-slab interval optimizer / mean ------------------------------
+    # (host-sampled for numpy input; sharded device gathers + host f64
+    # selection tail for device input — engine._device_optimizer split)
     intervals = np.zeros(n_devices, np.int32)
     use_mean = np.zeros(n_devices, bool)
     mean_arr = np.zeros(n_devices, T)
-    for i in range(n_devices):
-        # the optimizer receives the unrounded double bound, the mean
-        # mask the T-rounded one — exactly as regnd.compress does
-        rp_d = float(params[i][3])
-        rp = T(rp_d)
-        sflat = slabs[i].reshape(-1)
-        if cfg.quantization_intervals == 0:
+    if cfg.quantization_intervals != 0:
+        intervals[:] = cfg.quantization_intervals
+    elif is_dev:
+        gst, n_mean, n_samp = _optgather_stage(
+            n_devices, lshape, dstr, cfg.sample_distance, backend)
+        mv_a, cur_a, pred_a = gst(dev)
+        mv_a, cur_a, pred_a = (np.asarray(mv_a), np.asarray(cur_a),
+                               np.asarray(pred_a))
+        dense_arr = np.zeros(n_devices, T)
+        for i in range(n_devices):
+            rp_d = float(params[i][3])
+            mean0 = opt.seq_sum(mv_a[i], T)
+            if n_mean > 0:
+                mean0 = T(mean0 / T(n_mean))
+            itv, dense_pos, max_freq, mean_freq = opt._finish(
+                cur_a[i], pred_a[i], mean0, rp_d, n_samp,
+                cfg.max_range_radius, np.float32(cfg.pred_threshold), T)
+            um = bool(mean_freq > 0.5) or bool(mean_freq > max_freq)
+            if rank == 2:
+                um = False  # forced (sz_float.c:5615)
+            use_mean[i] = um
+            intervals[i] = itv
+            dense_arr[i] = dense_pos
+        if use_mean.any():
+            k = 1 << 16
+            while True:
+                counts, vals = _maskvals_stage(
+                    n_devices, lshape0, dstr, k, backend)(
+                    dev, jnp.asarray(dense_arr), jnp.asarray(rp_arr))
+                counts = np.asarray(counts)
+                cmax = int(max(counts[i] for i in range(n_devices)
+                               if use_mean[i]))
+                if cmax <= k:
+                    break
+                k = engine._pad_pow2(cmax)
+            vals = np.asarray(vals)
+            for i in range(n_devices):
+                if use_mean[i] and counts[i] > 0:
+                    s = opt.seq_sum(vals[i][:counts[i]], T)
+                    mean_arr[i] = T(s / T(int(counts[i])))
+    else:
+        for i in range(n_devices):
+            # the optimizer receives the unrounded double bound, the mean
+            # mask the T-rounded one — exactly as regnd.compress does
+            rp_d = float(params[i][3])
+            rp = T(rp_d)
+            sflat = slabs[i].reshape(-1)
             if rank == 3:
                 itv, dense_pos, max_freq, mean_freq = \
                     opt.optimize_intervals_3d_freq_dense(
@@ -291,8 +424,6 @@ def compress_sharded(data: np.ndarray, cfg: SZConfig = DEFAULT_CONFIG,
                     mean_arr[i] = T(s / T(len(vals)))
             use_mean[i] = um
             intervals[i] = itv
-        else:
-            intervals[i] = cfg.quantization_intervals
 
     # --- stage 2: predictor selection (device) ---------------------------
     use_reg = np.asarray(select_st(dev, jnp.asarray(coeffs), noise_arr,
@@ -355,7 +486,12 @@ def compress_sharded(data: np.ndarray, cfg: SZConfig = DEFAULT_CONFIG,
             types_i = np.asarray(t_stream_d[i])
             _pos, iperm = engine._host_stream_maps(lshape, bs)
             lat = iperm[np.flatnonzero(types_i == 0)]
-            unpred_arr = slabs[i].reshape(-1)[lat]
+            if slabs is None:  # device input: materialize this slab only
+                snp = np.asarray(
+                    dev[int(starts[i]):int(starts[i + 1])]).reshape(-1)
+            else:
+                snp = slabs[i].reshape(-1)
+            unpred_arr = snp[lat]
         if host_encode[i]:  # pragma: no cover - pathological trees
             result_type = np.asarray(t_stream_d[i])
             encoded = None
@@ -368,8 +504,13 @@ def compress_sharded(data: np.ndarray, cfg: SZConfig = DEFAULT_CONFIG,
             T(mean_arr[i]), use_reg[i], ctypes, cunpred, cprec,
             result_type, unpred_arr, cfg.size_type, freq=freqs[i],
             tables=tables[i], encoded=encoded)
+        # flat is consulted only by the (rare) StoreOriData fallback;
+        # for device input pass the lazy device slice — _store_ori
+        # materializes it only when the fallback actually triggers
+        flat_i = (dev[int(starts[i]):int(starts[i + 1])].reshape(-1)
+                  if slabs is None else slabs[i].reshape(-1))
         payloads.append(api._frame_regression_stream(
-            cfg, hdr_cfg, dt, fmin, fmax, slabs[i].reshape(-1),
+            cfg, hdr_cfg, dt, fmin, fmax, flat_i,
             int(np.prod(lshape0)), res))
 
     return ra.build_container(shape, data.dtype, starts, payloads)

@@ -142,3 +142,18 @@ def test_true_5d_rejected():
     with pytest.raises(ValueError):
         sz_tpu.compress(data, SZConfig().with_bound(
             ErrorBoundMode.ABS, 1e-5))
+
+
+def test_decompress_dtype_mismatch_raises():
+    """A float stream decoded as double (or vice versa) misparses the
+    whole body 8 bytes off; decompress must sniff the stream's own type
+    nibble and fail loudly instead."""
+    import pytest
+    data = np.linspace(0, 1, 4096, dtype=np.float32).reshape(16, 16, 16)
+    cfg = SZConfig().with_bound(ErrorBoundMode.ABS, 1e-3)
+    blob = sz_tpu.compress(data, cfg)
+    with pytest.raises(TypeError, match="FLOAT"):
+        sz_tpu.decompress(blob, data.shape, np.float64)
+    blob64 = sz_tpu.compress(data.astype(np.float64), cfg)
+    with pytest.raises(TypeError, match="DOUBLE"):
+        sz_tpu.decompress(blob64, data.shape, np.float32)
