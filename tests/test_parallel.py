@@ -148,3 +148,28 @@ def test_sharded_device_input_fallback():
     cfg = SZConfig().with_bound(ErrorBoundMode.ABS, 1e-3)
     assert (slab.compress_sharded(jnp.asarray(data), cfg, n_devices=8)
             == slab.compress_sharded(data, cfg, n_devices=8))
+
+
+def test_sharded_roundtrip_stays_on_mesh():
+    """Restore path: decompress_sharded(as_jax=True) of a container made
+    from a sharded device array returns a device array still sharded
+    over the mesh, bit-identical to the numpy decode."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # large/smooth enough that every slab stays on the regression path
+    # (tiny noisy slabs legitimately StoreOriData -> serial fallback)
+    data = synth((64, 32, 32))
+    cfg = SZConfig().with_bound(ErrorBoundMode.ABS, 1e-2)
+    mesh = slab._mesh(8)
+    sharded = jax.device_put(
+        jnp.asarray(data), NamedSharding(mesh, P(slab.AXIS, None, None)))
+    blob = slab.compress_sharded(sharded, cfg, n_devices=8)
+    out_dev = slab.decompress_sharded(blob, n_devices=8, as_jax=True)
+    assert isinstance(out_dev, jax.Array)
+    assert len(out_dev.sharding.device_set) == 8
+    out_np = slab.decompress_sharded(blob, n_devices=8)
+    np.testing.assert_array_equal(np.asarray(out_dev).view(np.uint32),
+                                  out_np.view(np.uint32))
+    assert np.abs(out_np - data).max() <= 1e-2 * (1 + 1e-6)
