@@ -135,6 +135,12 @@ def _try_compress_device(data, cfg: SZConfig):
             or cfg.engine == "numpy"):
         return None
     if cfg.engine == "auto":
+        import jax
+        if jax.default_backend() == "cpu":
+            # a "device" array on a CPU-only host is a host buffer: the
+            # native host codec beats fusion-disabled XLA:CPU, so let
+            # the caller materialize (free) and take the numpy path
+            return None
         cfg = dataclasses.replace(cfg, engine="jax")
     return _compress_fp(data.reshape(dims), cfg, dt)
 

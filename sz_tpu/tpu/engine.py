@@ -594,7 +594,16 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
             mean_mask = None
 
         mode = _pallas_mode()
+        # the kernel keeps ~9 plane buffers (+ pipeline double-buffers)
+        # in VMEM; past ~16 MB of scoped VMEM Mosaic refuses to compile
+        # (measured: 500x500 planes ask 26.3M).  Larger planes take the
+        # XLA plane-scan below, which streams planes through HBM.
+        pad_plane = (-(-shape[1] // 8) * 8) * (-(-shape[2] // 128) * 128) \
+            if rank == 3 else 0
+        plane_cap = int(_os.environ.get("SZ_TPU_PALLAS_MAX_PLANE",
+                                        1 << 17))
         use_pallas = (rank == 3 and T == jnp.float32
+                      and pad_plane <= plane_cap
                       and (mode == "force"
                            or (mode == "auto"
                                and backend not in ("cpu", "raw"))))

@@ -84,8 +84,10 @@ def test_api_device_input_stream(mode, bound):
 
 
 def test_api_device_input_auto_engine():
-    """engine='auto' + device input must stay on device (forced jax),
-    still byte-identical to the host auto path's stream."""
+    """engine='auto' + device input: on an accelerator it stays on
+    device (forced jax); on a CPU-only backend it materializes into the
+    faster native host path.  Either way the stream is byte-identical
+    to the explicit jax-engine host-input call."""
     data = _synth_mean()
     cfg = SZConfig().with_bound(ErrorBoundMode.ABS, 1e-3)
     blob_host = sz_tpu.compress(data, SZConfig(engine="jax").with_bound(

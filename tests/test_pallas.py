@@ -62,3 +62,23 @@ def test_pallas_quantize_bit_exact(case):
     assert got.reg_count == ref.reg_count
     assert got.total_unpred == ref.total_unpred
     assert got.body == ref.body
+
+
+def test_large_plane_falls_back_to_xla():
+    """Planes whose padded size exceeds the scoped-VMEM budget must NOT
+    take the Pallas kernel (Mosaic refuses ~>16 MB of plane buffers —
+    seen on Hurricane-like 500x500 planes on v5e); the XLA plane-scan
+    fallback keeps byte parity."""
+    import numpy as np
+    from sz_tpu.core import regnd
+
+    rng = np.random.default_rng(8)
+    data = (np.sin(np.linspace(0, 20, 4 * 200 * 800, dtype=np.float32))
+            + 0.05 * rng.standard_normal(4 * 200 * 800)
+            ).astype(np.float32).reshape(4, 200, 800)
+    # padded plane = 200x896 = 179200 > the 2^17 default cap
+    kw = dict(max_range_radius=32768, sample_distance=100,
+              pred_threshold=np.float32(0.99))
+    a = regnd.compress(data, 1e-3, **kw)
+    b = _compress_with_mode("force", data, 1e-3)  # cap overrides force
+    assert a.body == b.body
