@@ -141,6 +141,12 @@ def _try_compress_device(data, cfg: SZConfig):
             # native host codec beats fusion-disabled XLA:CPU, so let
             # the caller materialize (free) and take the numpy path
             return None
+        if dt == DataType.DOUBLE:
+            # same auto policy as _regnd_engine: float64 never
+            # auto-routes to a real TPU — the double-double emulation
+            # loses reference bit-parity (streams stay bound-safe but
+            # diverge from the host/reference bytes)
+            return None
         cfg = dataclasses.replace(cfg, engine="jax")
     return _compress_fp(data.reshape(dims), cfg, dt)
 

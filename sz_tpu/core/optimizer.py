@@ -228,6 +228,25 @@ def optimize_intervals_2d_freq_dense(flat, r1, r2, real_precision,
                    pred_threshold, T)
 
 
+def decide_use_mean(mean_freq, max_freq, rank: int) -> bool:
+    """The mean-flush decision (sz_float.c:6496-6502) with the 2D force
+    (sz_float.c:5615) — single-sourced: the serial engine, the
+    device-input path and the sharded pipeline must all agree or byte
+    parity between them silently breaks."""
+    if rank == 2:
+        return False
+    return bool(mean_freq > 0.5) or bool(mean_freq > max_freq)
+
+
+def fold_mean(vals: np.ndarray, T=np.float32):
+    """mean = seq_sum(vals)/len in T (sz_float.c:6811-6817); T(0) when
+    the dense cluster is empty."""
+    if len(vals):
+        s = seq_sum(vals, T)
+        return T(s / T(len(vals)))
+    return T(0)
+
+
 def seq_sum(vals: np.ndarray, T=np.float32):
     """Strictly sequential accumulation in dtype T (C `T acc += ...`).
 

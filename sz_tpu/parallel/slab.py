@@ -167,12 +167,7 @@ def _optgather_stage(n_dev: int, lshape: tuple, dtype_str: str,
     rank = len(lshape)
     dspec = P(AXIS, *([None] * (rank - 1)))
     gather_f = engine._opt_gather_fn(lshape, dtype_str, "raw")
-    if rank == 3:
-        midx = opt._mean_walk_indices_3d(*lshape)
-        sidx = opt._sample_walk_indices_3d(*lshape, sample_distance)
-    else:
-        midx = opt._mean_walk_indices_2d(*lshape)
-        sidx = opt._sample_walk_indices_2d(*lshape, sample_distance)
+    midx, sidx = engine._opt_walks(lshape, rank, sample_distance)
     it = np.int32 if int(np.prod(lshape)) < (1 << 31) else np.int64
     midx = midx.astype(it)
     sidx = sidx.astype(it)
@@ -363,17 +358,12 @@ def compress_sharded(data, cfg: SZConfig = DEFAULT_CONFIG,
                                np.asarray(pred_a))
         dense_arr = np.zeros(n_devices, T)
         for i in range(n_devices):
-            rp_d = float(params[i][3])
-            mean0 = opt.seq_sum(mv_a[i], T)
-            if n_mean > 0:
-                mean0 = T(mean0 / T(n_mean))
-            itv, dense_pos, max_freq, mean_freq = opt._finish(
-                cur_a[i], pred_a[i], mean0, rp_d, n_samp,
-                cfg.max_range_radius, np.float32(cfg.pred_threshold), T)
-            um = bool(mean_freq > 0.5) or bool(mean_freq > max_freq)
-            if rank == 2:
-                um = False  # forced (sz_float.c:5615)
-            use_mean[i] = um
+            itv, dense_pos, max_freq, mean_freq = \
+                engine._optimizer_host_tail(
+                    mv_a[i], cur_a[i], pred_a[i], n_mean, n_samp,
+                    float(params[i][3]), cfg.max_range_radius,
+                    np.float32(cfg.pred_threshold), T)
+            use_mean[i] = opt.decide_use_mean(mean_freq, max_freq, rank)
             intervals[i] = itv
             dense_arr[i] = dense_pos
         if use_mean.any():
@@ -390,9 +380,8 @@ def compress_sharded(data, cfg: SZConfig = DEFAULT_CONFIG,
                 k = engine._pad_pow2(cmax)
             vals = np.asarray(vals)
             for i in range(n_devices):
-                if use_mean[i] and counts[i] > 0:
-                    s = opt.seq_sum(vals[i][:counts[i]], T)
-                    mean_arr[i] = T(s / T(int(counts[i])))
+                if use_mean[i]:
+                    mean_arr[i] = opt.fold_mean(vals[i][:counts[i]], T)
     else:
         for i in range(n_devices):
             # the optimizer receives the unrounded double bound, the mean
@@ -412,16 +401,12 @@ def compress_sharded(data, cfg: SZConfig = DEFAULT_CONFIG,
                         sflat, *lshape, rp_d, cfg.max_range_radius,
                         cfg.sample_distance,
                         np.float32(cfg.pred_threshold), T=T)
-            um = bool(mean_freq > 0.5) or bool(mean_freq > max_freq)
-            if rank == 2:
-                um = False  # forced (sz_float.c:5615)
+            um = opt.decide_use_mean(mean_freq, max_freq, rank)
             if um:
                 mask = np.abs(slabs[i].reshape(lshape) - dense_pos) < rp
-                vals = slabs[i].reshape(lshape).reshape(-1)[
-                    np.flatnonzero(mask.reshape(-1))]
-                if len(vals):
-                    s = opt.seq_sum(vals, T)
-                    mean_arr[i] = T(s / T(len(vals)))
+                mean_arr[i] = opt.fold_mean(
+                    slabs[i].reshape(-1)[np.flatnonzero(mask.reshape(-1))],
+                    T)
             use_mean[i] = um
             intervals[i] = itv
 
@@ -470,9 +455,13 @@ def compress_sharded(data, cfg: SZConfig = DEFAULT_CONFIG,
         code_hi[i, :len(tb.code_hi)] = tb.code_hi
         code_len[i, :len(tb.code_len)] = tb.code_len
     out_bytes = engine._pad_pow2(max(nbytes) + 8)
-    packed = np.asarray(_bitpack_stage(n_devices, n_local, out_bytes,
-                                       backend)(
-        t_stream_d, jnp.asarray(code_hi), jnp.asarray(code_len)))
+    # same 1 MB-granularity download cut as engine.compress: the pow2
+    # padding keeps the kernel shape-cached but would up-to-double the
+    # per-slab D2H transfer on link-bound hosts
+    cut = min(out_bytes, ((max(nbytes) + 8 + (1 << 20) - 1) >> 20) << 20)
+    packed_d = _bitpack_stage(n_devices, n_local, out_bytes, backend)(
+        t_stream_d, jnp.asarray(code_hi), jnp.asarray(code_len))
+    packed = np.asarray(packed_d[:, :cut])
 
     # --- host: per-slab assembly + container ------------------------------
     payloads = []

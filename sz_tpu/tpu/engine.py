@@ -595,13 +595,21 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
 
         mode = _pallas_mode()
         # the kernel keeps ~9 plane buffers (+ pipeline double-buffers)
-        # in VMEM; past ~16 MB of scoped VMEM Mosaic refuses to compile
-        # (measured: 500x500 planes ask 26.3M).  Larger planes take the
-        # XLA plane-scan below, which streams planes through HBM.
-        pad_plane = (-(-shape[1] // 8) * 8) * (-(-shape[2] // 128) * 128) \
-            if rank == 3 else 0
-        plane_cap = int(_os.environ.get("SZ_TPU_PALLAS_MAX_PLANE",
-                                        1 << 17))
+        # in VMEM; past ~16 MB of scoped VMEM Mosaic refuses to compile.
+        # Measured on v5e: tile-aligned 512x512 planes (2^18 pts)
+        # compile and run; UNALIGNED 500x500 (fewer points!) asks 26.3M
+        # and fails — masking the ragged edges costs extra buffers.  So
+        # the cap is alignment-aware; larger planes take the XLA
+        # plane-scan below, which streams planes through HBM.
+        if rank == 3:
+            pad_plane = ((-(-shape[1] // 8) * 8)
+                         * (-(-shape[2] // 128) * 128))
+            aligned = shape[1] % 8 == 0 and shape[2] % 128 == 0
+        else:
+            pad_plane, aligned = 0, True
+        plane_cap = int(_os.environ.get(
+            "SZ_TPU_PALLAS_MAX_PLANE",
+            (1 << 18) if aligned else (1 << 17)))
         use_pallas = (rank == 3 and T == jnp.float32
                       and pad_plane <= plane_cap
                       and (mode == "force"
@@ -1001,28 +1009,41 @@ def _mask_vals_fn(n: int, dtype_str: str, k: int, backend: str = "cpu"):
     return _strict_jit(f, backend)
 
 
+def _opt_walks(shape: tuple, rank: int, sample_distance: int):
+    """Host-cached data-independent walk indices for the optimizer."""
+    if rank == 3:
+        return (opt._mean_walk_indices_3d(*shape),
+                opt._sample_walk_indices_3d(*shape, sample_distance))
+    return (opt._mean_walk_indices_2d(*shape),
+            opt._sample_walk_indices_2d(*shape, sample_distance))
+
+
+def _optimizer_host_tail(mv, cur, pred, n_mean, n_samp, real_precision,
+                         max_range_radius, pred_threshold, T):
+    """f64 histogram/selection tail over downloaded sample vectors —
+    the single implementation shared by the serial device-input path
+    and the sharded one (parallel/slab.py), so the parity-critical
+    logic lives in one place."""
+    mean0 = opt.seq_sum(mv, T)
+    if n_mean > 0:
+        mean0 = T(mean0 / T(n_mean))
+    return opt._finish(cur, pred, mean0, float(real_precision), n_samp,
+                       max_range_radius, pred_threshold, T)
+
+
 def _device_optimizer(dev, shape, rank, real_precision, max_range_radius,
                       sample_distance, pred_threshold, T, dstr, be):
     """Interval optimizer for device-resident input: walk indices are
     data-independent (host-cached), gathers run on device, and the f64
     histogram/selection tail is the shared host implementation."""
-    if rank == 3:
-        midx = opt._mean_walk_indices_3d(*shape)
-        sidx = opt._sample_walk_indices_3d(*shape, sample_distance)
-    else:
-        midx = opt._mean_walk_indices_2d(*shape)
-        sidx = opt._sample_walk_indices_2d(*shape, sample_distance)
+    midx, sidx = _opt_walks(shape, rank, sample_distance)
     it = np.int32 if int(np.prod(shape)) < (1 << 31) else np.int64
     mv, cur, pred = _opt_gather_fn(shape, dstr, be)(
         dev.reshape(-1), jax.device_put(midx.astype(it)),
         jax.device_put(sidx.astype(it)))
-    mv = np.asarray(mv)
-    mean0 = opt.seq_sum(mv, T)
-    if len(midx) > 0:
-        mean0 = T(mean0 / T(len(midx)))
-    return opt._finish(np.asarray(cur), np.asarray(pred), mean0,
-                       float(real_precision), len(sidx),
-                       max_range_radius, pred_threshold, T)
+    return _optimizer_host_tail(
+        np.asarray(mv), np.asarray(cur), np.asarray(pred), len(midx),
+        len(sidx), real_precision, max_range_radius, pred_threshold, T)
 
 
 def _device_dense_mean(dev, n, dense_pos, rp, T, dstr, be):
@@ -1036,11 +1057,7 @@ def _device_dense_mean(dev, n, dense_pos, rp, T, dstr, be):
         k = _pad_pow2(count)
         _, vals_pad = _mask_vals_fn(n, dstr, k, be)(
             dev.reshape(-1), T(dense_pos), rp)
-    vals = np.asarray(vals_pad)[:count]
-    if len(vals):
-        s = opt.seq_sum(vals, T)
-        return T(s / T(len(vals)))
-    return T(0)
+    return opt.fold_mean(np.asarray(vals_pad)[:count], T)
 
 
 @functools.lru_cache(maxsize=32)
@@ -1169,12 +1186,10 @@ def compress(data, real_precision, *, max_range_radius: int,
                 opt.optimize_intervals_2d_freq_dense(
                     flat, *shape, float(real_precision), max_range_radius,
                     sample_distance, pred_threshold, T=T)
-        use_mean = bool(mean_freq > 0.5) or bool(mean_freq > max_freq)
+        use_mean = opt.decide_use_mean(mean_freq, max_freq, rank)
         _t_opt.__exit__(None, None, None)
     else:
         intervals = fixed_intervals
-    if rank == 2:
-        use_mean = False  # forced (sz_float.c:5615)
 
     if use_mean:
         if is_dev:
@@ -1182,10 +1197,8 @@ def compress(data, real_precision, *, max_range_radius: int,
                                       rp, T, dstr, be)
         else:
             mask = np.abs(data - dense_pos) < rp
-            vals = flat[np.flatnonzero(mask.reshape(-1))]
-            if len(vals):
-                s = opt.seq_sum(vals, T)
-                mean = T(s / T(len(vals)))
+            mean = opt.fold_mean(flat[np.flatnonzero(mask.reshape(-1))],
+                                 T)
 
     noise = T(np.float64(rp) * spec.noise_factor)
     with _tr.trace("select"):

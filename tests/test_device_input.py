@@ -134,3 +134,23 @@ def test_api_device_input_fallbacks():
     di = (data * 100).astype(np.int32)
     assert sz_tpu.compress(jnp.asarray(di), cfg) == \
         sz_tpu.compress(di, cfg)
+
+
+def test_device_input_f64_auto_materializes(monkeypatch):
+    """engine='auto' + float64 device input on a real accelerator must
+    NOT take the device path: TPU f64 emulation loses reference
+    bit-parity (same policy as api._regnd_engine).  The fast path
+    declines (returns None) so the caller materializes to the host."""
+    import jax
+    from sz_tpu import api as api_mod
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cfg = SZConfig().with_bound(ErrorBoundMode.ABS, 1e-6)
+    d64 = jnp.asarray(_ref3d().astype(np.float64))
+    assert api_mod._try_compress_device(d64, cfg) is None
+    # explicit engine="jax" still honors the request for f64
+    cfg_explicit = SZConfig(engine="jax").with_bound(
+        ErrorBoundMode.ABS, 1e-6)
+    monkeypatch.undo()  # back to the real (cpu) backend for execution
+    blob = api_mod._try_compress_device(d64, cfg_explicit)
+    assert blob is not None

@@ -122,12 +122,20 @@ def test_pack_wide_bits_u32():
         for n in (0, 1, 7, 8, 4096, (1 << 18) + 13):
             vals = rng.integers(0, 1 << w, size=n).astype(np.int32)
             words = native.pack_wide_bits_u32(vals, w)
-            bits = np.zeros(len(words) * 32, np.uint8)
-            for i, v in enumerate(vals[: min(n, 3000)]):
-                for b in range(w):
-                    bits[i * w + b] = (v >> (w - 1 - b)) & 1
-            # check the first min(n,3000) symbols bit-exactly
             stream = np.unpackbits(
                 words.astype(">u4").view(np.uint8))
-            m = min(n, 3000) * w
-            np.testing.assert_array_equal(stream[:m], bits[:m])
+
+            def check(lo, hi):
+                lo, hi = max(lo, 0), min(hi, n)
+                if lo >= hi:
+                    return
+                ref = np.zeros((hi - lo) * w, np.uint8)
+                for i, v in enumerate(vals[lo:hi]):
+                    for b in range(w):
+                        ref[i * w + b] = (v >> (w - 1 - b)) & 1
+                np.testing.assert_array_equal(
+                    stream[lo * w:hi * w], ref)
+
+            check(0, 3000)               # head
+            check((1 << 18) - 64, (1 << 18) + 64)  # OpenMP chunk seam
+            check(n - 64, n)             # tail byte

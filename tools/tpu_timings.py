@@ -94,6 +94,11 @@ def main():
 
     if args.device_input:
         import jax
+        # pin the kernel choice (the modes loop above leaves whatever
+        # mode ran last) and record it in the output
+        di_mode = args.modes.split(",")[-1]
+        os.environ["SZ_TPU_PALLAS"] = di_mode
+        engine._quantize_fn.cache_clear()
         dev_data = jax.device_put(data)
         dev_data.block_until_ready()
         for rep in range(args.repeats):
@@ -106,6 +111,7 @@ def main():
                 spans[name] = round(spans.get(name, 0.0) + s, 4)
             ok = (host_body is None) or (out.body == host_body)
             print(json.dumps({"engine": "jax", "mode": "device-input",
+                              "pallas": di_mode,
                               "rep": rep, "t": round(dt, 3),
                               "MBps": round(data.nbytes / 1e6 / dt, 1),
                               "parity": ok, "len": len(out.body),
