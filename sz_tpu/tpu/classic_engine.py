@@ -417,6 +417,22 @@ def compress(data: np.ndarray, real_precision: float, value_range,
         max_quant_intervals=max_range_radius * 2)
 
 
+@functools.lru_cache(maxsize=32)
+def _decode_fn_packed(vshape: tuple, dtype_str: str, dbl: bool, w: int,
+                      backend: str = "cpu"):
+    """_decode_fn over a fixed-width bit-packed type stream (the same
+    ~w/16 decode-upload cut as the regression engine's
+    _delattice_packed_fn)."""
+    base = _decode_fn(vshape, dtype_str, dbl, "raw")
+    n = int(np.prod(vshape))
+
+    def f(packed, unpred_pad, rp_t, rp64, radius):
+        return base(eng.unpack_w_bits(packed, n, w), unpred_pad, rp_t,
+                    rp64, radius)
+
+    return eng._strict_jit(f, backend)
+
+
 def decompress(tdps: TDPS, shape, dtype, as_jax: bool = False):
     """Device analog of classic_nd.decompress_nd — bit-identical output.
     as_jax=True keeps the reconstruction on device."""
@@ -433,16 +449,26 @@ def decompress(tdps: TDPS, shape, dtype, as_jax: bool = False):
     RT = np.float64 if dbl else T
     rp = RT(tdps.real_precision)
 
-    t_np = np.asarray(types, np.uint16)
+    t_np = np.asarray(types, np.int32)
     n_esc = int((t_np == 0).sum())
     k = eng._pad_pow2(max(n_esc, 1))
     unpred_pad = np.zeros(k, dtype=T)
     unpred_pad[:n_esc] = dec.next_batch(n_esc)
 
+    w = int(max(int(t_np.max(initial=0)), 1)).bit_length()
     with _tr.trace("decode_fixpoint"):
-        out, _iters = _decode_fn(_vshape(shape), dstr, dbl, be)(
-            jax.device_put(t_np), jax.device_put(unpred_pad),
-            T(rp), np.float64(rp), jnp.asarray(radius, jnp.int32))
+        if w < 16 and eng.packed_types_enabled():
+            from sz_tpu import native as _nat
+            packed = _nat.pack_wide_bits_u32(t_np, w)
+            out, _iters = _decode_fn_packed(_vshape(shape), dstr, dbl,
+                                            w, be)(
+                jax.device_put(packed), jax.device_put(unpred_pad),
+                T(rp), np.float64(rp), jnp.asarray(radius, jnp.int32))
+        else:
+            out, _iters = _decode_fn(_vshape(shape), dstr, dbl, be)(
+                jax.device_put(t_np.astype(np.uint16)),
+                jax.device_put(unpred_pad),
+                T(rp), np.float64(rp), jnp.asarray(radius, jnp.int32))
     if as_jax:
         return out.reshape(shape)
     with _tr.trace("download"):

@@ -1080,6 +1080,26 @@ def _delattice_fn(shape: tuple, dtype_str: str, k: int,
     return _strict_jit(f, backend)
 
 
+def unpack_w_bits(packed, n: int, w: int):
+    """Traceable device unpack of an MSB-first fixed-width bit stream
+    (native.pack_wide_bits_u32 counterpart): two u32 word gathers +
+    shifts per symbol — pure VPU work, no scatter.  Returns int32."""
+    ot = jnp.int64 if n * w >= (1 << 31) else jnp.int32
+    o = jnp.arange(n, dtype=ot) * w
+    w0 = (o >> 5).astype(jnp.int32)
+    s = (o & 31).astype(jnp.uint32)
+    word0 = jnp.take(packed, w0)
+    word1 = jnp.take(packed, w0 + 1)
+    comb = (word0 << s) | jnp.where(
+        s > 0, word1 >> ((jnp.uint32(32) - s) & jnp.uint32(31)),
+        jnp.uint32(0))
+    return (comb >> jnp.uint32(32 - w)).astype(jnp.int32)
+
+
+def packed_types_enabled() -> bool:
+    return _os.environ.get("SZ_TPU_PACKED_TYPES", "1") != "0"
+
+
 @functools.lru_cache(maxsize=32)
 def _delattice_packed_fn(shape: tuple, dtype_str: str, k: int, w: int,
                          backend: str = "cpu"):
@@ -1087,23 +1107,12 @@ def _delattice_packed_fn(shape: tuple, dtype_str: str, k: int, w: int,
 
     The host packs the decoded type codes MSB-first at w bits/symbol
     (native.pack_wide_bits_u32) so the decode upload is ~w/16 of the
-    raw uint16 stream (w is typically 9: intervals=256); the device
-    unpacks with two u32 word gathers + shifts per symbol — pure VPU
-    work, no scatter."""
+    raw uint16 stream (w is typically 9: intervals=256)."""
     T = jnp.dtype(dtype_str)
     n = int(np.prod(shape))
-    ot = jnp.int64 if n * w >= (1 << 31) else jnp.int32
 
     def f(packed, unpred_pad, pos, iperm):
-        o = jnp.arange(n, dtype=ot) * w
-        w0 = (o >> 5).astype(jnp.int32)
-        s = (o & 31).astype(jnp.uint32)
-        word0 = jnp.take(packed, w0)
-        word1 = jnp.take(packed, w0 + 1)
-        comb = (word0 << s) | jnp.where(
-            s > 0, word1 >> ((jnp.uint32(32) - s) & jnp.uint32(31)),
-            jnp.uint32(0))
-        t_stream = (comb >> jnp.uint32(32 - w)).astype(jnp.int32)
+        t_stream = unpack_w_bits(packed, n, w)
         t_lat = jnp.take(t_stream, pos.reshape(-1)).reshape(shape)
         esc_stream = jnp.nonzero(t_stream == 0, size=k, fill_value=n)[0]
         lat_idx = jnp.take(iperm, esc_stream, mode="fill", fill_value=n)
@@ -1306,8 +1315,7 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
     # decode upload to ~w/16 of the raw uint16 stream on link-bound
     # hosts; SZ_TPU_PACKED_TYPES=0 uploads raw u16 instead
     w = int(max(int(p.types.max(initial=0)), 1)).bit_length()
-    packed_ok = (w < 16 and _os.environ.get("SZ_TPU_PACKED_TYPES", "1")
-                 != "0")
+    packed_ok = w < 16 and packed_types_enabled()
     with _tr.trace("delattice"):
         if packed_ok:
             from sz_tpu import native as _nat

@@ -89,3 +89,29 @@ def test_api_end_to_end_classic_jax():
     dev = api.decompress(bh, d.shape, np.float32, engine="jax",
                          as_jax=True)
     assert np.array_equal(np.asarray(dev), out_h)
+
+
+def test_classic_packed_types_decode():
+    """The fixed-width packed type upload (classic_engine._decode_fn_packed)
+    must reconstruct bit-identically to the raw-u16 path."""
+    import os
+    d = _field((20, 24, 18), np.float32)
+    vr = float(d.max() - d.min())
+    med = np.float32(d.min() + vr / 2)
+    t = classic_nd.compress_nd(d, 1e-3, vr, med, **KW)
+    oracle = classic_nd.decompress_nd(t, d.shape, np.float32)
+    out = classic_nd.decompress_nd(t, d.shape, np.float32, engine="jax")
+    np.testing.assert_array_equal(out.view(np.uint32),
+                                  oracle.view(np.uint32))
+    old = os.environ.get("SZ_TPU_PACKED_TYPES")
+    os.environ["SZ_TPU_PACKED_TYPES"] = "0"
+    try:
+        raw = classic_nd.decompress_nd(t, d.shape, np.float32,
+                                       engine="jax")
+    finally:
+        if old is None:
+            os.environ.pop("SZ_TPU_PACKED_TYPES", None)
+        else:
+            os.environ["SZ_TPU_PACKED_TYPES"] = old
+    np.testing.assert_array_equal(out.view(np.uint32),
+                                  raw.view(np.uint32))
