@@ -23,6 +23,7 @@ the exact arithmetic contract.
 from __future__ import annotations
 
 import dataclasses
+import functools as _functools
 import struct
 
 import numpy as np
@@ -45,17 +46,23 @@ _DT_NP = {DataType.FLOAT: np.float32, DataType.DOUBLE: np.float64}
 # Temporal 1D kernel (sz_float_ts.c:69-208 / sz_double_ts.c)
 # ---------------------------------------------------------------------------
 
-def optimize_intervals_1d_ts(flat, prev, real_precision, max_range_radius,
-                             sample_distance, pred_threshold) -> int:
-    """optimize_intervals_float_1D_ts (sz_float_ts.c:28)."""
+def _ts_sample_idx(n: int, sample_distance: int) -> np.ndarray:
+    """Sampling indices of the ts optimizer walk (sz_float_ts.c:28)."""
+    idx = np.arange(2, n)
+    return idx[idx % sample_distance == 0]
+
+
+def _optimize_1d_ts_tail(cur_s, prev_s, n, real_precision,
+                         max_range_radius, sample_distance,
+                         pred_threshold) -> int:
+    """Histogram/selection tail over the sampled values — shared by the
+    host path and the device-input path (whose samples arrive as
+    compact device gathers)."""
     from sz_tpu.core.optimizer import round_up_to_power_of_2
 
-    n = len(flat)
-    idx = np.arange(2, n)
-    idx = idx[idx % sample_distance == 0]
     rp = float(real_precision)
-    pred_err = np.abs((prev[idx] - flat[idx]).astype(np.float64)) \
-        .astype(flat.dtype)
+    pred_err = np.abs((prev_s - cur_s).astype(np.float64)) \
+        .astype(cur_s.dtype)
     radius_index = ((pred_err.astype(np.float64) / rp + 1.0) / 2.0) \
         .astype(np.int64)
     np.minimum(radius_index, max_range_radius - 1, out=radius_index)
@@ -66,6 +73,15 @@ def optimize_intervals_1d_ts(flat, prev, real_precision, max_range_radius,
     over = np.flatnonzero(csum > target)
     i = int(over[0]) if len(over) else max_range_radius - 1
     return max(round_up_to_power_of_2(2 * (i + 1)), 32)
+
+
+def optimize_intervals_1d_ts(flat, prev, real_precision, max_range_radius,
+                             sample_distance, pred_threshold) -> int:
+    """optimize_intervals_float_1D_ts (sz_float_ts.c:28)."""
+    idx = _ts_sample_idx(len(flat), sample_distance)
+    return _optimize_1d_ts_tail(flat[idx], prev[idx], len(flat),
+                                real_precision, max_range_radius,
+                                sample_distance, pred_threshold)
 
 
 def _ts_step_jax(flat, prev, rp, intervals, radius, req_length, median):
@@ -217,6 +233,156 @@ def compress_1d_ts(data: np.ndarray, prev: np.ndarray,
     return t, recon
 
 
+@_functools.lru_cache(maxsize=32)
+def _ts_device_step_fn(n: int, k: int):
+    """Cached jitted device temporal step + fused epilogue:
+    (flat, prev, scalars) -> (types u16, recon, 65536-bin histogram,
+    padded escape values, padded escape indices).  Same arithmetic as
+    _ts_step_jax with the first two points forced to escapes on device
+    (sz_float_ts.c:101-108 handles them via the exact encoder)."""
+    from sz_tpu.tpu import engine as _eng
+    jax = _eng.jax
+    jnp = _eng.jnp
+
+    @jax.jit
+    def f(cur, prv, rp64, intervals, radius, req_length, median):
+        T = cur.dtype
+        check_radius = (intervals - 1).astype(jnp.float64) * rp64
+        interval2 = 2 * rp64
+        d = cur - prv
+        pae = jnp.abs(d)
+        cand = pae.astype(jnp.float64) <= check_radius
+        state = ((pae.astype(jnp.float64) / rp64 + 1) / 2
+                 ).astype(jnp.int32)
+        up = (prv.astype(jnp.float64) + state * interval2).astype(T)
+        dn = (prv.astype(jnp.float64) - state * interval2).astype(T)
+        ge = cur >= prv
+        t = jnp.where(ge, radius + state, radius - state)
+        rec = jnp.where(ge, up, dn)
+        bad = jnp.abs(cur - rec).astype(jnp.float64) > rp64
+        esc = (~cand) | bad | (jnp.arange(n) < 2)
+        t = jnp.where(esc, 0, t)
+        # escape recon placeholder (overwritten by the host exact-chain
+        # scatter in compress_1d_ts_device — kept here so recon is
+        # well-defined even before the fix-up)
+        ign = jnp.maximum(32 - req_length, 0).astype(jnp.uint32)
+        mask = jnp.uint32(0xFFFFFFFF) << ign
+        norm = cur - median
+        bits = jax.lax.bitcast_convert_type(norm, jnp.uint32) & mask
+        trunc = jax.lax.bitcast_convert_type(bits, jnp.float32) + median
+        rec = jnp.where(esc, trunc, rec)
+        hist = _eng._sorted_histogram(t)
+        # compact escape values + indices (cumsum + index scatter)
+        rankc = jnp.cumsum(esc.astype(jnp.int32)) - 1
+        idx = jnp.where(esc, jnp.minimum(rankc, k), k)
+        sel = jnp.full((k + 1,), n, jnp.int32).at[idx].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")[:k]
+        vals = jnp.take(cur, sel, mode="fill", fill_value=0.0)
+        return t.astype(jnp.uint16), rec, hist, vals, sel
+
+    return f
+
+
+def compress_1d_ts_device(flat_dev, prev_dev, real_precision, value_range,
+                          median, *, max_range_radius: int,
+                          sample_distance: int, pred_threshold,
+                          opt_quant_mode: int = 1,
+                          fixed_intervals: int = 0):
+    """Device-resident temporal step (float32): snapshots produced on
+    the TPU compress against the carried on-device history with no host
+    round-trip of the lattice — only compact vectors (optimizer
+    samples, escape values, histogram) and the entropy-coded stream
+    cross the link.  Returns (TDPS, recon as a device array); streams
+    and recon are byte/bit-identical to compress_1d_ts.
+    """
+    from sz_tpu.tpu import engine as _eng
+    jax = _eng.jax
+    jnp = _eng.jnp
+    T = np.float32
+    dt = DataType.FLOAT
+    flat_dev = jnp.asarray(flat_dev, jnp.float32).reshape(-1)
+    prev_dev = jnp.asarray(prev_dev, jnp.float32).reshape(-1)
+    n = int(flat_dev.size)
+    rp = float(real_precision)
+
+    if opt_quant_mode == 1:
+        sidx = _ts_sample_idx(n, sample_distance).astype(
+            np.int32 if n < (1 << 31) else np.int64)
+        cur_s, prev_s = jax.jit(
+            lambda c, p, i: (jnp.take(c, i), jnp.take(p, i)))(
+            flat_dev, prev_dev, jax.device_put(sidx))
+        intervals = _optimize_1d_ts_tail(
+            np.asarray(cur_s), np.asarray(prev_s), n, rp,
+            max_range_radius, sample_distance, pred_threshold)
+    else:
+        intervals = fixed_intervals
+    radius = intervals // 2
+
+    median = T(median)
+    rad_expo = classic.get_exponent(T(value_range) / T(2), T)
+    req_length, median_zeroed = classic.compute_req_length(rp, rad_expo, T)
+    if median_zeroed:
+        median = T(0)
+    enc = classic.ExactEncoder(req_length, median, T)
+
+    from sz_tpu.tpu.engine import _pad_pow2
+    k = 4096
+    while True:
+        t_d, rec_d, hist_d, vals_d, sel_d = _ts_device_step_fn(n, k)(
+            flat_dev, prev_dev, np.float64(rp),
+            jnp.asarray(intervals, jnp.int32),
+            jnp.asarray(radius, jnp.int32),
+            jnp.asarray(req_length, jnp.int32), T(median))
+        hist = np.asarray(hist_d)
+        n_esc = int(hist[0])
+        if n_esc <= k:
+            break
+        k = _pad_pow2(n_esc)
+    esc_vals = np.asarray(vals_d)[:n_esc]
+
+    # ordered escape byte chain on the host (exact C fold); its recon
+    # values scatter back so the carried history is bit-exact even if
+    # the device truncation ever disagreed
+    recon_esc = enc.add_batch(esc_vals) if n_esc else np.zeros(0, T)
+    pad = np.zeros(k, T)
+    pad[:n_esc] = recon_esc
+    rec_d = jax.jit(
+        lambda r, s, v: r.at[s].set(v, mode="drop"))(
+        rec_d, sel_d, jax.device_put(pad))
+
+    state_num = 2 * intervals
+    freq = np.zeros(2 * state_num, np.int64)
+    m = min(65536, 2 * state_num)
+    freq[:m] = hist[:m]
+    tables = huffman.build_tables(None, state_num, freq=freq)
+    max_len = int(tables.code_len.max()) if tables.code_len.size else 0
+    total_bits = int((freq[:len(tables.code_len)]
+                      * tables.code_len.astype(np.int64)).sum())
+    if 0 < max_len <= 32 and total_bits > 0:
+        nbytes = (total_bits + 7) // 8
+        out_pad = _pad_pow2(nbytes + 8)
+        cut = min(out_pad, ((nbytes + 8 + (1 << 20) - 1) >> 20) << 20)
+        be = _eng.jax.default_backend()
+        packed_d = _eng._bitpack_fn(n, out_pad, be)(
+            t_d, jax.device_put(tables.code_hi),
+            jax.device_put(tables.code_len.astype(np.int32)))
+        body = np.asarray(packed_d[:cut])[:nbytes].tobytes()
+    else:  # pragma: no cover - pathological trees
+        body = huffman.encode(tables, np.asarray(t_d).astype(np.int32))
+    type_array = (bu.u32_be(tables.node_count)
+                  + bu.u32_be(state_num // 2) + tables.tree_bytes + body)
+
+    t = TDPS(
+        data_type=dt, ds_length=n, intervals=intervals,
+        median_value=float(median), req_length=req_length,
+        real_precision=rp, type_array=type_array,
+        lead_num=enc.lead_packed(), exact_mid_bytes=bytes(enc.mid_bytes),
+        residual_mid_bits=enc.resi_packed(),
+        exact_data_num=enc.exact_count(),
+        max_quant_intervals=max_range_radius * 2)
+    return t, rec_d
+
+
 def decompress_1d_ts(tdps: TDPS, prev: np.ndarray, n: int,
                      dtype) -> np.ndarray:
     """decompressDataSeries_float_1D_ts (szd_float_ts.c:19)."""
@@ -275,14 +441,18 @@ class TemporalCompressor:
 
     # -- compression ------------------------------------------------------
 
-    def _step_payload(self, v: Variable, data: np.ndarray,
-                      cmpr_type: CompressionType) -> bytes:
+    def _step_payload(self, v: Variable, data, cmpr_type:
+                      CompressionType) -> bytes:
         cfg = v.cfg
         T = _DT_NP[DataType.FLOAT if v.dtype == np.float32
                    else DataType.DOUBLE]
         dt = DataType.FLOAT if T is np.float32 else DataType.DOUBLE
-        flat = data.reshape(-1).astype(T, copy=False)
-        n = flat.size
+        # device-resident temporal: jax.Array snapshots (f32) compress
+        # against an on-device history with no lattice round-trip
+        is_dev = api._is_jax_array(data) and T is np.float32
+        flat = data.reshape(-1).astype(T, copy=False) \
+            if not is_dev else data.reshape(-1)
+        n = int(flat.size)
         fmin = T(flat.min())
         value_range = T(T(flat.max()) - fmin)
         fmax = T(fmin + value_range)
@@ -294,13 +464,18 @@ class TemporalCompressor:
                   or (cmpr_type == CompressionType.PERIO_TEMPORAL
                       and self.current_step % self.snapshot_step != 0))
         if use_ts and v.hist is not None:
-            t, recon = compress_1d_ts(
-                flat, v.hist, rp, value_range, median,
-                max_range_radius=cfg.max_range_radius,
-                sample_distance=cfg.sample_distance,
-                pred_threshold=np.float32(cfg.pred_threshold),
-                opt_quant_mode=cfg.opt_quant_mode,
-                fixed_intervals=cfg.quantization_intervals)
+            kw = dict(max_range_radius=cfg.max_range_radius,
+                      sample_distance=cfg.sample_distance,
+                      pred_threshold=np.float32(cfg.pred_threshold),
+                      opt_quant_mode=cfg.opt_quant_mode,
+                      fixed_intervals=cfg.quantization_intervals)
+            if is_dev:
+                t, recon = compress_1d_ts_device(
+                    flat, v.hist, rp, value_range, median, **kw)
+            else:
+                t, recon = compress_1d_ts(
+                    flat, np.asarray(v.hist), rp, value_range, median,
+                    **kw)
             v.compress_type = 1
             v.hist = recon
             header = md.make_header(hdr_cfg, dt, fmin, fmax)
@@ -314,8 +489,14 @@ class TemporalCompressor:
             payload = api.compress(data.reshape(v.shape), snap_cfg)
             v.compress_type = 0
             v.last_snapshot_step = self.current_step
-            v.hist = api.decompress(payload, v.shape,
-                                    v.dtype).reshape(-1)
+            if is_dev:
+                # keep the history on device for the next ts step
+                v.hist = api.decompress(payload, v.shape, v.dtype,
+                                        engine="jax",
+                                        as_jax=True).reshape(-1)
+            else:
+                v.hist = api.decompress(payload, v.shape,
+                                        v.dtype).reshape(-1)
         return payload
 
     def compress_step(self, arrays: dict, cmpr_type: CompressionType =
@@ -324,8 +505,10 @@ class TemporalCompressor:
         frames = []
         for vid in self.order:
             v = self.vars[vid]
-            payload = self._step_payload(v, np.asarray(arrays[vid]),
-                                         cmpr_type)
+            data = arrays[vid]
+            if not api._is_jax_array(data):
+                data = np.asarray(data)
+            payload = self._step_payload(v, data, cmpr_type)
             frames.append((v, payload))
         out = bytearray()
         out += bu.u32_be(self.current_step)

@@ -9,6 +9,7 @@ import pytest
 
 from sz_tpu import SZConfig, ErrorBoundMode
 from sz_tpu.temporal import TemporalCompressor
+import sz_tpu.temporal as tmod
 
 GOLDEN = pathlib.Path(__file__).parent / "golden"
 STEPS = 5
@@ -82,3 +83,60 @@ def test_temporal_roundtrip_bound():
         frame = tc.compress_step({7: data})
         out = td.decompress_step(frame)[7]
         assert np.abs(out - data).max() <= 1e-3 * (1 + 1e-6), f"step {s}"
+
+
+def test_device_ts_step_parity():
+    """compress_1d_ts_device must produce byte-identical TDPS streams
+    and a bit-identical carried reconstruction vs the host kernel."""
+    import jax.numpy as jnp
+    from sz_tpu.format import tdps as tdps_mod
+
+    rng = np.random.default_rng(4)
+    n = 50000
+    prev = np.sin(np.linspace(0, 30, n)).astype(np.float32)
+    cur = (prev + 0.002 * rng.standard_normal(n)).astype(np.float32)
+    # salt with jumps so some points escape
+    cur[::997] += 1.5
+    vr = float(cur.max() - cur.min())
+    med = np.float32(cur.min() + vr / 2)
+    kw = dict(max_range_radius=32768, sample_distance=100,
+              pred_threshold=np.float32(0.99))
+    t_h, rec_h = tmod.compress_1d_ts(cur, prev, 1e-3, vr, med, **kw)
+    t_d, rec_d = tmod.compress_1d_ts_device(
+        jnp.asarray(cur), jnp.asarray(prev), 1e-3, vr, med, **kw)
+    assert tdps_mod.to_bytes(t_h, 8) == tdps_mod.to_bytes(t_d, 8)
+    np.testing.assert_array_equal(np.asarray(rec_d).view(np.uint32),
+                                  rec_h.view(np.uint32))
+
+
+def test_temporal_compressor_device_frames_identical():
+    """A TemporalCompressor fed device-resident snapshots must emit the
+    exact frames of the numpy-input run, across snapshot + ts steps,
+    with the history carried on device."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    shape = (40, 50)
+    base = np.sin(np.linspace(0, 12, 2000)).reshape(shape)
+    steps = [(base + 0.01 * k + 0.002 * rng.standard_normal(shape)
+              ).astype(np.float32) for k in range(5)]
+    cfg = SZConfig().with_bound(ErrorBoundMode.ABS, 1e-3)
+
+    tc_h = TemporalCompressor(snapshot_step=3)
+    tc_h.register(0, "v", shape, np.float32, cfg)
+    tc_d = TemporalCompressor(snapshot_step=3)
+    tc_d.register(0, "v", shape, np.float32, cfg)
+    for s in steps:
+        f_h = tc_h.compress_step({0: s})
+        f_d = tc_d.compress_step({0: jnp.asarray(s)})
+        assert f_d == f_h
+        # round-trip stays within bound
+        dec = TemporalCompressor(snapshot_step=3)
+    # full decode of the host frames equals decode of device frames
+    tc_dec = TemporalCompressor(snapshot_step=3)
+    tc_dec.register(0, "v", shape, np.float32, cfg)
+    tc_h2 = TemporalCompressor(snapshot_step=3)
+    tc_h2.register(0, "v", shape, np.float32, cfg)
+    for s in steps:
+        out = tc_dec.decompress_step(tc_h2.compress_step({0: s}))
+        assert np.abs(out[0] - s).max() <= 1e-3 * (1 + 1e-6)
