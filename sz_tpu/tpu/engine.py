@@ -595,21 +595,22 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
 
         mode = _pallas_mode()
         # the kernel keeps ~9 plane buffers (+ pipeline double-buffers)
-        # in VMEM; past ~16 MB of scoped VMEM Mosaic refuses to compile.
-        # Measured on v5e: tile-aligned 512x512 planes (2^18 pts)
-        # compile and run; UNALIGNED 500x500 (fewer points!) asks 26.3M
-        # and fails — masking the ragged edges costs extra buffers.  So
-        # the cap is alignment-aware; larger planes take the XLA
-        # plane-scan below, which streams planes through HBM.
-        if rank == 3:
-            pad_plane = ((-(-shape[1] // 8) * 8)
-                         * (-(-shape[2] // 128) * 128))
-            aligned = shape[1] % 8 == 0 and shape[2] % 128 == 0
-        else:
-            pad_plane, aligned = 0, True
-        plane_cap = int(_os.environ.get(
-            "SZ_TPU_PALLAS_MAX_PLANE",
-            (1 << 18) if aligned else (1 << 17)))
+        # in VMEM at ~115-130 B/point of scoped VMEM.  Ragged
+        # (non-8x128-aligned) planes are explicitly padded to the tile
+        # before the kernel — Mosaic's implicit ragged-edge masking
+        # costs EXTRA buffers (v5e: unaligned 500x500 asked more VMEM
+        # than aligned 512x512); real cells only ever read -1
+        # neighbors, so pad content cannot influence them and outputs
+        # slice back exactly.  The kernel's CompilerParams raise the
+        # scoped-VMEM limit to 112 MiB of the chip's 128; measured on
+        # v5e: 768x1024 planes (786432 pts) compile and run, 1024^2
+        # (2^20) asks 119.9M and fails — hence the cap.  Planes past
+        # it take the XLA plane-scan below, which streams planes
+        # through HBM.
+        pad_plane = ((-(-shape[1] // 8) * 8)
+                     * (-(-shape[2] // 128) * 128)) if rank == 3 else 0
+        plane_cap = int(_os.environ.get("SZ_TPU_PALLAS_MAX_PLANE",
+                                        768 * 1024))
         use_pallas = (rank == 3 and T == jnp.float32
                       and pad_plane <= plane_cap
                       and (mode == "force"
@@ -623,10 +624,24 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
             # sequential grid (sz_tpu/tpu/pallas_kernels.py).
             from sz_tpu.tpu import pallas_kernels as _pk
             mm = mean_mask if use_mean else reg_pts
-            t, R, iters = _pk.plane_quantize(
-                data, t_reg, rec_reg, reg_pts, mm, rp, recip, cap_szf,
-                radius, mean, use_mean=use_mean,
-                interpret=(backend in ("cpu", "raw")))
+            py = (-(-shape[1] // 8) * 8) - shape[1]
+            pz = (-(-shape[2] // 128) * 128) - shape[2]
+            if py or pz:
+                padw = ((0, 0), (0, py), (0, pz))
+                t, R, iters = _pk.plane_quantize(
+                    jnp.pad(data, padw, mode="edge"),
+                    jnp.pad(t_reg, padw), jnp.pad(rec_reg, padw),
+                    jnp.pad(reg_pts, padw), jnp.pad(mm, padw),
+                    rp, recip, cap_szf, radius, mean,
+                    use_mean=use_mean,
+                    interpret=(backend in ("cpu", "raw")))
+                t = t[:, :shape[1], :shape[2]]
+                R = R[:, :shape[1], :shape[2]]
+            else:
+                t, R, iters = _pk.plane_quantize(
+                    data, t_reg, rec_reg, reg_pts, mm, rp, recip,
+                    cap_szf, radius, mean, use_mean=use_mean,
+                    interpret=(backend in ("cpu", "raw")))
         elif rank == 3:
             # plane-scan encode: the x-recurrence is strictly forward, so
             # scan over x-planes and run the per-plane 2D fixpoint with

@@ -186,6 +186,13 @@ def _plane_quantize_fn(shape: tuple, use_mean: bool, interpret: bool):
             pltpu.VMEM((ny, nz), jnp.float32),   # previous plane recon
             pltpu.VMEM((ny, nz), jnp.float32),   # working plane
         ],
+        # ~9 plane buffers + pipeline double-buffers ≈ 90 B/point of
+        # scoped VMEM; the 16 MiB default limit caps planes at ~180k
+        # points (v5e measurement: 504x512 asks 23.2M).  The chip has
+        # 128 MiB — raise the limit so Hurricane-class (500x500) and
+        # larger planes fit; _quantize_fn's plane cap guards the rest.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )
 

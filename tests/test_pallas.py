@@ -64,11 +64,12 @@ def test_pallas_quantize_bit_exact(case):
     assert got.body == ref.body
 
 
-def test_large_plane_falls_back_to_xla():
-    """Planes whose padded size exceeds the scoped-VMEM budget must NOT
-    take the Pallas kernel (Mosaic refuses ~>16 MB of plane buffers —
-    seen on Hurricane-like 500x500 planes on v5e); the XLA plane-scan
-    fallback keeps byte parity."""
+def test_ragged_plane_pads_to_tile():
+    """Ragged (non-8x128-aligned) planes are explicitly padded to the
+    tile before the Pallas kernel (Mosaic's ragged-edge masking blows
+    the scoped-VMEM budget — Hurricane-like 500x500 planes OOM'd on
+    v5e); real cells only read -1 neighbors, so the padded kernel must
+    stay byte-identical."""
     import numpy as np
     from sz_tpu.core import regnd
 
@@ -76,9 +77,31 @@ def test_large_plane_falls_back_to_xla():
     data = (np.sin(np.linspace(0, 20, 4 * 200 * 800, dtype=np.float32))
             + 0.05 * rng.standard_normal(4 * 200 * 800)
             ).astype(np.float32).reshape(4, 200, 800)
-    # padded plane = 200x896 = 179200 > the 2^17 default cap
-    kw = dict(max_range_radius=32768, sample_distance=100,
-              pred_threshold=np.float32(0.99))
-    a = regnd.compress(data, 1e-3, **kw)
-    b = _compress_with_mode("force", data, 1e-3)  # cap overrides force
+    # padded plane = 200x896 = 179200 <= the cap -> Pallas via padding
+    a = regnd.compress(data, 1e-3, **KW)
+    b = _compress_with_mode("force", data, 1e-3)
     assert a.body == b.body
+
+
+def test_large_plane_falls_back_to_xla(monkeypatch):
+    """Planes whose padded size exceeds the scoped-VMEM cap must NOT
+    take the Pallas kernel; the XLA plane-scan fallback keeps byte
+    parity.  The cap is pinned low here so the test stays a fallback
+    test as the hardware-measured default cap moves."""
+    import numpy as np
+    from sz_tpu.core import regnd
+
+    monkeypatch.setenv("SZ_TPU_PALLAS_MAX_PLANE", str(1 << 15))
+    engine._quantize_fn.cache_clear()
+    try:
+        rng = np.random.default_rng(12)
+        data = (np.sin(np.linspace(0, 20, 2 * 220 * 220,
+                                   dtype=np.float32))
+                + 0.05 * rng.standard_normal(2 * 220 * 220)
+                ).astype(np.float32).reshape(2, 220, 220)
+        # padded plane = 224x256 = 57344 > the pinned 2^15 cap
+        a = regnd.compress(data, 1e-3, **KW)
+        b = _compress_with_mode("force", data, 1e-3)  # cap beats force
+        assert a.body == b.body
+    finally:
+        engine._quantize_fn.cache_clear()
