@@ -607,16 +607,25 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
         # (2^20) asks 119.9M and fails — hence the cap.  Planes past
         # it take the XLA plane-scan below, which streams planes
         # through HBM.
-        pad_plane = ((-(-shape[1] // 8) * 8)
-                     * (-(-shape[2] // 128) * 128)) if rank == 3 else 0
+        nyp8 = -(-shape[1] // 8) * 8 if rank == 3 else 0
+        nzp = -(-shape[2] // 128) * 128 if rank == 3 else 0
+        pad_plane = nyp8 * nzp
         plane_cap = int(_os.environ.get("SZ_TPU_PALLAS_MAX_PLANE",
                                         768 * 1024))
-        use_pallas = (rank == 3 and T == jnp.float32
-                      and pad_plane <= plane_cap
-                      and (mode == "force"
-                           or (mode == "auto"
-                               and backend not in ("cpu", "raw"))))
-        if use_pallas:
+        # past the whole-plane cap, the row-strip kernel keeps only the
+        # previous plane whole in VMEM (4 B/pt) plus ~2^18-pt strip
+        # buffers — its ceiling is the prev-plane scratch: 16M pts
+        # (64 MB) fits the 112 MiB limit with room for the strips.
+        strip_cap = int(_os.environ.get("SZ_TPU_PALLAS_MAX_PLANE_STRIP",
+                                        16 * 1024 * 1024))
+        pallas_ok = (rank == 3 and T == jnp.float32
+                     and (mode == "force"
+                          or (mode == "auto"
+                              and backend not in ("cpu", "raw"))))
+        use_pallas = pallas_ok and pad_plane <= plane_cap
+        use_strip = (pallas_ok and not use_pallas
+                     and pad_plane <= strip_cap)
+        if use_pallas or use_strip:
             # ONE Pallas dispatch for the whole plane-fixpoint stage:
             # the XLA scan-of-while below issues ~(sweeps x nx) tiny
             # kernels, which is launch-overhead-bound on TPU; the Pallas
@@ -624,24 +633,32 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
             # sequential grid (sz_tpu/tpu/pallas_kernels.py).
             from sz_tpu.tpu import pallas_kernels as _pk
             mm = mean_mask if use_mean else reg_pts
-            py = (-(-shape[1] // 8) * 8) - shape[1]
-            pz = (-(-shape[2] // 128) * 128) - shape[2]
+            interp = backend in ("cpu", "raw")
+            if use_strip:
+                H = _pk.strip_height(nyp8, nzp)
+                py = -(-nyp8 // H) * H - shape[1]
+            else:
+                H = 0
+                py = nyp8 - shape[1]
+            pz = nzp - shape[2]
             if py or pz:
                 padw = ((0, 0), (0, py), (0, pz))
-                t, R, iters = _pk.plane_quantize(
-                    jnp.pad(data, padw, mode="edge"),
-                    jnp.pad(t_reg, padw), jnp.pad(rec_reg, padw),
-                    jnp.pad(reg_pts, padw), jnp.pad(mm, padw),
-                    rp, recip, cap_szf, radius, mean,
-                    use_mean=use_mean,
-                    interpret=(backend in ("cpu", "raw")))
-                t = t[:, :shape[1], :shape[2]]
-                R = R[:, :shape[1], :shape[2]]
+                args = (jnp.pad(data, padw, mode="edge"),
+                        jnp.pad(t_reg, padw), jnp.pad(rec_reg, padw),
+                        jnp.pad(reg_pts, padw), jnp.pad(mm, padw))
+            else:
+                args = (data, t_reg, rec_reg, reg_pts, mm)
+            if use_strip:
+                t, R, iters = _pk.strip_quantize(
+                    *args, rp, recip, cap_szf, radius, mean, H=H,
+                    use_mean=use_mean, interpret=interp)
             else:
                 t, R, iters = _pk.plane_quantize(
-                    data, t_reg, rec_reg, reg_pts, mm, rp, recip,
-                    cap_szf, radius, mean, use_mean=use_mean,
-                    interpret=(backend in ("cpu", "raw")))
+                    *args, rp, recip, cap_szf, radius, mean,
+                    use_mean=use_mean, interpret=interp)
+            if py or pz:
+                t = t[:, :shape[1], :shape[2]]
+                R = R[:, :shape[1], :shape[2]]
         elif rank == 3:
             # plane-scan encode: the x-recurrence is strictly forward, so
             # scan over x-planes and run the per-plane 2D fixpoint with

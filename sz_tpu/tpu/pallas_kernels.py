@@ -197,6 +197,183 @@ def _plane_quantize_fn(shape: tuple, use_mean: bool, interpret: bool):
     )
 
 
+def _make_strip_kernel(ny: int, nz: int, H: int, use_mean: bool,
+                       strip_iter: int):
+    """Row-strip variant of _make_kernel for planes too large to hold
+    ~9 whole-plane buffers in VMEM.  Grid (nx, ny//H), strips innermost
+    (Pallas TPU iterates the last grid dim fastest), so at step (i, s)
+    strip (i, s-1) and plane i-1 are final.  The strip fixpoint then
+    runs with EXACT boundary rows — the row above comes from the
+    previous strip's reconstruction (curlast scratch), its prev-plane
+    counterpart from prevlast — so its stable point is the serial
+    result, bit-for-bit (the op order in pred2d is unchanged).  Only
+    the previous plane's reconstruction is kept whole in VMEM
+    (prev_scr, overwritten strip-by-strip exactly when step i+1 no
+    longer needs the old rows); all working buffers are strip-sized."""
+    def kernel(pf_ref, pi_ref, d_ref, treg_ref, rreg_ref, reg_ref,
+               mean_ref, t_ref, R_ref, it_ref,
+               prev_scr, work_scr, prevlast_scr, curlast_scr):
+        i = pl.program_id(0)
+        s = pl.program_id(1)
+        rp = pf_ref[0]
+        recip = pf_ref[1]
+        cap_szf = pf_ref[2]
+        mean = pf_ref[3]
+        radius = pi_ref[0]
+
+        first_plane = i == 0
+        first_strip = s == 0
+        row_off = s * jnp.int32(H)
+
+        zrow = jnp.zeros((1, nz), jnp.float32)
+        ps = prev_scr[pl.ds(row_off, H), :]
+        prev = jnp.where(first_plane, jnp.zeros_like(ps), ps)
+        pl_above = jnp.where(first_plane | first_strip, zrow,
+                             prevlast_scr[0:1, :])
+        cl_above = jnp.where(first_strip, zrow, curlast_scr[0:1, :])
+
+        d = d_ref[0]
+        t_regp = treg_ref[0]
+        rec_regp = rreg_ref[0]
+        regp = reg_ref[0] != 0
+        meanp = mean_ref[0] != 0
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (H, nz), 0)
+
+        def shift_down(P, fill):
+            # dy=1 with row 0 := fill (the final row above this strip)
+            r = pltpu.roll(P, jnp.int32(1), 0)
+            return jnp.where(row < jnp.int32(1),
+                             jnp.broadcast_to(fill, (H, nz)), r)
+
+        prev_d = shift_down(prev, pl_above)
+
+        def pred2d(P):
+            # same op ORDER as _make_kernel.pred2d (bit-exact): only
+            # the row-0 fills differ, carrying the exact serial values
+            # across the strip boundary instead of the plane edge's
+            # zeros.
+            p = _shift_zero(P, 0, 1) + shift_down(P, cl_above)
+            p = p + prev
+            p = p - _shift_zero(shift_down(P, cl_above), 0, 1)
+            p = p - _shift_zero(prev, 0, 1)
+            p = p - prev_d
+            p = p + _shift_zero(prev_d, 0, 1)
+            return p
+
+        def pstep(P):
+            t_l, rec_l = _quant(d, pred2d(P), rp, recip, cap_szf, radius)
+            if use_mean:
+                t_l = jnp.where((t_l != 0) & (t_l <= radius),
+                                t_l - 1, t_l)
+                t_l = jnp.where(meanp, radius, t_l)
+                rec_l = jnp.where(meanp, mean, rec_l)
+            tp = jnp.where(regp, t_regp, t_l)
+            P_new = jnp.where(regp, rec_regp, rec_l)
+            return tp, P_new
+
+        work_scr[...] = d
+
+        def body(c):
+            it, _ = c
+            P = work_scr[...]
+            _, P_new = pstep(P)
+            work_scr[...] = P_new
+            same = jnp.min(jnp.where(P_new == P, jnp.float32(1),
+                                     jnp.float32(0))) > jnp.float32(0)
+            return it + 1, same
+
+        def cond(c):
+            it, done = c
+            return (~done) & (it < strip_iter)
+
+        it, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.bool_(False)))
+        tp, P = pstep(work_scr[...])
+        t_ref[0] = tp
+        R_ref[0] = P
+        it_prev = jnp.where(first_strip, jnp.int32(0), it_ref[i])
+        it_ref[i] = jnp.maximum(it_prev, it)
+        # carries for step (i, s+1), then retire this strip's rows of
+        # plane i-1 — nothing reads them again before (i+1, s).
+        prevlast_scr[0:1, :] = prev[H - 1:H, :]
+        curlast_scr[0:1, :] = P[H - 1:H, :]
+        prev_scr[pl.ds(row_off, H), :] = P
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _strip_quantize_fn(shape: tuple, H: int, use_mean: bool,
+                       interpret: bool):
+    nx, ny, nz = shape
+    assert ny % H == 0
+    strip_iter = H + nz + 4
+    kernel = _make_strip_kernel(ny, nz, H, use_mean, strip_iter)
+    z = np.int32(0)
+    strip = lambda i, s: (i, s, z)
+    vspec = pl.BlockSpec((1, H, nz), strip)
+    smem = lambda n: pl.BlockSpec((n,), lambda i, s: (z,),
+                                  memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(nx, ny // H),
+        in_specs=[
+            smem(4),   # f32 params
+            smem(1),   # i32 params
+            vspec, vspec, vspec, vspec, vspec,
+        ],
+        out_specs=[vspec, vspec, smem(nx)],
+        out_shape=[
+            jax.ShapeDtypeStruct(shape, jnp.int32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct((nx,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ny, nz), jnp.float32),  # prev plane recon
+            pltpu.VMEM((H, nz), jnp.float32),   # working strip
+            pltpu.VMEM((8, nz), jnp.float32),   # prev-plane row above
+            pltpu.VMEM((8, nz), jnp.float32),   # cur-plane row above
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def strip_height(ny_pad8: int, nz_pad: int) -> int:
+    """Row-strip height for strip_quantize: ~2^18 points per strip
+    (VPU-efficient, ~19 MB of strip buffers), multiple of 8, at least
+    8, no taller than the plane.  SZ_TPU_PALLAS_STRIP_H overrides
+    (tests force multi-strip grids on small planes)."""
+    import os
+    env = os.environ.get("SZ_TPU_PALLAS_STRIP_H")
+    if env:
+        return max(8, min(ny_pad8, int(env) // 8 * 8))
+    return max(8, min(ny_pad8, (1 << 18) // nz_pad // 8 * 8))
+
+
+def strip_quantize(data, t_reg, rec_reg, reg_pts, mean_mask, rp, recip,
+                   cap_szf, radius, mean, *, H: int, use_mean: bool,
+                   interpret: bool):
+    """plane_quantize for planes past the whole-plane VMEM budget:
+    row-strip grid with exact carried boundaries.  Requires ny % H == 0
+    and (8,128)-tile-aligned planes (the engine pads).  Same outputs,
+    bit-identical streams."""
+    shape = tuple(data.shape)
+    f = _strip_quantize_fn(shape, int(H), bool(use_mean),
+                           bool(interpret))
+    pf = jnp.stack([rp.astype(jnp.float32), recip.astype(jnp.float32),
+                    cap_szf.astype(jnp.float32),
+                    mean.astype(jnp.float32)])
+    pi = jnp.asarray(radius, jnp.int32)[None]
+    mm = mean_mask if use_mean else reg_pts
+    t, R, its = f(pf, pi, data, t_reg.astype(jnp.int32),
+                  rec_reg, reg_pts.astype(jnp.int32),
+                  mm.astype(jnp.int32))
+    return t, R, jnp.max(its)
+
+
 def plane_quantize(data, t_reg, rec_reg, reg_pts, mean_mask, rp, recip,
                    cap_szf, radius, mean, *, use_mean: bool,
                    interpret: bool):

@@ -83,6 +83,59 @@ def test_ragged_plane_pads_to_tile():
     assert a.body == b.body
 
 
+@pytest.mark.parametrize("shape,hh", [
+    ((3, 40, 130), 16),   # 3 strips, ragged both plane dims
+    ((2, 48, 128), 24),   # 2 strips, tile-aligned
+    ((4, 24, 200), 24),   # single strip == whole plane (degenerate)
+])
+def test_strip_quantize_bit_exact(monkeypatch, shape, hh):
+    """Planes past the whole-plane VMEM cap take the row-strip kernel
+    (grid over (plane, strip), exact carried boundary rows) — streams
+    must stay byte-identical.  The cap and strip height are pinned low
+    to exercise multi-strip grids on small arrays."""
+    import numpy as np
+    from sz_tpu.core import regnd
+
+    monkeypatch.setenv("SZ_TPU_PALLAS_MAX_PLANE", "64")
+    monkeypatch.setenv("SZ_TPU_PALLAS_STRIP_H", str(hh))
+    engine._quantize_fn.cache_clear()
+    try:
+        n = int(np.prod(shape))
+        rng = np.random.default_rng(hash(shape) % 2**31)
+        data = (np.sin(np.linspace(0, 20, n, dtype=np.float32))
+                + 0.05 * rng.standard_normal(n)
+                ).astype(np.float32).reshape(shape)
+        a = regnd.compress(data, 1e-3, **KW)
+        b = _compress_with_mode("force", data, 1e-3)
+        assert a.body == b.body
+    finally:
+        engine._quantize_fn.cache_clear()
+
+
+def test_strip_quantize_use_mean(monkeypatch):
+    """Strip kernel parity on a field that triggers use_mean (dense
+    repeated value) — the mean-flush branch crosses strip boundaries
+    through the carried rows."""
+    import numpy as np
+    from sz_tpu.core import regnd
+
+    monkeypatch.setenv("SZ_TPU_PALLAS_MAX_PLANE", "64")
+    monkeypatch.setenv("SZ_TPU_PALLAS_STRIP_H", "16")
+    engine._quantize_fn.cache_clear()
+    try:
+        rng = np.random.default_rng(5)
+        data = np.zeros((3, 40, 132), np.float32)
+        mask = rng.random(data.shape) < 0.4
+        data[mask] = rng.standard_normal(int(mask.sum())).astype(
+            np.float32)
+        a = regnd.compress(data, 1e-3, **KW)
+        assert a.use_mean  # the field must actually exercise the branch
+        b = _compress_with_mode("force", data, 1e-3)
+        assert a.body == b.body
+    finally:
+        engine._quantize_fn.cache_clear()
+
+
 def test_large_plane_falls_back_to_xla(monkeypatch):
     """Planes whose padded size exceeds the scoped-VMEM cap must NOT
     take the Pallas kernel; the XLA plane-scan fallback keeps byte
@@ -92,6 +145,7 @@ def test_large_plane_falls_back_to_xla(monkeypatch):
     from sz_tpu.core import regnd
 
     monkeypatch.setenv("SZ_TPU_PALLAS_MAX_PLANE", str(1 << 15))
+    monkeypatch.setenv("SZ_TPU_PALLAS_MAX_PLANE_STRIP", str(1 << 15))
     engine._quantize_fn.cache_clear()
     try:
         rng = np.random.default_rng(12)
