@@ -556,6 +556,9 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
                  use_mean: bool, backend: str = 'cpu'):
     rank = len(shape)
     max_iter = int(sum(shape)) + 4
+    _g = _geom_small(shape, block_size)
+    nbs = tuple(db.num for db in _g["dbs"])
+    bids = tuple(np.asarray(b) for b in _g["bid"])
 
     def f(data, lc_full, reg_blk, bflat, locs, iperm, rp, recip,
           intervals, mean):
@@ -565,27 +568,32 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
         cap_szf = (cap - 2).astype(T)
         radius = cap // 2
 
-        # ONE row-gather for coefficients + the regression flag (packed
-        # as a float column): five separate 16.7M-element gathers cost
-        # ~170 ms each on the tunnel-attached v5e
+        # block->point coefficient expansion via per-axis takes on a
+        # channel-major block grid (bflat is separable:
+        # (b0*nb1+b1)*nb2+b2).  A flat row-gather producing an
+        # (npts, C) intermediate gets a T(8,128) layout that pads the
+        # minor C=5 dim to 128 — a 25.6x HBM blow-up that OOMs
+        # 2^25-point lattices; the per-axis form peaks at the final
+        # (C, *shape) lattice with no pad.
         aug = jnp.concatenate(
-            [lc_full, reg_blk.astype(T)[:, None]], axis=1)
-        lcb = jnp.take(aug, bflat.reshape(-1), axis=0).reshape(
-            (*shape, aug.shape[1]))
-        reg_pts = lcb[..., lc_full.shape[1]] != 0
+            [lc_full, reg_blk.astype(T)[:, None]], axis=1).T
+        lcb = aug.reshape((aug.shape[0], *nbs))
+        for ax, b in enumerate(bids):
+            lcb = jnp.take(lcb, b, axis=ax + 1)
+        reg_pts = lcb[lc_full.shape[1]] != 0
         # regression predictor: position-only, one-shot for all points
         fl = [l.astype(T) for l in locs]
         if rank == 3:
             fii = fl[0][:, None, None]
             fjj = fl[1][None, :, None]
             fkk = fl[2][None, None, :]
-            pred_reg = (lcb[..., 0] * fii + lcb[..., 1] * fjj
-                        + lcb[..., 2] * fkk + lcb[..., 3])
+            pred_reg = (lcb[0] * fii + lcb[1] * fjj
+                        + lcb[2] * fkk + lcb[3])
         else:
             fii = fl[0][:, None]
             fjj = fl[1][None, :]
-            pred_reg = (lcb[..., 0] * fii + lcb[..., 1] * fjj
-                        + lcb[..., 2])
+            pred_reg = (lcb[0] * fii + lcb[1] * fjj
+                        + lcb[2])
         t_reg, rec_reg = _quant(data, pred_reg, rp, recip, capf, radius)
 
         if use_mean:
@@ -872,28 +880,34 @@ def _decode_fn(shape: tuple, dtype_str: str, block_size: int,
                use_mean: bool, backend: str = 'cpu'):
     rank = len(shape)
     max_iter = int(sum(shape)) + 4
+    _g = _geom_small(shape, block_size)
+    nbs = tuple(db.num for db in _g["dbs"])
+    bids = tuple(np.asarray(b) for b in _g["bid"])
 
     def f(t_lat, lc_full, reg_blk, unpred_lat, bflat, locs, rp, intervals,
           mean):
         T = unpred_lat.dtype
         radius = intervals // 2
 
+        # per-axis block->point expansion — see the layout note in
+        # _quantize_fn
         aug = jnp.concatenate(
-            [lc_full, reg_blk.astype(T)[:, None]], axis=1)
-        lcb = jnp.take(aug, bflat.reshape(-1), axis=0).reshape(
-            (*shape, aug.shape[1]))
-        reg_pts = lcb[..., lc_full.shape[1]] != 0
+            [lc_full, reg_blk.astype(T)[:, None]], axis=1).T
+        lcb = aug.reshape((aug.shape[0], *nbs))
+        for ax, b in enumerate(bids):
+            lcb = jnp.take(lcb, b, axis=ax + 1)
+        reg_pts = lcb[lc_full.shape[1]] != 0
         esc = t_lat == 0
         fl = [l.astype(T) for l in locs]
         if rank == 3:
-            pred_reg = (lcb[..., 0] * fl[0][:, None, None]
-                        + lcb[..., 1] * fl[1][None, :, None]
-                        + lcb[..., 2] * fl[2][None, None, :]
-                        + lcb[..., 3])
+            pred_reg = (lcb[0] * fl[0][:, None, None]
+                        + lcb[1] * fl[1][None, :, None]
+                        + lcb[2] * fl[2][None, None, :]
+                        + lcb[3])
         else:
-            pred_reg = (lcb[..., 0] * fl[0][:, None]
-                        + lcb[..., 1] * fl[1][None, :]
-                        + lcb[..., 2])
+            pred_reg = (lcb[0] * fl[0][:, None]
+                        + lcb[1] * fl[1][None, :]
+                        + lcb[2])
 
         # per-point correction 2*(t-radius)*rp, with the use_mean index
         # shift on the Lorenzo side (szd_float.c:3697)
