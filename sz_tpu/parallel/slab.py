@@ -114,11 +114,11 @@ def _encode_stages(n_dev: int, lshape: tuple, dtype_str: str,
                         um[0])[None]
 
     def quant_local(d, lc, ur, rp, recip, intervals, mean, um):
-        bflat, pos, iperm = engine.lattices(lshape, block_size)
+        _bflat, pos, iperm = engine.lattices(lshape, block_size)
         g = engine._geom_small(lshape, block_size)
         locs = tuple(jnp.asarray(l) for l in g["loc"])
         t_stream, hist, esc, _R, _it = quant_f(
-            d.reshape(lshape), lc[0], ur[0], bflat, locs, iperm,
+            d.reshape(lshape), lc[0], ur[0], locs, iperm,
             rp[0], recip[0], intervals[0], mean[0], um[0])
         return t_stream[None], hist[:NBINS][None], esc[None]
 
@@ -226,11 +226,11 @@ def _decode_stage(n_dev: int, lshape: tuple, dtype_str: str,
     dec = engine._decode_fn_dyn(lshape, dtype_str, block_size, "raw")
 
     def local(types, unpred_pad, lc, ur, rp, intervals, mean, um):
-        bflat, pos, iperm = engine.lattices(lshape, block_size)
+        _bflat, pos, iperm = engine.lattices(lshape, block_size)
         g = engine._geom_small(lshape, block_size)
         locs = tuple(jnp.asarray(l) for l in g["loc"])
         t_lat, unpred_lat = delatt(types[0], unpred_pad[0], pos, iperm)
-        R, _it = dec(t_lat, lc[0], ur[0], unpred_lat, bflat, locs,
+        R, _it = dec(t_lat, lc[0], ur[0], unpred_lat, locs,
                      rp[0], intervals[0], mean[0], um[0])
         return R[None]
 

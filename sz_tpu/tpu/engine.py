@@ -493,13 +493,13 @@ def _quantize_fn_dyn(shape: tuple, dtype_str: str, block_size: int,
     base_t = _quantize_fn(shape, dtype_str, block_size, True, "raw")
     base_f = _quantize_fn(shape, dtype_str, block_size, False, "raw")
 
-    def f(data, lc_full, reg_blk, bflat, locs, iperm, rp, recip,
+    def f(data, lc_full, reg_blk, locs, iperm, rp, recip,
           intervals, mean, um):
         return jax.lax.cond(
             um,
-            lambda: base_t(data, lc_full, reg_blk, bflat, locs, iperm,
+            lambda: base_t(data, lc_full, reg_blk, locs, iperm,
                            rp, recip, intervals, mean),
-            lambda: base_f(data, lc_full, reg_blk, bflat, locs, iperm,
+            lambda: base_f(data, lc_full, reg_blk, locs, iperm,
                            rp, recip, intervals, mean))
 
     return _strict_jit(f, backend)
@@ -512,13 +512,13 @@ def _decode_fn_dyn(shape: tuple, dtype_str: str, block_size: int,
     base_t = _decode_fn(shape, dtype_str, block_size, True, "raw")
     base_f = _decode_fn(shape, dtype_str, block_size, False, "raw")
 
-    def f(t_lat, lc_full, reg_blk, unpred_lat, bflat, locs, rp,
+    def f(t_lat, lc_full, reg_blk, unpred_lat, locs, rp,
           intervals, mean, um):
         return jax.lax.cond(
             um,
-            lambda: base_t(t_lat, lc_full, reg_blk, unpred_lat, bflat,
+            lambda: base_t(t_lat, lc_full, reg_blk, unpred_lat,
                            locs, rp, intervals, mean),
-            lambda: base_f(t_lat, lc_full, reg_blk, unpred_lat, bflat,
+            lambda: base_f(t_lat, lc_full, reg_blk, unpred_lat,
                            locs, rp, intervals, mean))
 
     return _strict_jit(f, backend)
@@ -560,7 +560,7 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
     nbs = tuple(db.num for db in _g["dbs"])
     bids = tuple(np.asarray(b) for b in _g["bid"])
 
-    def f(data, lc_full, reg_blk, bflat, locs, iperm, rp, recip,
+    def f(data, lc_full, reg_blk, locs, iperm, rp, recip,
           intervals, mean):
         T = data.dtype
         cap = intervals
@@ -569,7 +569,7 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
         radius = cap // 2
 
         # block->point coefficient expansion via per-axis takes on a
-        # channel-major block grid (bflat is separable:
+        # channel-major block grid (the flat block id is separable:
         # (b0*nb1+b1)*nb2+b2).  A flat row-gather producing an
         # (npts, C) intermediate gets a T(8,128) layout that pads the
         # minor C=5 dim to 128 — a 25.6x HBM blow-up that OOMs
@@ -624,6 +624,10 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
         # previous plane whole in VMEM (4 B/pt) plus ~2^18-pt strip
         # buffers — its ceiling is the prev-plane scratch: 16M pts
         # (64 MB) fits the 112 MiB limit with room for the strips.
+        # NOTE: these env knobs (and SZ_TPU_PALLAS/_STRIP_H) are read at
+        # TRACE time and baked into the lru_cached program — changing
+        # them for an already-compiled shape requires
+        # _quantize_fn.cache_clear() (tests do this).
         strip_cap = int(_os.environ.get("SZ_TPU_PALLAS_MAX_PLANE_STRIP",
                                         16 * 1024 * 1024))
         pallas_ok = (rank == 3 and T == jnp.float32
@@ -884,7 +888,7 @@ def _decode_fn(shape: tuple, dtype_str: str, block_size: int,
     nbs = tuple(db.num for db in _g["dbs"])
     bids = tuple(np.asarray(b) for b in _g["bid"])
 
-    def f(t_lat, lc_full, reg_blk, unpred_lat, bflat, locs, rp, intervals,
+    def f(t_lat, lc_full, reg_blk, unpred_lat, locs, rp, intervals,
           mean):
         T = unpred_lat.dtype
         radius = intervals // 2
@@ -1272,7 +1276,7 @@ def compress(data, real_precision, *, max_range_radius: int,
         t_stream_d, hist_d, esc_d, R, iters = _quantize_fn(
             shape, dstr, spec.block_size, use_mean, be)(
             dev, jax.device_put(lc_full), jax.device_put(use_reg),
-            dg["bflat"], tuple(dg["loc"]), dg["iperm"], T(rp), T(recip),
+            tuple(dg["loc"]), dg["iperm"], T(rp), T(recip),
             jnp.asarray(intervals, jnp.int32), T(mean))
         hist = np.asarray(hist_d)
     n_esc = int(hist[0])
@@ -1380,7 +1384,7 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
         out, iters = _decode_fn(shape, dstr, spec.block_size,
                                 bool(p.use_mean), be)(
             t_lat, jax.device_put(lc_full), jax.device_put(use_reg),
-            unpred_lat, dg["bflat"], tuple(dg["loc"]), T(p.rp),
+            unpred_lat, tuple(dg["loc"]), T(p.rp),
             jnp.asarray(p.intervals, jnp.int32), T(p.mean))
     if as_jax:
         return out

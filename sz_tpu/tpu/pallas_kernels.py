@@ -253,9 +253,10 @@ def _make_strip_kernel(ny: int, nz: int, H: int, use_mean: bool,
             # the row-0 fills differ, carrying the exact serial values
             # across the strip boundary instead of the plane edge's
             # zeros.
-            p = _shift_zero(P, 0, 1) + shift_down(P, cl_above)
+            P_d = shift_down(P, cl_above)
+            p = _shift_zero(P, 0, 1) + P_d
             p = p + prev
-            p = p - _shift_zero(shift_down(P, cl_above), 0, 1)
+            p = p - _shift_zero(P_d, 0, 1)
             p = p - _shift_zero(prev, 0, 1)
             p = p - prev_d
             p = p + _shift_zero(prev_d, 0, 1)
@@ -367,10 +368,9 @@ def strip_quantize(data, t_reg, rec_reg, reg_pts, mean_mask, rp, recip,
                     cap_szf.astype(jnp.float32),
                     mean.astype(jnp.float32)])
     pi = jnp.asarray(radius, jnp.int32)[None]
-    mm = mean_mask if use_mean else reg_pts
     t, R, its = f(pf, pi, data, t_reg.astype(jnp.int32),
                   rec_reg, reg_pts.astype(jnp.int32),
-                  mm.astype(jnp.int32))
+                  mean_mask.astype(jnp.int32))
     return t, R, jnp.max(its)
 
 
@@ -390,8 +390,7 @@ def plane_quantize(data, t_reg, rec_reg, reg_pts, mean_mask, rp, recip,
                     cap_szf.astype(jnp.float32),
                     mean.astype(jnp.float32)])
     pi = jnp.asarray(radius, jnp.int32)[None]
-    mm = mean_mask if use_mean else reg_pts  # dummy when off
     t, R, its = f(pf, pi, data, t_reg.astype(jnp.int32),
                   rec_reg, reg_pts.astype(jnp.int32),
-                  mm.astype(jnp.int32))
+                  mean_mask.astype(jnp.int32))
     return t, R, jnp.max(its)
