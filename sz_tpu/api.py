@@ -80,9 +80,27 @@ def _resolve_precision(cfg: SZConfig, value_range: float, n: int,
 _AUTO_JAX_MIN_SIZE = 1 << 18
 
 
-def _regnd_engine(engine: str, n: int, dtype=np.float32):
+def _link_bound_accelerator() -> bool:
+    """True when the attached accelerator is reached over a remote
+    tunnel (the `axon` PJRT plugin) rather than PCIe: host<->device
+    transfers are then link-bound (~10-40 MB/s measured, BASELINE.md),
+    so auto keeps HOST-resident IO on the native host codec.  Device-
+    resident input/output (jax.Array in, as_jax out) still uses the
+    device engine — those paths never ship the lattice over the link."""
+    try:
+        import jax
+        dev = jax.devices()[0]
+        return "axon" in getattr(dev.client, "platform_version", "")
+    except Exception:  # pragma: no cover - jax unavailable
+        return False
+
+
+def _regnd_engine(engine: str, n: int, dtype=np.float32,
+                  device_out: bool = False):
     """Pick the regression-codec implementation: numpy oracle or the TPU
-    (JAX) engine — both produce identical bytes (tests/test_tpu_engine)."""
+    (JAX) engine — both produce identical bytes (tests/test_tpu_engine).
+    device_out=True (decompress as_jax) keeps auto on the device engine
+    even over a link-bound tunnel: the output stays on the device."""
     if engine == "numpy":
         return regnd
     if engine == "jax" or (engine == "auto" and n >= _AUTO_JAX_MIN_SIZE):
@@ -99,7 +117,9 @@ def _regnd_engine(engine: str, n: int, dtype=np.float32):
             # still honors the request.
             backend = tpu_engine.jax.default_backend()
             if engine == "jax" or (backend != "cpu"
-                                   and np.dtype(dtype) != np.float64):
+                                   and np.dtype(dtype) != np.float64
+                                   and (device_out
+                                        or not _link_bound_accelerator())):
                 return tpu_engine
         except Exception:  # pragma: no cover - jax unavailable
             if engine == "jax":
@@ -508,7 +528,7 @@ def decompress(blob: bytes, shape, dtype=np.float32,
                                      ).reshape(shape)
     if hdr.regression:
         body = inner[off:]
-        eng = _regnd_engine(engine, n, dtype)
+        eng = _regnd_engine(engine, n, dtype, device_out=as_jax)
         kw = {"as_jax": True} if (as_jax and eng is not regnd) else {}
         if len(dims) == 4:
             dims3 = (dims[0] * dims[1], dims[2], dims[3])

@@ -157,3 +157,29 @@ def test_decompress_dtype_mismatch_raises():
     blob64 = sz_tpu.compress(data.astype(np.float64), cfg)
     with pytest.raises(TypeError, match="DOUBLE"):
         sz_tpu.decompress(blob64, data.shape, np.float32)
+
+
+def test_auto_engine_link_bound_policy(monkeypatch):
+    """Over a link-bound tunnel (remote-attached accelerator), auto
+    keeps host-resident IO on the native host codec: the lattice would
+    otherwise cross a ~10-40 MB/s link both ways.  Device-resident
+    output (as_jax) still auto-picks the device engine — it never
+    downloads the lattice."""
+    from sz_tpu import api
+    from sz_tpu.core import regnd
+    from sz_tpu.tpu import engine as tpu_engine
+
+    big = api._AUTO_JAX_MIN_SIZE
+    monkeypatch.setattr(tpu_engine.jax, "default_backend", lambda: "tpu")
+
+    monkeypatch.setattr(api, "_link_bound_accelerator", lambda: True)
+    assert api._regnd_engine("auto", big) is regnd
+    assert api._regnd_engine("auto", big, device_out=True) is tpu_engine
+    # explicit requests are always honored
+    assert api._regnd_engine("jax", big) is tpu_engine
+    assert api._regnd_engine("numpy", big) is regnd
+
+    monkeypatch.setattr(api, "_link_bound_accelerator", lambda: False)
+    assert api._regnd_engine("auto", big) is tpu_engine
+    # f64 never auto-routes to a real TPU (bit-parity)
+    assert api._regnd_engine("auto", big, np.float64) is regnd
