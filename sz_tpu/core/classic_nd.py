@@ -108,13 +108,17 @@ def _optimize_intervals_nd(data: np.ndarray, real_precision: float,
 _DEVICE_MIN_SIZE = 1 << 18
 
 
-def _device_engine(engine: str, dtype, ndim: int, n: int):
+def _device_engine(engine: str, dtype, ndim: int, n: int,
+                   device_out: bool = False):
     """Pick the TPU device engine (sz_tpu/tpu/classic_engine.py) or None
     for the host kernels.  Same policy as api._regnd_engine: "auto"
     requires an attached accelerator and a large-enough array; float64
     never runs on a real TPU (its f64 emulation cannot bitcast and is
     not IEEE-bit-exact), falling back to the host kernels even under
-    explicit engine="jax"."""
+    explicit engine="jax".  Over a link-bound tunnel, auto keeps
+    host-resident IO on the host kernels (see
+    api._link_bound_accelerator) unless device_out (as_jax) holds the
+    result on the device."""
     if engine not in ("jax", "auto") or ndim not in (2, 3, 4):
         return None
     if engine == "auto" and n < _DEVICE_MIN_SIZE:
@@ -130,6 +134,10 @@ def _device_engine(engine: str, dtype, ndim: int, n: int):
         return None
     if engine == "auto" and backend == "cpu":
         return None
+    if engine == "auto" and not device_out:
+        from sz_tpu import api
+        if api._link_bound_accelerator():
+            return None
     return ce
 
 
@@ -624,7 +632,7 @@ def decompress_nd(tdps: TDPS, shape, dtype,
     n = int(np.prod(shape))
 
     if not oracle:
-        ce = _device_engine(engine, T, len(shape), n)
+        ce = _device_engine(engine, T, len(shape), n, device_out=as_jax)
         if ce is not None:
             return ce.decompress(tdps, shape, dtype, as_jax=as_jax)
     types = huffman.decode_with_tree(tdps.type_array, n)
