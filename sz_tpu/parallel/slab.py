@@ -206,7 +206,7 @@ def _maskvals_stage(n_dev: int, lshape: tuple, dtype_str: str, k: int,
 def _bitpack_stage(n_dev: int, npts: int, out_bytes: int, backend: str):
     """Per-slab Huffman bit-pack (shared dispatch, per-slab code tables)."""
     mesh = _mesh(n_dev)
-    pack_f = engine._bitpack_fn(npts, out_bytes, "raw")
+    pack_f = engine.bitpack_fn(npts, out_bytes, "raw")
 
     def local(t_stream, code_hi, code_len):
         return pack_f(t_stream[0], code_hi[0], code_len[0])[None]

@@ -363,7 +363,7 @@ def compress_1d_ts_device(flat_dev, prev_dev, real_precision, value_range,
         out_pad = _pad_pow2(nbytes + 8)
         cut = min(out_pad, ((nbytes + 8 + (1 << 20) - 1) >> 20) << 20)
         be = _eng.jax.default_backend()
-        packed_d = _eng._bitpack_fn(n, out_pad, be)(
+        packed_d = _eng.bitpack_fn(n, out_pad, be)(
             t_d, jax.device_put(tables.code_hi),
             jax.device_put(tables.code_len.astype(np.int32)))
         body = np.asarray(packed_d[:cut])[:nbytes].tobytes()

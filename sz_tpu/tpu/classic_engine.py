@@ -396,7 +396,7 @@ def compress(data: np.ndarray, real_precision: float, value_range,
         nbytes = (total_bits + 7) // 8
         out_pad = eng._pad_pow2(nbytes + 8)
         with _tr.trace("bitpack_device"):
-            packed = np.asarray(eng._bitpack_fn(n, out_pad, be)(
+            packed = np.asarray(eng.bitpack_fn(n, out_pad, be)(
                 t_stream_d, jax.device_put(tables.code_hi),
                 jax.device_put(tables.code_len.astype(np.int32))))
         body = packed[:nbytes].tobytes()

@@ -139,3 +139,27 @@ def test_pack_wide_bits_u32():
             check(0, 3000)               # head
             check((1 << 18) - 64, (1 << 18) + 64)  # OpenMP chunk seam
             check(n - 64, n)             # tail byte
+
+
+def test_bitpack_tree_matches_segment_sum():
+    """The log-depth concat-reduction pack (SZ_TPU_PACK_IMPL=tree) is
+    byte-identical to the scatter-add pack across sizes, including
+    non-pow2 streams and full-width (32-bit) codes."""
+    from sz_tpu.tpu import engine as eng
+    rng = np.random.default_rng(7)
+    nsym = 300
+    code_len = rng.integers(1, 33, nsym).astype(np.int32)
+    code_hi = np.zeros(nsym, np.uint64)
+    for i, ln in enumerate(code_len):
+        v = int(rng.integers(0, 1 << min(int(ln), 30)))
+        code_hi[i] = np.uint64(v) << np.uint64(64 - ln)
+    for n in (5, 100, 4096, 100001, 1 << 17):
+        t = rng.integers(0, nsym, n).astype(np.uint16)
+        total_bits = int(code_len[t.astype(np.int64)].astype(np.int64).sum())
+        nbytes = (total_bits + 7) // 8
+        out_pad = eng._pad_pow2(nbytes + 8)
+        a = np.asarray(eng._bitpack_fn(n, out_pad, "cpu")(
+            t, code_hi, code_len))
+        b = np.asarray(eng._bitpack_tree_fn(n, out_pad, "cpu")(
+            t, code_hi, code_len))
+        np.testing.assert_array_equal(a[:nbytes], b[:nbytes])
