@@ -991,19 +991,50 @@ def _bitpack_tree_fn(n: int, out_bytes: int, backend: str = "cpu"):
     return _strict_jit(f, backend)
 
 
+@functools.lru_cache(maxsize=32)
+def _bitpack_pallas_fn(n: int, out_bytes: int, backend: str = "cpu"):
+    """Device bit pack through the Pallas chunk kernel
+    (tpu/pack_kernel.py): the concat reduction runs in VMEM inside one
+    pallas_call; placement is a pair of gathers.  Same signature and
+    bit-identical output as _bitpack_fn.  interpret=True on non-TPU
+    backends (slow — parity testing only)."""
+    from sz_tpu.tpu import pack_kernel as _pk
+
+    interp = backend not in ("tpu", "raw") and _default_backend() != "tpu"
+
+    def f(t_stream, code_hi, code_len):
+        c32 = (code_hi >> jnp.uint64(32)).astype(jnp.uint32)
+        return _pk.pack_bits(t_stream, c32, code_len.astype(jnp.int32),
+                             n, out_bytes, interpret=interp)
+
+    return _strict_jit(f, backend)
+
+
+def _default_backend() -> str:
+    try:
+        return jax.default_backend()
+    except Exception:  # pragma: no cover
+        return "cpu"
+
+
 def bitpack_fn(n: int, out_bytes: int, backend: str = "cpu"):
     """Pick the device bit-pack formulation.
 
-    Measured on v5e (bit-identical outputs): the sorted scatter-add
-    (_bitpack_fn) wins at every size — 0.67 s vs 2.1 s at 2^24 symbols
-    and 5.3 s vs 25 s at 2^27.  The tree's per-level XLA materialization
-    (concat-broken fusion on (W, m) word buffers) costs ~200x its VPU
-    roofline; it would need to run fused inside one Pallas kernel (VMEM-
-    resident levels) to pay off.  SZ_TPU_PACK_IMPL=tree keeps the
-    reduction exercisable; default is the scatter-add everywhere.
+    Measured on v5e with forced device sync (BASELINE.md session 7):
+    the XLA formulations are all bound by the same wall — per-element
+    gathers/scatters at ~9 ns/element (~170 ms per 16M-element take),
+    NOT the scatter-add itself: scatter-add pack and the Pallas chunk
+    kernel (SZ_TPU_PACK_IMPL=pallas) both measure ~620 ms at 2^24
+    symbols because both gather the code table per symbol in XLA.
+    SZ_TPU_PACK_IMPL selects: segsum (default — scatter-add,
+    _bitpack_fn), tree (log-depth XLA reduction, measured worse),
+    pallas (VMEM chunk reduction + gather placement).
     """
-    if _os.environ.get("SZ_TPU_PACK_IMPL", "segsum") == "tree":
+    impl = _os.environ.get("SZ_TPU_PACK_IMPL", "segsum")
+    if impl == "tree":
         return _bitpack_tree_fn(n, out_bytes, backend)
+    if impl == "pallas":
+        return _bitpack_pallas_fn(n, out_bytes, backend)
     return _bitpack_fn(n, out_bytes, backend)
 
 

@@ -159,3 +159,34 @@ def test_large_plane_falls_back_to_xla(monkeypatch):
         assert a.body == b.body
     finally:
         engine._quantize_fn.cache_clear()
+
+
+def test_pack_kernel_matches_segment_sum(monkeypatch):
+    """The Pallas chunk bit-pack (tpu/pack_kernel.py, interpret mode
+    here; on hardware via tools/tpu_timings.py) is byte-identical to
+    the scatter-add pack across sizes: sub-chunk, multi-chunk,
+    non-pow2 tails, full-width 32-bit codes, and a tiny chunk size so
+    several chunks + padding are exercised cheaply."""
+    from sz_tpu.tpu import engine as eng
+    from sz_tpu.tpu import pack_kernel as pk
+
+    monkeypatch.setenv("SZ_TPU_PACK_CHUNK", "512")
+    rng = np.random.default_rng(11)
+    nsym = 700
+    code_len = rng.integers(1, 33, nsym).astype(np.int32)
+    vals = ((rng.integers(0, 1 << 16, nsym).astype(np.uint64) << 16)
+            | rng.integers(0, 1 << 16, nsym).astype(np.uint64))
+    vals &= (np.uint64(1) << code_len.astype(np.uint64)) - np.uint64(1)
+    code_hi = vals << (np.uint64(64) - code_len.astype(np.uint64))
+    for n in (5, 512, 1300, 4096, 10001):
+        t = rng.integers(0, nsym, n).astype(np.uint16)
+        total_bits = int(code_len[t.astype(np.int64)].astype(
+            np.int64).sum())
+        nbytes = (total_bits + 7) // 8
+        out_pad = eng._pad_pow2(nbytes + 8)
+        a = np.asarray(eng._bitpack_fn(n, out_pad, "cpu")(
+            t, code_hi, code_len))
+        b = np.asarray(pk.pack_bits(
+            t, (code_hi >> np.uint64(32)).astype(np.uint32),
+            code_len, n, out_pad, interpret=True))
+        np.testing.assert_array_equal(a[:nbytes], b[:nbytes])

@@ -151,7 +151,10 @@ def test_bitpack_tree_matches_segment_sum():
     code_len = rng.integers(1, 33, nsym).astype(np.int32)
     code_hi = np.zeros(nsym, np.uint64)
     for i, ln in enumerate(code_len):
-        v = int(rng.integers(0, 1 << min(int(ln), 30)))
+        # two 16-bit draws so 31/32-bit codes exercise every code bit
+        v = (int(rng.integers(0, 1 << 16)) << 16) | int(
+            rng.integers(0, 1 << 16))
+        v &= (1 << int(ln)) - 1
         code_hi[i] = np.uint64(v) << np.uint64(64 - ln)
     for n in (5, 100, 4096, 100001, 1 << 17):
         t = rng.integers(0, nsym, n).astype(np.uint16)
@@ -163,3 +166,21 @@ def test_bitpack_tree_matches_segment_sum():
         b = np.asarray(eng._bitpack_tree_fn(n, out_pad, "cpu")(
             t, code_hi, code_len))
         np.testing.assert_array_equal(a[:nbytes], b[:nbytes])
+
+
+def test_bitpack_impl_env_dispatch(monkeypatch):
+    """SZ_TPU_PACK_IMPL routes bitpack_fn to the matching cached
+    implementation (the parity tests call the impls directly, so a
+    regression in the env plumbing would otherwise go unnoticed)."""
+    from sz_tpu.tpu import engine as eng
+    n, out = 64, 256
+    monkeypatch.setenv("SZ_TPU_PACK_IMPL", "tree")
+    assert eng.bitpack_fn(n, out, "raw") is eng._bitpack_tree_fn(
+        n, out, "raw")
+    monkeypatch.setenv("SZ_TPU_PACK_IMPL", "pallas")
+    assert eng.bitpack_fn(n, out, "raw") is eng._bitpack_pallas_fn(
+        n, out, "raw")
+    monkeypatch.setenv("SZ_TPU_PACK_IMPL", "segsum")
+    assert eng.bitpack_fn(n, out, "raw") is eng._bitpack_fn(n, out, "raw")
+    monkeypatch.delenv("SZ_TPU_PACK_IMPL")
+    assert eng.bitpack_fn(n, out, "raw") is eng._bitpack_fn(n, out, "raw")
