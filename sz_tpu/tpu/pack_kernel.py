@@ -295,3 +295,267 @@ def pack_bits(t_stream, code_hi32, code_len, n: int, out_bytes: int,
 
     b = jax.lax.bitcast_convert_type(words, jnp.uint8)  # (nwords, 4) LE
     return b[:, ::-1].reshape(-1)  # big-endian byte stream
+
+
+# ---------------------------------------------------------------------------
+# pack2: the fully in-kernel pack.
+#
+# pack_bits above still pays XLA per-element gathers for the code-table
+# lookups and the placement (~9 ns/element on v5e — the measured wall
+# shared by every XLA formulation, BASELINE.md session 7).  pack2 moves
+# ALL per-symbol work into the kernel:
+#
+#   * the intra-chunk bit-reversal permutation is two constant lane
+#     permutations around a (128, 128) transpose (for S = 2^14, the
+#     14-bit reversal factors as rev7 x rev7: brev(r*128+c) =
+#     rev7(c)*128 + rev7(r)) — no n-element XLA gather;
+#   * the Huffman table lookup is K dynamic lane gathers from a
+#     VMEM-resident window table ((K,128) u32, code<<(32-len) | len,
+#     valid when max_len <= 26 so code and length bits cannot collide),
+#     plus a select for the always-special escape symbol 0.  Dynamic
+#     lane gathers measure ~0.2 ns/element in-kernel — ~50x XLA's;
+#   * per-chunk absolute bit offsets accumulate in SMEM scratch across
+#     the sequential grid (words + bit-remainder int32 pair, no int64);
+#   * placement is a read-OR-write of an 18-row (8,128) window of the
+#     HBM output at a dynamic leading-dim offset (row = 1024 words), so
+#     the boundary words between chunks compose by OR and no XLA
+#     placement gathers remain.
+#
+# The symbol window [lo, lo+128K) must cover every nonzero-frequency
+# symbol except 0; the caller derives it from the Huffman frequency
+# table it already has and falls back to pack_bits when the window or
+# max_len does not fit.
+# ---------------------------------------------------------------------------
+
+S2 = 16384            # pack2 chunk symbols (2^14: brev factors as rev7^2)
+_REV7 = np.array([int(f"{i:07b}"[::-1], 2) for i in range(128)],
+                 dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=1)
+def _brevmat() -> np.ndarray:
+    """(128,128) original flat index of the element that lands at
+    (row, lane) after the brev14 permutation (brev is an involution)."""
+    j = np.arange(S2, dtype=np.int64).reshape(128, 128)
+    return _brev(S2)[j].astype(np.int32)
+
+
+def _lane_gather(x, idx):
+    """out[i, j] = x[i, idx[i, j]] — Mosaic dynamic lane gather."""
+    return jax.lax.gather(
+        x, idx.astype(jnp.int32)[..., None],
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(1,),
+            start_index_map=(1,), operand_batching_dims=(0,),
+            start_indices_batching_dims=(0,)),
+        (1, 1), mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def _make_kernel2(n: int, K: int, OW: int, WR: int):
+    S = S2
+
+    def kernel(zero_ref, params_ref, rev_ref, brevmat_ref, tbl_ref,
+               sym_ref, out_hbm, win, acc, sem_r, sem_w):
+        del zero_ref  # aliased to out_hbm; exists only to zero-init it
+        c = pl.program_id(0)
+
+        @pl.when(c == jnp.int32(0))
+        def _():
+            acc[0] = jnp.int32(0)   # base word offset
+            acc[1] = jnp.int32(0)   # bit remainder
+
+        base_w, rem = acc[0], acc[1]
+        row0 = base_w >> 10
+        rd = pltpu.make_async_copy(
+            out_hbm.at[pl.ds(row0, WR)], win, sem_r)
+        rd.start()
+
+        lo = params_ref[0]
+        len0 = params_ref[1]
+        code0 = params_ref[2].astype(jnp.uint32)  # i32 bitcast of c32
+
+        # brev14 permute of the chunk's symbols: two constant rev7 lane
+        # permutations around a transpose
+        sq = sym_ref[0].reshape(128, 128)
+        rev = jnp.broadcast_to(rev_ref[...][:1], (128, 128))
+        sqb = _lane_gather(_lane_gather(sq, rev).T, rev)
+
+        # windowed table lookup (code<<(32-len) | len), escape symbol 0
+        # and tail padding handled by selects
+        widx = sqb - lo
+        wlane = widx & jnp.int32(127)
+        wrow = widx >> 7
+        val = jnp.zeros((128, 128), _U32)
+        for k in range(K):
+            g = _lane_gather(
+                jnp.broadcast_to(tbl_ref[k].reshape(1, 128), (128, 128)),
+                wlane)
+            val = jnp.where(wrow == jnp.int32(k), g, val)
+        lens = (val & jnp.uint32(63)).astype(jnp.int32)
+        c32 = val & ~jnp.uint32(63)
+        is0 = sqb == jnp.int32(0)
+        lens = jnp.where(is0, len0, lens)
+        c32 = jnp.where(is0, code0, c32)
+        if n % S != 0:  # tail chunk padding (original position >= n)
+            valid = (brevmat_ref[...] + c * jnp.int32(S)
+                     ) < jnp.int32(n)
+            lens = jnp.where(valid, lens, jnp.int32(0))
+            c32 = jnp.where(valid, c32, jnp.uint32(0))
+        # two single-axis keepdims sums: Mosaic's multi-axis/scalar
+        # reduce proxies re-trace jnp.sum WITHOUT promote_integers=False
+        # and make an (unsupported) int64 under the engine's x64 mode.
+        # <= S*26 bits fits int32.
+        cb = jnp.sum(lens, axis=1, keepdims=True, promote_integers=False)
+        chunk_bits = jnp.sum(cb, axis=0, keepdims=True,
+                             promote_integers=False)[0, 0]
+
+        # balanced concat-tree reduction (same phases as _make_kernel)
+        state = c32.reshape(1, S)
+        dw, sb = lens.reshape(1, S) >> 5, lens.reshape(1, S) & 31
+        h = S // 2
+        while h >= 128:
+            state, dw, sb = _merge_a(state, dw, sb, h)
+            h //= 2
+        state = state.T
+        dw = dw.reshape(128, 1)
+        sb = sb.reshape(128, 1)
+        while h >= 8:
+            state, dw, sb = _merge_b(state, dw, sb, h)
+            h //= 2
+        while h >= 1:
+            state, dw, sb = _merge_b8(state, dw, sb, h)
+            h //= 2
+        state = state[:1]                           # (1, S) bit string
+
+        # shift by the absolute offset's bit remainder, place at the
+        # offset's word position within the aligned window, OR-merge
+        rem2 = jnp.full((1, 1), rem, jnp.int32)
+        z1 = jnp.zeros((1, OW - S), _U32)
+        w = jnp.concatenate([state, z1], 1)         # (1, OW)
+        out = ((w >> jnp.full((1, 1), rem, _U32))
+               | _shl32m(_shiftz(w, 1, 1), rem2))
+        wide = jnp.concatenate(
+            [out, jnp.zeros((1, WR * 1024 - OW), _U32)], 1)
+        wide = pltpu.roll(wide, base_w & jnp.int32(1023), 1)
+        rd.wait()
+        win[...] = win[...] | wide.reshape(WR, 8, 128)
+        wr = pltpu.make_async_copy(
+            win, out_hbm.at[pl.ds(row0, WR)], sem_w)
+        wr.start()
+
+        t = rem + chunk_bits
+        acc[0] = base_w + (t >> 5)
+        acc[1] = t & jnp.int32(31)
+        wr.wait()
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _pack2_call(C: int, n: int, K: int, R8: int, interpret: bool):
+    S = S2
+    OW = S + 128
+    WR = (OW + 1023) // 1024 + 1                    # roll adds < 1024 w
+    kernel = _make_kernel2(n, K, OW, WR)
+    z = np.int32(0)
+    return pl.pallas_call(
+        kernel,
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # zeros -> out alias
+            pl.BlockSpec((4,), lambda c: (z,),
+                         memory_space=pltpu.SMEM),  # lo, len0, code0
+            pl.BlockSpec((8, 128), lambda c: (z, z)),   # rev7 rows
+            pl.BlockSpec((128, 128), lambda c: (z, z)),  # brev positions
+            pl.BlockSpec((K, 128), lambda c: (z, z)),   # window table
+            pl.BlockSpec((1, 1, S), lambda c: (c, z, z)),  # symbols
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((R8, 8, 128), jnp.uint32),
+        input_output_aliases={0: 0},
+        scratch_shapes=[
+            pltpu.VMEM((WR, 8, 128), jnp.uint32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+MAX_WINDOW_ROWS = 32     # 4096-symbol window; wider falls back
+
+
+def window_from_freq(freq, code_len) -> tuple | None:
+    """Host-side window derivation: [lo, lo+128*K) covering every
+    nonzero-frequency symbol except 0.  None if pack2 cannot apply
+    (window too wide, or a code longer than 26 bits)."""
+    freq = np.asarray(freq)
+    code_len = np.asarray(code_len)
+    m = min(len(freq), len(code_len))
+    if int(code_len[:m][freq[:m] > 0].max(initial=0)) > 26:
+        return None
+    used = np.flatnonzero(freq[1:m]) + 1
+    lo = int(used.min()) if used.size else 1
+    hi = int(used.max()) if used.size else 1
+    K = -(-(hi - lo + 1) // 128)
+    if K > MAX_WINDOW_ROWS:
+        return None
+    return lo, K
+
+
+def build_window_table(tables, lo: int, K: int) -> np.ndarray:
+    """(K, 128) uint32 table: (code_hi >> 32) | code_len for symbols
+    [lo, lo + 128K); zero (len 0) where no code exists."""
+    hi32 = (np.asarray(tables.code_hi) >> np.uint64(32)).astype(np.uint32)
+    lens = np.asarray(tables.code_len).astype(np.uint32)
+    out = np.zeros(K * 128, np.uint32)
+    end = min(lo + K * 128, len(lens))
+    if end > lo:
+        out[:end - lo] = hi32[lo:end] | lens[lo:end]
+    return out.reshape(K, 128)
+
+
+def pack2_bits(t_stream, window_tbl, lo: int, len0: int, code0_c32: int,
+               n: int, out_bytes: int, *, interpret: bool = False):
+    """Fully in-kernel device Huffman bit-pack (see module comment).
+
+    t_stream: (n,) integer symbols.  window_tbl: (K,128) uint32 from
+    build_window_table.  len0/code0_c32: code for symbol 0 — length and
+    the MSB-aligned top-32 code bits (code_hi >> 32) as a python int;
+    pass 0,0 if symbol 0 never occurs.  Output: (out_bytes//4,) uint32
+    whose little-endian host bytes (np.asarray(...).view(np.uint8)) are
+    the big-endian packed stream, bit-identical to engine._bitpack_fn.
+    """
+    assert out_bytes % 4 == 0
+    S = S2
+    C = -(-n // S)
+    n_pad = C * S
+    nwords = out_bytes // 4
+    K = window_tbl.shape[0]
+    WR = (S + 128 + 1023) // 1024 + 1
+    R8 = (nwords + 1023) // 1024 + WR
+
+    sym = t_stream.astype(jnp.int32)
+    if n_pad > n:
+        sym = jnp.concatenate([sym, jnp.zeros((n_pad - n,), jnp.int32)])
+    code0_i32 = int(np.uint32(code0_c32).view(np.int32))
+    params = jnp.asarray([lo, len0, code0_i32, 0], jnp.int32)
+    rev = jnp.asarray(np.broadcast_to(_REV7, (8, 128)))
+    words = _pack2_call(C, n, K, R8, interpret)(
+        jnp.zeros((R8, 8, 128), jnp.uint32), params, rev,
+        jnp.asarray(_brevmat()), window_tbl.astype(jnp.uint32),
+        sym.reshape(C, 1, S))
+    # byte-swap in u32 space: a bitcast to (nwords, 4) u8 would get a
+    # T(8,128)-tiled layout whose dim-1 pads 4 -> 128 (32x HBM blow-up
+    # at 2^27 symbols).  The returned u32 array holds the big-endian
+    # byte stream in host memory order: np.asarray(...).view(np.uint8)
+    # IS the packed stream.
+    w = words.reshape(-1)[:nwords]
+    return ((w >> jnp.uint32(24))
+            | ((w >> jnp.uint32(8)) & jnp.uint32(0xFF00))
+            | ((w & jnp.uint32(0xFF00)) << jnp.uint32(8))
+            | (w << jnp.uint32(24)))

@@ -190,3 +190,65 @@ def test_pack_kernel_matches_segment_sum(monkeypatch):
             t, (code_hi >> np.uint64(32)).astype(np.uint32),
             code_len, n, out_pad, interpret=True))
         np.testing.assert_array_equal(a[:nbytes], b[:nbytes])
+
+
+def test_pack2_kernel_matches_segment_sum():
+    """pack2 (the fully in-kernel pack: in-kernel brev, windowed VMEM
+    table lookup, SMEM offset accumulator, RMW window placement) is
+    byte-identical to the scatter-add pack.  Interpret mode here;
+    verified bit-exact on v5e up to 2^27 symbols (BASELINE.md).
+    Covers: padded single chunk, multi-chunk, escape symbol 0, window
+    not starting at 0, unused in-window symbols."""
+    from types import SimpleNamespace
+    from sz_tpu.tpu import engine as eng
+    from sz_tpu.tpu import pack_kernel as pk
+
+    rng = np.random.default_rng(21)
+    nstate = 65536
+    for n, lo_u, hi_u in ((5000, 32000, 33000), (20000, 100, 900)):
+        code_len = np.zeros(nstate, np.int32)
+        used = np.arange(lo_u, hi_u + 1)
+        code_len[used] = rng.integers(1, 27, len(used))
+        code_len[0] = int(rng.integers(1, 27))
+        vals = ((rng.integers(0, 1 << 16, nstate).astype(np.uint64) << 16)
+                | rng.integers(0, 1 << 16, nstate).astype(np.uint64))
+        vals &= (np.uint64(1) << np.maximum(code_len, 1).astype(
+            np.uint64)) - np.uint64(1)
+        code_hi = np.where(
+            code_len > 0,
+            vals << (np.uint64(64) - np.maximum(code_len, 1).astype(
+                np.uint64)), 0)
+        t = rng.choice(used, size=n).astype(np.uint16)
+        t[rng.random(n) < 0.1] = 0
+        freq = np.bincount(t, minlength=nstate)
+        total_bits = int(code_len[t].astype(np.int64).sum())
+        out_bytes = ((total_bits + 31) // 32) * 4
+        ref = np.asarray(eng._bitpack_fn(n, out_bytes, "cpu")(
+            t, code_hi, code_len))
+        w = pk.window_from_freq(freq, code_len)
+        assert w is not None
+        lo, K = w
+        tbl = pk.build_window_table(
+            SimpleNamespace(code_hi=code_hi, code_len=code_len), lo, K)
+        got = np.asarray(pk.pack2_bits(
+            t, tbl, lo, int(code_len[0]),
+            int(code_hi[0] >> np.uint64(32)), n, out_bytes,
+            interpret=True)).view(np.uint8)
+        np.testing.assert_array_equal(ref, got[:len(ref)])
+
+
+def test_pack2_window_fallback():
+    """window_from_freq returns None when the used-symbol window is too
+    wide or any code exceeds 26 bits (pack2's packed-table invariant)."""
+    from sz_tpu.tpu import pack_kernel as pk
+    freq = np.zeros(65536, np.int64)
+    lens = np.ones(65536, np.int32)
+    freq[1] = freq[60000] = 5          # 59999-wide window
+    assert pk.window_from_freq(freq, lens) is None
+    freq2 = np.zeros(65536, np.int64)
+    freq2[100:200] = 3
+    lens2 = np.ones(65536, np.int32)
+    lens2[150] = 27                    # too-long code
+    assert pk.window_from_freq(freq2, lens2) is None
+    lens2[150] = 26
+    assert pk.window_from_freq(freq2, lens2) == (100, 1)
