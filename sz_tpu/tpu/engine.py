@@ -166,6 +166,52 @@ def _host_stream_maps(shape: tuple, block_size: int):
     return pos, iperm
 
 
+def _axis_split(x, axis: int, db, fill):
+    """Split `axis` (length db.r) into (db.num, db.early) block rows.
+    SZ's per-axis decomposition (core/blocks.py dim_blocks) has two
+    block sizes — `split` early blocks of length `early` then late
+    blocks of `late` (= early or early-1) — so late blocks pad one
+    `fill` hole.  Pure slice/reshape/pad/concat: bandwidth ops, no
+    gathers."""
+    E, L, sp, num = db.early, db.late, db.split, db.num
+    pre, post = x.shape[:axis], x.shape[axis + 1:]
+    if sp == 0:
+        return x.reshape(pre + (num, L) + post)
+    head = jax.lax.slice_in_dim(x, 0, sp * E, axis=axis).reshape(
+        pre + (sp, E) + post)
+    tail = jax.lax.slice_in_dim(x, sp * E, db.r, axis=axis).reshape(
+        pre + (num - sp, L) + post)
+    padw = ([(0, 0)] * (axis + 1) + [(0, E - L)]
+            + [(0, 0)] * len(post))
+    tail = jnp.pad(tail, padw, constant_values=fill)
+    return jnp.concatenate([head, tail], axis=axis)
+
+
+def _blocked_pad_stream(x, dbs, fill):
+    """Lattice -> block-major padded stream with `fill` holes where a
+    late (shorter) block pads to the early length.  Dropping the holes
+    yields EXACTLY the SZ stream order (pos/iperm): blocks row-major
+    over the block grid, points row-major within each block.  This is
+    the gather-free form of jnp.take(x.reshape(-1), iperm) — the
+    per-element XLA gather costs ~9 ns/elem on v5e; this is reshapes,
+    pads and one transpose at HBM bandwidth.  Consumers treat fill
+    positions as zero-width (pack2's -1 sentinel) or ignore them."""
+    rank = x.ndim
+    for ax in range(rank - 1, -1, -1):
+        x = _axis_split(x, ax, dbs[ax], fill)
+    if rank == 3:
+        x = x.transpose(0, 2, 4, 1, 3, 5)
+    else:
+        x = x.transpose(0, 2, 1, 3)
+    return x.reshape(-1)
+
+
+def padded_stream_len(shape: tuple, block_size: int) -> int:
+    """Length of the _blocked_pad_stream output for this geometry."""
+    g = _geom_small(shape, block_size)
+    return int(np.prod([db.num * db.early for db in g["dbs"]]))
+
+
 @functools.lru_cache(maxsize=16)
 def _dev_geom(shape: tuple, block_size: int, backend: str = "cpu"):
     """Device-resident geometry lattices (cached jit of `lattices`)."""
@@ -553,12 +599,17 @@ def _lorenzo_pred(R, rank):
 
 @functools.lru_cache(maxsize=32)
 def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
-                 use_mean: bool, backend: str = 'cpu'):
+                 use_mean: bool, backend: str = 'cpu', epi: str = "v1"):
+    """epi="v1": epilogue returns (t_stream u16, hist, esc, R, iters) —
+    the compact gather-based stream.  epi="v2": gather-free epilogue
+    for the pack2 path — (padded -1-hole stream i32, hist via the MXU
+    one-hot kernel, esc, R, iters, t lattice)."""
     rank = len(shape)
     max_iter = int(sum(shape)) + 4
     _g = _geom_small(shape, block_size)
     nbs = tuple(db.num for db in _g["dbs"])
     bids = tuple(np.asarray(b) for b in _g["bid"])
+    dbs_t = tuple(_g["dbs"])
 
     def f(data, lc_full, reg_blk, locs, iperm, rp, recip,
           intervals, mean):
@@ -756,6 +807,24 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
             # unchanged and yields the matching type codes
             t, R = step(R)
 
+        if epi == "v2":
+            # gather-free epilogue for pack2 (BASELINE.md session 7:
+            # the v1 take(iperm) and histogram are per-element-bound at
+            # ~9 ns/elem on v5e): the stream is a padded blocked
+            # TRANSPOSE with -1 holes (pack2 emits zero bits for them),
+            # the histogram is MXU one-hot matmuls over the (order-
+            # irrelevant) type lattice, and the escape extraction runs
+            # on the padded stream through the lattice-index stream.
+            from sz_tpu.tpu import hist_kernel as _hk
+            interp = backend in ("cpu", "raw")
+            tp = _blocked_pad_stream(t, dbs_t, -1)
+            hist = _hk.histogram(t.reshape(-1), interpret=interp)
+            n = int(np.prod(shape))
+            lat = _blocked_pad_stream(
+                jnp.arange(n, dtype=jnp.int32).reshape(shape), dbs_t, n)
+            esc_vals = _escape_values(tp, lat, data.reshape(-1))
+            return tp, hist, esc_vals, R, iters, t
+
         # fused epilogue (single device call: the tunnel's per-dispatch
         # latency dwarfs the compute): stream reorder + histogram +
         # escape gather.  Formulations chosen by TPU microbenchmarks
@@ -773,6 +842,20 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
 # escapes returned inline by the quantize epilogue, padded to this size;
 # streams with more escapes take one extra device call (_escapes_fn)
 ESC_K = 4096
+
+
+@functools.lru_cache(maxsize=16)
+def _lat_pad_fn(shape: tuple, block_size: int, backend: str = "cpu"):
+    """Cached device build of the lattice-index padded stream (the v2
+    analog of iperm: lattice flat index per padded-stream position,
+    holes = n)."""
+    g = _geom_small(shape, block_size)
+    n = int(np.prod(shape))
+    dbs_t = tuple(g["dbs"])
+    return _strict_jit(
+        lambda: _blocked_pad_stream(
+            jnp.arange(n, dtype=jnp.int32).reshape(shape), dbs_t, n),
+        backend)
 
 
 def _sorted_histogram(t_flat):
@@ -1457,17 +1540,38 @@ def compress(data, real_precision, *, max_range_radius: int,
     lc_full = np.zeros((g["nblocks"], spec.ncoeff), dtype=T)
     lc_full[np.flatnonzero(use_reg)] = qcoeffs
 
+    # pack2 path (SZ_TPU_PACK2=auto default: real-TPU backends): the
+    # quantize epilogue emits the gather-free padded stream + MXU
+    # histogram; the Huffman pack runs fully in-kernel.  force = also
+    # on CPU via interpret mode (parity tests); 0 = off.
+    p2mode = _os.environ.get("SZ_TPU_PACK2", "auto").lower()
+    use2 = (p2mode == "force"
+            or (p2mode == "auto" and be not in ("cpu", "raw")))
+    t_lat_d = tp_d = None
     with _tr.trace("quantize"):
-        t_stream_d, hist_d, esc_d, R, iters = _quantize_fn(
-            shape, dstr, spec.block_size, use_mean, be)(
-            dev, jax.device_put(lc_full), jax.device_put(use_reg),
-            tuple(dg["loc"]), dg["iperm"], T(rp), T(recip),
-            jnp.asarray(intervals, jnp.int32), T(mean))
+        if use2:
+            tp_d, hist_d, esc_d, R, iters, t_lat_d = _quantize_fn(
+                shape, dstr, spec.block_size, use_mean, be, "v2")(
+                dev, jax.device_put(lc_full), jax.device_put(use_reg),
+                tuple(dg["loc"]), dg["iperm"], T(rp), T(recip),
+                jnp.asarray(intervals, jnp.int32), T(mean))
+        else:
+            t_stream_d, hist_d, esc_d, R, iters = _quantize_fn(
+                shape, dstr, spec.block_size, use_mean, be)(
+                dev, jax.device_put(lc_full), jax.device_put(use_reg),
+                tuple(dg["loc"]), dg["iperm"], T(rp), T(recip),
+                jnp.asarray(intervals, jnp.int32), T(mean))
         hist = np.asarray(hist_d)
     n_esc = int(hist[0])
     with _tr.trace("escapes"):
         if n_esc <= ESC_K:
             unpred_arr = np.asarray(esc_d)[:n_esc]
+        elif use2:
+            k = _pad_pow2(n_esc)
+            unpred_arr = np.asarray(
+                _escapes_fn(shape, dstr, k, be)(
+                    dev, tp_d,
+                    _lat_pad_fn(shape, spec.block_size, be)()))[:n_esc]
         else:
             k = _pad_pow2(n_esc)
             unpred_arr = np.asarray(
@@ -1494,7 +1598,30 @@ def compress(data, real_precision, *, max_range_radius: int,
     # searchsorted+cumsum-difference 2.5 s; one 2-wide-payload scatter
     # 1.38 s — XLA's sorted scatter-add is the best formulation.)
     dev_pack = _os.environ.get("SZ_TPU_DEVICE_BITPACK", "1") != "0"
-    if dev_pack and 0 < max_len <= 32 and total_bits > 0:
+    win = None
+    if use2 and dev_pack and total_bits > 0:
+        from sz_tpu.tpu import pack_kernel as _pk
+        win = _pk.window_from_freq(freq, tables.code_len)
+    if win is not None:
+        # fully in-kernel pack over the padded -1-hole stream (pack2)
+        nbytes = (total_bits + 7) // 8
+        out_pad = _pad_pow2(nbytes + 8)
+        cut = min(out_pad, ((nbytes + 8 + (1 << 20) - 1) >> 20) << 20)
+        lo_w, Kw = win
+        len0 = int(tables.code_len[0]) if len(tables.code_len) else 0
+        code0 = (int(tables.code_hi[0] >> np.uint64(32))
+                 if len(tables.code_len) else 0)
+        np_len = padded_stream_len(shape, spec.block_size)
+        with _tr.trace("bitpack_device"):
+            words_d = _pk.pack2_bits(
+                tp_d, jnp.asarray(_pk.build_window_table(
+                    tables, lo_w, Kw)), lo_w, len0, code0,
+                np_len, out_pad,
+                interpret=be in ("cpu", "raw"))
+            packed = np.asarray(words_d[:cut // 4]).view(np.uint8)
+        encoded = packed[:nbytes].tobytes()
+        result_type = np.zeros(0, np.uint16)  # not needed downstream
+    elif dev_pack and 0 < max_len <= 32 and total_bits > 0:
         # device-side bit pack; download only the packed stream
         nbytes = (total_bits + 7) // 8
         out_pad = _pad_pow2(nbytes + 8)
@@ -1503,6 +1630,8 @@ def compress(data, real_precision, *, max_range_radius: int,
         # tunnel): slice to 1 MB granularity on device so the download
         # carries at most 1 MB of padding instead of up to 2x
         cut = min(out_pad, ((nbytes + 8 + (1 << 20) - 1) >> 20) << 20)
+        if use2:  # pack2 window fallback: compact stream from the lattice
+            t_stream_d = _stream_fn(shape, be)(t_lat_d, dg["iperm"])[0]
         with _tr.trace("bitpack_device"):
             packed_d = bitpack_fn(n, out_pad, be)(
                 t_stream_d, jax.device_put(tables.code_hi),
@@ -1512,6 +1641,9 @@ def compress(data, real_precision, *, max_range_radius: int,
         result_type = np.zeros(0, np.uint16)  # not needed downstream
     else:
         with _tr.trace("types_download"):
+            if use2:
+                t_stream_d = _stream_fn(shape, be)(t_lat_d,
+                                                   dg["iperm"])[0]
             result_type = np.asarray(t_stream_d)
 
     with _tr.trace("assemble"):

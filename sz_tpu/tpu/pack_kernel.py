@@ -332,14 +332,6 @@ _REV7 = np.array([int(f"{i:07b}"[::-1], 2) for i in range(128)],
                  dtype=np.int32)
 
 
-@functools.lru_cache(maxsize=1)
-def _brevmat() -> np.ndarray:
-    """(128,128) original flat index of the element that lands at
-    (row, lane) after the brev14 permutation (brev is an involution)."""
-    j = np.arange(S2, dtype=np.int64).reshape(128, 128)
-    return _brev(S2)[j].astype(np.int32)
-
-
 def _lane_gather(x, idx):
     """out[i, j] = x[i, idx[i, j]] — Mosaic dynamic lane gather."""
     return jax.lax.gather(
@@ -351,10 +343,10 @@ def _lane_gather(x, idx):
         (1, 1), mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
 
-def _make_kernel2(n: int, K: int, OW: int, WR: int):
+def _make_kernel2(K: int, OW: int, WR: int):
     S = S2
 
-    def kernel(zero_ref, params_ref, rev_ref, brevmat_ref, tbl_ref,
+    def kernel(zero_ref, params_ref, rev_ref, tbl_ref,
                sym_ref, out_hbm, win, acc, sem_r, sem_w):
         del zero_ref  # aliased to out_hbm; exists only to zero-init it
         c = pl.program_id(0)
@@ -380,8 +372,10 @@ def _make_kernel2(n: int, K: int, OW: int, WR: int):
         rev = jnp.broadcast_to(rev_ref[...][:1], (128, 128))
         sqb = _lane_gather(_lane_gather(sq, rev).T, rev)
 
-        # windowed table lookup (code<<(32-len) | len), escape symbol 0
-        # and tail padding handled by selects
+        # windowed table lookup (code<<(32-len) | len); the escape
+        # symbol 0 is handled by a select, and NEGATIVE symbols (the
+        # callers' padding/hole sentinel) match no window row and fall
+        # out with a zero-length zero code, i.e. contribute no bits
         widx = sqb - lo
         wlane = widx & jnp.int32(127)
         wrow = widx >> 7
@@ -396,11 +390,6 @@ def _make_kernel2(n: int, K: int, OW: int, WR: int):
         is0 = sqb == jnp.int32(0)
         lens = jnp.where(is0, len0, lens)
         c32 = jnp.where(is0, code0, c32)
-        if n % S != 0:  # tail chunk padding (original position >= n)
-            valid = (brevmat_ref[...] + c * jnp.int32(S)
-                     ) < jnp.int32(n)
-            lens = jnp.where(valid, lens, jnp.int32(0))
-            c32 = jnp.where(valid, c32, jnp.uint32(0))
         # two single-axis keepdims sums: Mosaic's multi-axis/scalar
         # reduce proxies re-trace jnp.sum WITHOUT promote_integers=False
         # and make an (unsupported) int64 under the engine's x64 mode.
@@ -452,11 +441,11 @@ def _make_kernel2(n: int, K: int, OW: int, WR: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _pack2_call(C: int, n: int, K: int, R8: int, interpret: bool):
+def _pack2_call(C: int, K: int, R8: int, interpret: bool):
     S = S2
     OW = S + 128
     WR = (OW + 1023) // 1024 + 1                    # roll adds < 1024 w
-    kernel = _make_kernel2(n, K, OW, WR)
+    kernel = _make_kernel2(K, OW, WR)
     z = np.int32(0)
     return pl.pallas_call(
         kernel,
@@ -466,7 +455,6 @@ def _pack2_call(C: int, n: int, K: int, R8: int, interpret: bool):
             pl.BlockSpec((4,), lambda c: (z,),
                          memory_space=pltpu.SMEM),  # lo, len0, code0
             pl.BlockSpec((8, 128), lambda c: (z, z)),   # rev7 rows
-            pl.BlockSpec((128, 128), lambda c: (z, z)),  # brev positions
             pl.BlockSpec((K, 128), lambda c: (z, z)),   # window table
             pl.BlockSpec((1, 1, S), lambda c: (c, z, z)),  # symbols
         ],
@@ -541,14 +529,17 @@ def pack2_bits(t_stream, window_tbl, lo: int, len0: int, code0_c32: int,
 
     sym = t_stream.astype(jnp.int32)
     if n_pad > n:
-        sym = jnp.concatenate([sym, jnp.zeros((n_pad - n,), jnp.int32)])
+        # -1 sentinel: matches no window row in-kernel -> zero-length
+        # code -> contributes no bits (callers may likewise embed -1
+        # holes anywhere in the stream, e.g. ragged-block padding)
+        sym = jnp.concatenate(
+            [sym, jnp.full((n_pad - n,), -1, jnp.int32)])
     code0_i32 = int(np.uint32(code0_c32).view(np.int32))
     params = jnp.asarray([lo, len0, code0_i32, 0], jnp.int32)
     rev = jnp.asarray(np.broadcast_to(_REV7, (8, 128)))
-    words = _pack2_call(C, n, K, R8, interpret)(
+    words = _pack2_call(C, K, R8, interpret)(
         jnp.zeros((R8, 8, 128), jnp.uint32), params, rev,
-        jnp.asarray(_brevmat()), window_tbl.astype(jnp.uint32),
-        sym.reshape(C, 1, S))
+        window_tbl.astype(jnp.uint32), sym.reshape(C, 1, S))
     # byte-swap in u32 space: a bitcast to (nwords, 4) u8 would get a
     # T(8,128)-tiled layout whose dim-1 pads 4 -> 128 (32x HBM blow-up
     # at 2^27 symbols).  The returned u32 array holds the big-endian

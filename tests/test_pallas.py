@@ -252,3 +252,39 @@ def test_pack2_window_fallback():
     assert pk.window_from_freq(freq2, lens2) is None
     lens2[150] = 26
     assert pk.window_from_freq(freq2, lens2) == (100, 1)
+
+
+def test_hist_kernel_matches_bincount():
+    """MXU one-hot histogram kernel (tpu/hist_kernel.py) vs bincount,
+    including negative (padding) symbols and a non-chunk-multiple n."""
+    from sz_tpu.tpu import hist_kernel as hk
+    rng = np.random.default_rng(3)
+    sym = rng.integers(0, 65536, 20000).astype(np.int32)
+    got = np.asarray(hk.histogram(sym, interpret=True))
+    ref = np.bincount(sym, minlength=65536)
+    np.testing.assert_array_equal(got, ref)
+    # explicit negatives are dropped
+    sym2 = sym.copy()
+    sym2[::7] = -1
+    got2 = np.asarray(hk.histogram(sym2, interpret=True))
+    ref2 = np.bincount(sym2[sym2 >= 0], minlength=65536)
+    np.testing.assert_array_equal(got2, ref2)
+
+
+def test_engine_pack2_path(monkeypatch):
+    """SZ_TPU_PACK2=force routes engine.compress through the v2
+    epilogue (padded -1-hole stream + MXU histogram) and the pack2
+    kernel (interpret mode on CPU) — byte output must stay identical
+    to the numpy oracle.  Shape chosen non-block-aligned so late-block
+    holes are exercised."""
+    import numpy as np
+    from sz_tpu.core import regnd
+
+    monkeypatch.setenv("SZ_TPU_PACK2", "force")
+    rng = np.random.default_rng(8)
+    data = (np.sin(np.linspace(0, 9, 25 * 14 * 20, dtype=np.float32))
+            + 0.05 * rng.standard_normal(25 * 14 * 20)
+            ).astype(np.float32).reshape(25, 14, 20)
+    a = regnd.compress(data, 1e-3, **KW)
+    b = engine.compress(data, 1e-3, **KW)
+    assert a.body == b.body
