@@ -867,15 +867,18 @@ def _sorted_histogram(t_flat):
 
 
 def _escape_values(t_stream, iperm, data_flat):
-    """First ESC_K escape values in stream order, zero-padded.  The
-    escape ranks come from a cumsum; indices scatter into a compact
-    table (no data-dependent nonzero)."""
+    """First ESC_K escape values in stream order, zero-padded.
+
+    The r-th escape's stream index is searchsorted(cumsum(is_esc),
+    r+1): K binary searches over the sorted cumsum — ~K*log(n) vector
+    gathers.  The earlier full-stream index scatter measured ~160 ms at
+    2^24 on v5e (TPU scatters are ~9 ns/element); this is ~1 ms."""
     n = t_stream.shape[0]
     is_esc = t_stream == 0
-    rank = jnp.cumsum(is_esc.astype(jnp.int32)) - 1
-    idx = jnp.where(is_esc, jnp.minimum(rank, ESC_K), ESC_K)
-    esc_stream_idx = jnp.full((ESC_K + 1,), n, jnp.int32).at[idx].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")[:ESC_K]
+    cum = jnp.cumsum(is_esc.astype(jnp.int32))
+    esc_stream_idx = jnp.searchsorted(
+        cum, jnp.arange(1, ESC_K + 1, dtype=jnp.int32), side="left")
+    # ranks past the escape count return n -> OOB -> fill
     lat = jnp.take(iperm, esc_stream_idx, mode="fill", fill_value=n)
     return jnp.take(data_flat, lat, mode="fill", fill_value=0.0)
 
@@ -1129,14 +1132,13 @@ def _escapes_fn(shape: tuple, dtype_str: str, k: int, backend: str = "cpu"):
 
     def f(data, t_stream, iperm):
         n = t_stream.shape[0]
-        # cumsum + index scatter, NOT jnp.nonzero(size=...): nonzero is
-        # ~14x slower on v5e (it sorts); same formulation as
-        # _escape_values above
+        # cumsum + searchsorted (same formulation as _escape_values:
+        # k binary searches, no full-stream scatter and no
+        # jnp.nonzero(size=...), which sorts and is ~14x slower)
         is_esc = t_stream == 0
-        rank = jnp.cumsum(is_esc.astype(jnp.int32)) - 1
-        idx = jnp.where(is_esc, jnp.minimum(rank, k), k)
-        esc_idx = jnp.full((k + 1,), n, jnp.int32).at[idx].set(
-            jnp.arange(n, dtype=jnp.int32), mode="drop")[:k]
+        cum = jnp.cumsum(is_esc.astype(jnp.int32))
+        esc_idx = jnp.searchsorted(
+            cum, jnp.arange(1, k + 1, dtype=jnp.int32), side="left")
         lat = jnp.take(iperm, esc_idx, mode="fill", fill_value=n)
         return jnp.take(data.reshape(-1), lat, mode="fill", fill_value=0.0)
 
