@@ -212,6 +212,70 @@ def padded_stream_len(shape: tuple, block_size: int) -> int:
     return int(np.prod([db.num * db.early for db in g["dbs"]]))
 
 
+def _axis_merge(x, axis: int, db):
+    """Inverse of _axis_split: collapse the (db.num, db.early) pair of
+    dims at `axis` back to the original length db.r, dropping the late
+    blocks' pad holes."""
+    E, L, sp, num = db.early, db.late, db.split, db.num
+    pre, post = x.shape[:axis], x.shape[axis + 2:]
+    if sp == 0:
+        return x.reshape(pre + (num * L,) + post)
+    head = jax.lax.slice_in_dim(x, 0, sp, axis=axis).reshape(
+        pre + (sp * E,) + post)
+    tail = jax.lax.slice_in_dim(x, sp, num, axis=axis)
+    tail = jax.lax.slice_in_dim(tail, 0, L, axis=axis + 1).reshape(
+        pre + ((num - sp) * L,) + post)
+    return jnp.concatenate([head, tail], axis=axis)
+
+
+def _blocked_unpad_lattice(tp, dbs, shape: tuple):
+    """Inverse of _blocked_pad_stream: padded block-major stream ->
+    lattice, dropping the holes.  Pure reshape/transpose/slice/concat —
+    the gather-free decode-side analog of jnp.take(stream, pos)."""
+    rank = len(shape)
+    dims = [db.num for db in dbs] + [db.early for db in dbs]
+    x = tp.reshape(dims)
+    if rank == 3:
+        x = x.transpose(0, 3, 1, 4, 2, 5)
+    else:
+        x = x.transpose(0, 2, 1, 3)
+    for ax in range(rank):
+        x = _axis_merge(x, ax, dbs[ax])
+    return x
+
+
+@functools.lru_cache(maxsize=16)
+def _host_pad_maps(shape: tuple, block_size: int):
+    """Host-side padded-stream geometry: (valid, n_pad) where `valid`
+    is the padded-stream positions holding real points, in stream
+    order — so padded[valid] = compact_stream inserts the holes."""
+    g = _geom_small(shape, block_size)
+    rank = len(shape)
+    x = np.ones(shape, np.uint8)
+    for ax in range(rank - 1, -1, -1):
+        db = g["dbs"][ax]
+        E, L, sp, num = db.early, db.late, db.split, db.num
+        pre = x.shape[:ax]
+        post = x.shape[ax + 1:]
+        if sp == 0:
+            x = x.reshape(pre + (num, L) + post)
+        else:
+            head = x[(slice(None),) * ax + (slice(0, sp * E),)].reshape(
+                pre + (sp, E) + post)
+            tail = x[(slice(None),) * ax + (slice(sp * E, db.r),)].reshape(
+                pre + (num - sp, L) + post)
+            padw = ([(0, 0)] * (ax + 1) + [(0, E - L)]
+                    + [(0, 0)] * len(post))
+            tail = np.pad(tail, padw)
+            x = np.concatenate([head, tail], axis=ax)
+    if rank == 3:
+        x = x.transpose(0, 2, 4, 1, 3, 5)
+    else:
+        x = x.transpose(0, 2, 1, 3)
+    flat = x.reshape(-1)
+    return np.flatnonzero(flat).astype(np.int64), flat.size
+
+
 @functools.lru_cache(maxsize=16)
 def _dev_geom(shape: tuple, block_size: int, backend: str = "cpu"):
     """Device-resident geometry lattices (cached jit of `lattices`)."""
@@ -1402,8 +1466,32 @@ def _delattice_fn(shape: tuple, dtype_str: str, k: int,
 
 def unpack_w_bits(packed, n: int, w: int):
     """Traceable device unpack of an MSB-first fixed-width bit stream
-    (native.pack_wide_bits_u32 counterpart): two u32 word gathers +
-    shifts per symbol — pure VPU work, no scatter.  Returns int32."""
+    (native.pack_wide_bits_u32 counterpart), gather-free: a row of w
+    words holds exactly 32 symbols, and symbol j's word index and shift
+    within the row are STATIC — 32 column extracts + shifts replace the
+    two per-symbol word gathers (XLA gathers cost ~9 ns/element on
+    v5e: ~300 ms at 2^24; this is pure VPU work).  Returns int32."""
+    assert 1 <= w <= 31
+    m = -(-n // 32)                     # rows of w words / 32 symbols
+    need = m * w
+    if packed.shape[0] < need:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((need - packed.shape[0],), jnp.uint32)])
+    rows = packed[:need].reshape(m, w)
+    cols = []
+    for j in range(32):
+        bit = j * w
+        wi, sh = bit >> 5, bit & 31
+        v = rows[:, wi] << jnp.uint32(sh)
+        if sh + w > 32:                 # field crosses into word wi+1
+            v = v | (rows[:, wi + 1] >> jnp.uint32(32 - sh))
+        cols.append(v >> jnp.uint32(32 - w))
+    out = jnp.stack(cols, axis=1).reshape(-1)
+    return out[:n].astype(jnp.int32)
+
+
+def _unpack_w_bits_gather(packed, n: int, w: int):
+    """Gather-based unpack (kept for reference/fallback)."""
     ot = jnp.int64 if n * w >= (1 << 31) else jnp.int32
     o = jnp.arange(n, dtype=ot) * w
     w0 = (o >> 5).astype(jnp.int32)
@@ -1436,6 +1524,44 @@ def _delattice_packed_fn(shape: tuple, dtype_str: str, k: int, w: int,
         t_lat = jnp.take(t_stream, pos.reshape(-1)).reshape(shape)
         esc_stream = jnp.nonzero(t_stream == 0, size=k, fill_value=n)[0]
         lat_idx = jnp.take(iperm, esc_stream, mode="fill", fill_value=n)
+        unpred_lat = jnp.zeros((n,), T).at[lat_idx].set(
+            unpred_pad, mode="drop").reshape(shape)
+        return t_lat, unpred_lat
+
+    return _strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=32)
+def _delattice2_fn(shape: tuple, dtype_str: str, block_size: int,
+                   k: int, w: int, backend: str = "cpu"):
+    """Gather-free decode-side staging (the v2 / pack2-era analog of
+    _delattice_packed_fn): the host inserts the late-block holes into
+    the type stream (value 1 — any nonzero works: holes land in the
+    sliced-away pad region and must only not read as escapes) and
+    bit-packs the PADDED stream; the device unpacks (gather-free
+    unpack_w_bits), recovers the lattice with the inverse blocked
+    transpose (pure reshape/transpose ops — no per-point take(pos)
+    gather), and places escapes via searchsorted.  w=0 means a raw
+    uint16 upload of the padded stream."""
+    T = jnp.dtype(dtype_str)
+    n = int(np.prod(shape))
+    g = _geom_small(shape, block_size)
+    dbs_t = tuple(g["dbs"])
+    n_pad = padded_stream_len(shape, block_size)
+
+    def f(packed, unpred_pad):
+        if w:
+            tp = unpack_w_bits(packed, n_pad, w)
+        else:
+            tp = packed.astype(jnp.int32)
+        t_lat = _blocked_unpad_lattice(tp, dbs_t, shape)
+        is_esc = tp == 0
+        cum = jnp.cumsum(is_esc.astype(jnp.int32))
+        esc_idx = jnp.searchsorted(
+            cum, jnp.arange(1, k + 1, dtype=jnp.int32), side="left")
+        lat = _blocked_pad_stream(
+            jnp.arange(n, dtype=jnp.int32).reshape(shape), dbs_t, n)
+        lat_idx = jnp.take(lat, esc_idx, mode="fill", fill_value=n)
         unpred_lat = jnp.zeros((n,), T).at[lat_idx].set(
             unpred_pad, mode="drop").reshape(shape)
         return t_lat, unpred_lat
@@ -1685,8 +1811,33 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
     # hosts; SZ_TPU_PACKED_TYPES=0 uploads raw u16 instead
     w = int(max(int(p.types.max(initial=0)), 1)).bit_length()
     packed_ok = w < 16 and packed_types_enabled()
+    # v2 (gather-free) staging: the host inserts the late-block holes
+    # so the device needs only the inverse blocked transpose — no
+    # per-point take(pos) gather and no per-symbol unpack gathers
+    # (same policy knob as the encode side)
+    p2mode = _os.environ.get("SZ_TPU_PACK2", "auto").lower()
+    use2 = (p2mode == "force"
+            or (p2mode == "auto" and be not in ("cpu", "raw")))
     with _tr.trace("delattice"):
-        if packed_ok:
+        if use2:
+            valid, n_pad = _host_pad_maps(shape, spec.block_size)
+            if n_pad == len(p.types):   # no late-block holes
+                tp_host = np.asarray(p.types, np.uint16)
+            else:
+                tp_host = np.ones(n_pad, np.uint16)  # holes: nonzero
+                tp_host[valid] = p.types
+            if packed_ok:
+                from sz_tpu import native as _nat
+                packed = _nat.pack_wide_bits_u32(
+                    tp_host.astype(np.int32), w)
+                t_lat, unpred_lat = _delattice2_fn(
+                    shape, dstr, spec.block_size, k, w, be)(
+                    jax.device_put(packed), jax.device_put(unpred_pad))
+            else:
+                t_lat, unpred_lat = _delattice2_fn(
+                    shape, dstr, spec.block_size, k, 0, be)(
+                    jax.device_put(tp_host), jax.device_put(unpred_pad))
+        elif packed_ok:
             from sz_tpu import native as _nat
             packed = _nat.pack_wide_bits_u32(
                 np.asarray(p.types, np.int32), w)

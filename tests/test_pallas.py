@@ -288,3 +288,8 @@ def test_engine_pack2_path(monkeypatch):
     a = regnd.compress(data, 1e-3, **KW)
     b = engine.compress(data, 1e-3, **KW)
     assert a.body == b.body
+    # decode side: v2 gather-free delattice (hole insertion + inverse
+    # blocked transpose + searchsorted escapes) stays bit-identical
+    oa = regnd.decompress(a.body, data.shape, np.float32)
+    ob = engine.decompress(a.body, data.shape, np.float32)
+    np.testing.assert_array_equal(oa.view(np.uint32), ob.view(np.uint32))
