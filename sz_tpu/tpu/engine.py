@@ -730,8 +730,8 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
         # (2^20) asks 119.9M and fails — hence the cap.  Planes past
         # it take the XLA plane-scan below, which streams planes
         # through HBM.
-        nyp8 = -(-shape[1] // 8) * 8 if rank == 3 else 0
-        nzp = -(-shape[2] // 128) * 128 if rank == 3 else 0
+        nyp8 = -(-shape[-2] // 8) * 8 if rank >= 2 else 0
+        nzp = -(-shape[-1] // 128) * 128 if rank >= 2 else 0
         pad_plane = nyp8 * nzp
         plane_cap = int(_os.environ.get("SZ_TPU_PALLAS_MAX_PLANE",
                                         768 * 1024))
@@ -745,7 +745,12 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
         # _quantize_fn.cache_clear() (tests do this).
         strip_cap = int(_os.environ.get("SZ_TPU_PALLAS_MAX_PLANE_STRIP",
                                         16 * 1024 * 1024))
-        pallas_ok = (rank == 3 and T == jnp.float32
+        # rank 2 rides the SAME plane kernels as one x-plane with a
+        # zero previous plane: the 3-D plane stencil with Q=0 reduces
+        # exactly to the 2-D Lorenzo (engine._lorenzo_pred rank-2),
+        # retiring the full-lattice XLA while_loop (~nx+ny sweeps over
+        # the whole field) on the 2-D CESM-shape encode path
+        pallas_ok = (rank in (2, 3) and T == jnp.float32
                      and (mode == "force"
                           or (mode == "auto"
                               and backend not in ("cpu", "raw"))))
@@ -763,18 +768,22 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
             interp = backend in ("cpu", "raw")
             if use_strip:
                 H = _pk.strip_height(nyp8, nzp)
-                py = -(-nyp8 // H) * H - shape[1]
+                py = -(-nyp8 // H) * H - shape[-2]
             else:
                 H = 0
-                py = nyp8 - shape[1]
-            pz = nzp - shape[2]
+                py = nyp8 - shape[-2]
+            pz = nzp - shape[-1]
+            planes = (data, t_reg, rec_reg, reg_pts, mm)
+            if rank == 2:
+                planes = tuple(a[None] for a in planes)
             if py or pz:
                 padw = ((0, 0), (0, py), (0, pz))
-                args = (jnp.pad(data, padw, mode="edge"),
-                        jnp.pad(t_reg, padw), jnp.pad(rec_reg, padw),
-                        jnp.pad(reg_pts, padw), jnp.pad(mm, padw))
+                args = tuple(
+                    jnp.pad(a, padw, mode="edge" if i == 0 else
+                            "constant")
+                    for i, a in enumerate(planes))
             else:
-                args = (data, t_reg, rec_reg, reg_pts, mm)
+                args = planes
             if use_strip:
                 t, R, iters = _pk.strip_quantize(
                     *args, rp, recip, cap_szf, radius, mean, H=H,
@@ -784,8 +793,11 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
                     *args, rp, recip, cap_szf, radius, mean,
                     use_mean=use_mean, interpret=interp)
             if py or pz:
-                t = t[:, :shape[1], :shape[2]]
-                R = R[:, :shape[1], :shape[2]]
+                t = t[:, :shape[-2], :shape[-1]]
+                R = R[:, :shape[-2], :shape[-1]]
+            if rank == 2:
+                t = t[0]
+                R = R[0]
         elif rank == 3:
             # plane-scan encode: the x-recurrence is strictly forward, so
             # scan over x-planes and run the per-plane 2D fixpoint with

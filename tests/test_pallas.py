@@ -293,3 +293,25 @@ def test_engine_pack2_path(monkeypatch):
     oa = regnd.decompress(a.body, data.shape, np.float32)
     ob = engine.decompress(a.body, data.shape, np.float32)
     np.testing.assert_array_equal(oa.view(np.uint32), ob.view(np.uint32))
+
+
+def test_plane_quantize_2d(monkeypatch):
+    """Rank-2 fields ride the 3-D plane kernel as a single x-plane
+    (zero previous plane == the 2-D Lorenzo stencil); byte parity with
+    the XLA/oracle path, including the ragged-padding branch."""
+    import numpy as np
+    from sz_tpu.core import regnd
+
+    monkeypatch.setenv("SZ_TPU_PALLAS", "force")
+    engine._quantize_fn.cache_clear()
+    try:
+        rng = np.random.default_rng(13)
+        base = (np.sin(np.linspace(0, 20, 200 * 216, dtype=np.float32))
+                + 0.05 * rng.standard_normal(200 * 216)
+                ).astype(np.float32).reshape(200, 216)
+        for d in (base, np.ascontiguousarray(base[:150, :130])):
+            a = regnd.compress(d, 1e-3, **KW)
+            b = _compress_with_mode("force", d, 1e-3)
+            assert a.body == b.body
+    finally:
+        engine._quantize_fn.cache_clear()
