@@ -60,6 +60,24 @@ from sz_tpu.tpu import engine
 AXIS = "slabs"
 NBINS = 65536
 
+
+def _pmap_host(fn, n: int):
+    """Run fn(i) for i in range(n) on a thread pool, ordered results.
+
+    The per-slab host stages (coefficient finalize/chain, native
+    Huffman tree build, byte assembly) are numpy/ctypes-bound and
+    release the GIL, so threads keep the host tail ~O(1) in slab count
+    up to core count instead of a linear Python loop (the reference's
+    analog work is the per-thread section of sz_omp.c:165-193).
+    SZ_TPU_HOST_THREADS=1 restores the serial loop."""
+    import os as _o
+    k = int(_o.environ.get("SZ_TPU_HOST_THREADS", _o.cpu_count() or 1))
+    if n <= 1 or k <= 1:
+        return [fn(i) for i in range(n)]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(k, n)) as ex:
+        return list(ex.map(fn, range(n)))
+
 _DTYPE_MAP = {np.dtype(np.float32): DataType.FLOAT,
               np.dtype(np.float64): DataType.DOUBLE}
 
@@ -338,9 +356,9 @@ def compress_sharded(data, cfg: SZConfig = DEFAULT_CONFIG,
 
     # --- stage 1: coefficient sums (device) + finalize (host) ------------
     sums = np.asarray(sums_st(dev))  # (n_dev, nblocks, ncoeff)
-    coeffs = np.stack([
-        engine._finalize_coeffs(sums[i], lshape, bs, T)
-        for i in range(n_devices)])
+    coeffs = np.stack(_pmap_host(
+        lambda i: engine._finalize_coeffs(sums[i], lshape, bs, T),
+        n_devices))
 
     # --- per-slab interval optimizer / mean ------------------------------
     # (host-sampled for numpy input; sharded device gathers + host f64
@@ -415,10 +433,11 @@ def compress_sharded(data, cfg: SZConfig = DEFAULT_CONFIG,
                                    mean_arr, use_mean))
 
     # --- coefficient delta chain (host, serial per slab) -----------------
-    chains = [regnd.quantize_coeff_chain(coeffs[i], use_reg[i],
-                                         T(params[i][3]), dbs, spec,
-                                         bool(use_mean[i]))
-              for i in range(n_devices)]
+    chains = _pmap_host(
+        lambda i: regnd.quantize_coeff_chain(coeffs[i], use_reg[i],
+                                             T(params[i][3]), dbs, spec,
+                                             bool(use_mean[i])),
+        n_devices)
     lc_full = np.zeros((n_devices, nblocks, spec.ncoeff), dtype=T)
     for i in range(n_devices):
         lc_full[i][np.flatnonzero(use_reg[i])] = chains[i][2]
@@ -431,9 +450,7 @@ def compress_sharded(data, cfg: SZConfig = DEFAULT_CONFIG,
     esc = np.asarray(esc_d)
 
     # --- host: per-slab Huffman tables -----------------------------------
-    tables, freqs, nbytes = [], [], []
-    host_encode = []
-    for i in range(n_devices):
+    def _tree(i):
         state_num = 2 * int(intervals[i])
         freq = np.zeros(2 * state_num, np.int64)
         m = min(NBINS, 2 * state_num)
@@ -442,10 +459,14 @@ def compress_sharded(data, cfg: SZConfig = DEFAULT_CONFIG,
         max_len = int(tb.code_len.max()) if tb.code_len.size else 0
         total_bits = int((freq[:len(tb.code_len)]
                           * tb.code_len.astype(np.int64)).sum())
-        tables.append(tb)
-        freqs.append(freq)
-        nbytes.append((total_bits + 7) // 8)
-        host_encode.append(not (0 < max_len <= 32 and total_bits > 0))
+        return (tb, freq, (total_bits + 7) // 8,
+                not (0 < max_len <= 32 and total_bits > 0))
+
+    trees = _pmap_host(_tree, n_devices)
+    tables = [t[0] for t in trees]
+    freqs = [t[1] for t in trees]
+    nbytes = [t[2] for t in trees]
+    host_encode = [t[3] for t in trees]
 
     # --- stage 4: bit pack (device, per-slab tables) ---------------------
     smax = max(len(tb.code_hi) for tb in tables)
@@ -464,8 +485,7 @@ def compress_sharded(data, cfg: SZConfig = DEFAULT_CONFIG,
     packed = np.asarray(packed_d[:, :cut])
 
     # --- host: per-slab assembly + container ------------------------------
-    payloads = []
-    for i in range(n_devices):
+    def _assemble(i):
         fmin, fmax, _vr, rp, _em, hdr_cfg, _ri = params[i]
         rp = T(rp)
         n_esc = int(hist[i][0])
@@ -498,10 +518,11 @@ def compress_sharded(data, cfg: SZConfig = DEFAULT_CONFIG,
         # materializes it only when the fallback actually triggers
         flat_i = (dev[int(starts[i]):int(starts[i + 1])].reshape(-1)
                   if slabs is None else slabs[i].reshape(-1))
-        payloads.append(api._frame_regression_stream(
+        return api._frame_regression_stream(
             cfg, hdr_cfg, dt, fmin, fmax, flat_i,
-            int(np.prod(lshape0)), res))
+            int(np.prod(lshape0)), res)
 
+    payloads = _pmap_host(_assemble, n_devices)
     return ra.build_container(shape, data.dtype, starts, payloads)
 
 
