@@ -360,13 +360,9 @@ def compress_1d_ts_device(flat_dev, prev_dev, real_precision, value_range,
                       * tables.code_len.astype(np.int64)).sum())
     if 0 < max_len <= 32 and total_bits > 0:
         nbytes = (total_bits + 7) // 8
-        out_pad = _pad_pow2(nbytes + 8)
-        cut = min(out_pad, ((nbytes + 8 + (1 << 20) - 1) >> 20) << 20)
         be = _eng.jax.default_backend()
-        packed_d = _eng.bitpack_fn(n, out_pad, be)(
-            t_d, jax.device_put(tables.code_hi),
-            jax.device_put(tables.code_len.astype(np.int32)))
-        body = np.asarray(packed_d[:cut])[:nbytes].tobytes()
+        body = _eng.pack_stream_device(t_d, tables, freq, n, nbytes,
+                                       be)[:nbytes].tobytes()
     else:  # pragma: no cover - pathological trees
         body = huffman.encode(tables, np.asarray(t_d).astype(np.int32))
     type_array = (bu.u32_be(tables.node_count)

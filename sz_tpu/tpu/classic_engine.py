@@ -394,11 +394,9 @@ def compress(data: np.ndarray, real_precision: float, value_range,
     dev_pack = eng._os.environ.get("SZ_TPU_DEVICE_BITPACK", "1") != "0"
     if dev_pack and 0 < max_len <= 32 and total_bits > 0:
         nbytes = (total_bits + 7) // 8
-        out_pad = eng._pad_pow2(nbytes + 8)
         with _tr.trace("bitpack_device"):
-            packed = np.asarray(eng.bitpack_fn(n, out_pad, be)(
-                t_stream_d, jax.device_put(tables.code_hi),
-                jax.device_put(tables.code_len.astype(np.int32))))
+            packed = eng.pack_stream_device(t_stream_d, tables, freq,
+                                            n, nbytes, be)
         body = packed[:nbytes].tobytes()
     else:
         with _tr.trace("types_download"):

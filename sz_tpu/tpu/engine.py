@@ -1179,6 +1179,41 @@ def _default_backend() -> str:
         return "cpu"
 
 
+def pack_stream_device(t_stream_d, tables, freq, n: int, nbytes: int,
+                       backend: str) -> np.ndarray:
+    """Device Huffman pack of an in-order type stream (no holes
+    required; -1 entries are legal and emit nothing): pack2 — the
+    fully in-kernel pack — when the code table fits a window, else the
+    scatter-add pack.  Shared by the classic (SZ1.4), temporal and RA
+    engines.  Returns >= nbytes uint8 (1 MB-granularity download cut,
+    see compress())."""
+    out_pad = _pad_pow2(nbytes + 8)
+    cut = min(out_pad, ((nbytes + 8 + (1 << 20) - 1) >> 20) << 20)
+    p2mode = _os.environ.get("SZ_TPU_PACK2", "auto").lower()
+    use2 = (p2mode == "force"
+            or (p2mode == "auto" and backend not in ("cpu", "raw")
+                and _default_backend() != "cpu"))
+    if use2:
+        from sz_tpu.tpu import pack_kernel as _pk
+        win = _pk.window_from_freq(freq, tables.code_len)
+        if win is not None:
+            lo_w, kw = win
+            has0 = len(tables.code_len) > 0
+            len0 = int(tables.code_len[0]) if has0 else 0
+            code0 = (int(tables.code_hi[0] >> np.uint64(32))
+                     if has0 else 0)
+            words_d = _pk.pack2_bits(
+                t_stream_d,
+                jnp.asarray(_pk.build_window_table(tables, lo_w, kw)),
+                lo_w, len0, code0, n, out_pad,
+                interpret=backend in ("cpu", "raw"))
+            return np.asarray(words_d[:cut // 4]).view(np.uint8)
+    packed_d = bitpack_fn(n, out_pad, backend)(
+        t_stream_d, jax.device_put(tables.code_hi),
+        jax.device_put(tables.code_len.astype(np.int32)))
+    return np.asarray(packed_d[:cut])
+
+
 def bitpack_fn(n: int, out_bytes: int, backend: str = "cpu"):
     """Pick the device bit-pack formulation.
 
