@@ -1462,6 +1462,21 @@ def _optimizer_host_tail(mv, cur, pred, n_mean, n_samp, real_precision,
                        max_range_radius, pred_threshold, T)
 
 
+@functools.lru_cache(maxsize=32)
+def _opt_gather_cat_fn(shape: tuple, dtype_str: str,
+                       backend: str = "cpu"):
+    """_opt_gather_fn with the three sample vectors concatenated into
+    ONE array: a single D2H transfer instead of three (each download
+    pays the link round-trip; ~2 MB of samples at 256^3)."""
+    g = _opt_gather_fn(shape, dtype_str, "raw")
+
+    def f(flat, midx, sidx):
+        mv, cur, pred = g(flat, midx, sidx)
+        return jnp.concatenate([mv, cur, pred])
+
+    return _strict_jit(f, backend)
+
+
 def _device_optimizer(dev, shape, rank, real_precision, max_range_radius,
                       sample_distance, pred_threshold, T, dstr, be):
     """Interval optimizer for device-resident input: walk indices are
@@ -1469,12 +1484,13 @@ def _device_optimizer(dev, shape, rank, real_precision, max_range_radius,
     histogram/selection tail is the shared host implementation."""
     midx, sidx = _opt_walks(shape, rank, sample_distance)
     it = np.int32 if int(np.prod(shape)) < (1 << 31) else np.int64
-    mv, cur, pred = _opt_gather_fn(shape, dstr, be)(
+    cat = np.asarray(_opt_gather_cat_fn(shape, dstr, be)(
         dev.reshape(-1), jax.device_put(midx.astype(it)),
-        jax.device_put(sidx.astype(it)))
+        jax.device_put(sidx.astype(it))))
+    nm, ns = len(midx), len(sidx)
     return _optimizer_host_tail(
-        np.asarray(mv), np.asarray(cur), np.asarray(pred), len(midx),
-        len(sidx), real_precision, max_range_radius, pred_threshold, T)
+        cat[:nm], cat[nm:nm + ns], cat[nm + ns:], nm,
+        ns, real_precision, max_range_radius, pred_threshold, T)
 
 
 def _device_dense_mean(dev, n, dense_pos, rp, T, dstr, be):
