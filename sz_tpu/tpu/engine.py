@@ -278,7 +278,10 @@ def _host_pad_maps(shape: tuple, block_size: int):
 
 @functools.lru_cache(maxsize=16)
 def _dev_geom(shape: tuple, block_size: int, backend: str = "cpu"):
-    """Device-resident geometry lattices (cached jit of `lattices`)."""
+    """Device-resident geometry lattices (cached jit of `lattices`).
+    Only the v1 (gather-based) stream paths need the full n-sized
+    pos/iperm lattices — the v2 pipeline uses _dev_loc instead (at
+    512^3 these are 3 x 0.5 GB of HBM and a multi-second build)."""
     g = _geom_small(shape, block_size)
     bflat, pos, iperm = _strict_jit(
         lambda: lattices(shape, block_size), backend)()
@@ -288,6 +291,14 @@ def _dev_geom(shape: tuple, block_size: int, backend: str = "cpu"):
         "iperm": iperm,
         "loc": [jax.device_put(l) for l in g["loc"]],
     }
+
+
+@functools.lru_cache(maxsize=16)
+def _dev_loc(shape: tuple, block_size: int):
+    """Just the per-axis in-block offset vectors on device (O(r) data;
+    the only geometry the v2 gather-free pipeline needs)."""
+    g = _geom_small(shape, block_size)
+    return [jax.device_put(l) for l in g["loc"]]
 
 
 # ---------------------------------------------------------------------------
@@ -1665,8 +1676,17 @@ def compress(data, real_precision, *, max_range_radius: int,
     be = jax.default_backend()
 
     g = _geom_small(shape, spec.block_size)
-    dg = _dev_geom(shape, spec.block_size, be)
     dbs = g["dbs"]
+    # full pos/iperm lattices only materialize if a v1/fallback path
+    # actually needs them (at 512^3 they cost ~1.5 GB HBM + seconds)
+    _dg_cache = []
+
+    def dg_full():
+        if not _dg_cache:
+            _dg_cache.append(_dev_geom(shape, spec.block_size, be))
+        return _dg_cache[0]
+
+    loc = _dev_loc(shape, spec.block_size)
 
     if is_dev:
         with _tr.trace("device_input"):
@@ -1741,16 +1761,19 @@ def compress(data, real_precision, *, max_range_radius: int,
     t_lat_d = tp_d = None
     with _tr.trace("quantize"):
         if use2:
+            # iperm is untraced in the v2 epilogue: a 1-element
+            # placeholder keeps the signature without materializing the
+            # n-sized lattice
             tp_d, hist_d, esc_d, R, iters, t_lat_d = _quantize_fn(
                 shape, dstr, spec.block_size, use_mean, be, "v2")(
                 dev, jax.device_put(lc_full), jax.device_put(use_reg),
-                tuple(dg["loc"]), dg["iperm"], T(rp), T(recip),
+                tuple(loc), jnp.zeros((1,), jnp.int32), T(rp), T(recip),
                 jnp.asarray(intervals, jnp.int32), T(mean))
         else:
             t_stream_d, hist_d, esc_d, R, iters = _quantize_fn(
                 shape, dstr, spec.block_size, use_mean, be)(
                 dev, jax.device_put(lc_full), jax.device_put(use_reg),
-                tuple(dg["loc"]), dg["iperm"], T(rp), T(recip),
+                tuple(loc), dg_full()["iperm"], T(rp), T(recip),
                 jnp.asarray(intervals, jnp.int32), T(mean))
         hist = np.asarray(hist_d)
     n_esc = int(hist[0])
@@ -1767,7 +1790,8 @@ def compress(data, real_precision, *, max_range_radius: int,
             k = _pad_pow2(n_esc)
             unpred_arr = np.asarray(
                 _escapes_fn(shape, dstr, k, be)(dev, t_stream_d,
-                                                dg["iperm"]))[:n_esc]
+                                                dg_full()["iperm"])
+            )[:n_esc]
     state_num = 2 * intervals
     freq = np.zeros(2 * state_num, np.int64)
     freq[:min(65536, 2 * state_num)] = hist[:min(65536, 2 * state_num)]
@@ -1822,7 +1846,8 @@ def compress(data, real_precision, *, max_range_radius: int,
         # carries at most 1 MB of padding instead of up to 2x
         cut = min(out_pad, ((nbytes + 8 + (1 << 20) - 1) >> 20) << 20)
         if use2:  # pack2 window fallback: compact stream from the lattice
-            t_stream_d = _stream_fn(shape, be)(t_lat_d, dg["iperm"])[0]
+            t_stream_d = _stream_fn(shape, be)(t_lat_d,
+                                               dg_full()["iperm"])[0]
         with _tr.trace("bitpack_device"):
             packed_d = bitpack_fn(n, out_pad, be)(
                 t_stream_d, jax.device_put(tables.code_hi),
@@ -1834,7 +1859,7 @@ def compress(data, real_precision, *, max_range_radius: int,
         with _tr.trace("types_download"):
             if use2:
                 t_stream_d = _stream_fn(shape, be)(t_lat_d,
-                                                   dg["iperm"])[0]
+                                                   dg_full()["iperm"])[0]
             result_type = np.asarray(t_stream_d)
 
     with _tr.trace("assemble"):
@@ -1859,7 +1884,7 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
     dstr = np.dtype(T).str.lstrip("<>=")
     be = jax.default_backend()
     g = _geom_small(shape, spec.block_size)
-    dg = _dev_geom(shape, spec.block_size, be)
+    loc = _dev_loc(shape, spec.block_size)
 
     use_reg = (p.indicator == 0)
     lc_full = np.zeros((g["nblocks"], spec.ncoeff), dtype=T)
@@ -1902,6 +1927,7 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
                     jax.device_put(tp_host), jax.device_put(unpred_pad))
         elif packed_ok:
             from sz_tpu import native as _nat
+            dg = _dev_geom(shape, spec.block_size, be)
             packed = _nat.pack_wide_bits_u32(
                 np.asarray(p.types, np.int32), w)
             t_lat, unpred_lat = _delattice_packed_fn(shape, dstr, k, w,
@@ -1909,6 +1935,7 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
                 jax.device_put(packed), jax.device_put(unpred_pad),
                 dg["pos"], dg["iperm"])
         else:
+            dg = _dev_geom(shape, spec.block_size, be)
             t_lat, unpred_lat = _delattice_fn(shape, dstr, k, be)(
                 jax.device_put(p.types.astype(np.uint16)),
                 jax.device_put(unpred_pad), dg["pos"], dg["iperm"])
@@ -1917,7 +1944,7 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
         out, iters = _decode_fn(shape, dstr, spec.block_size,
                                 bool(p.use_mean), be)(
             t_lat, jax.device_put(lc_full), jax.device_put(use_reg),
-            unpred_lat, tuple(dg["loc"]), T(p.rp),
+            unpred_lat, tuple(loc), T(p.rp),
             jnp.asarray(p.intervals, jnp.int32), T(p.mean))
     if as_jax:
         return out
