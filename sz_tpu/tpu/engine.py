@@ -187,6 +187,14 @@ def _axis_split(x, axis: int, db, fill):
     return jnp.concatenate([head, tail], axis=axis)
 
 
+# the blocked transpose's materialized output is a 6-D array whose two
+# minor dims are block extents (~7, 7) — XLA's T(8,128) tiling pads
+# them to (8, 128), a ~20x HBM blow-up (17.6 GB at 512^3, an OOM).
+# Bound the padded intermediate by transposing axis-0 block groups
+# separately (the stream is axis-0-block-major, so groups concatenate).
+_TRANSPOSE_SLICE_BYTES = 3 << 28  # ~768 MB padded intermediate cap
+
+
 def _blocked_pad_stream(x, dbs, fill):
     """Lattice -> block-major padded stream with `fill` holes where a
     late (shorter) block pads to the early length.  Dropping the holes
@@ -194,16 +202,25 @@ def _blocked_pad_stream(x, dbs, fill):
     over the block grid, points row-major within each block.  This is
     the gather-free form of jnp.take(x.reshape(-1), iperm) — the
     per-element XLA gather costs ~9 ns/elem on v5e; this is reshapes,
-    pads and one transpose at HBM bandwidth.  Consumers treat fill
+    pads and transposes at HBM bandwidth.  Consumers treat fill
     positions as zero-width (pack2's -1 sentinel) or ignore them."""
     rank = x.ndim
     for ax in range(rank - 1, -1, -1):
         x = _axis_split(x, ax, dbs[ax], fill)
-    if rank == 3:
-        x = x.transpose(0, 2, 4, 1, 3, 5)
-    else:
-        x = x.transpose(0, 2, 1, 3)
-    return x.reshape(-1)
+    # x dims now (n0, E0, n1, E1, ...) — slice groups of axis-0 blocks
+    n0 = x.shape[0]
+    pad_elems_per_blk = int(np.prod(x.shape[1:-2])) * (
+        -(-x.shape[-2] // 8) * 8) * (-(-x.shape[-1] // 128) * 128)
+    grp = max(1, _TRANSPOSE_SLICE_BYTES
+              // max(1, pad_elems_per_blk * x.dtype.itemsize))
+    perm = (0, 2, 4, 1, 3, 5) if rank == 3 else (0, 2, 1, 3)
+    if grp >= n0:
+        return x.transpose(perm).reshape(-1)
+    outs = []
+    for a in range(0, n0, grp):
+        b = min(a + grp, n0)
+        outs.append(x[a:b].transpose(perm).reshape(-1))
+    return jnp.concatenate(outs)
 
 
 def padded_stream_len(shape: tuple, block_size: int) -> int:
@@ -231,17 +248,37 @@ def _axis_merge(x, axis: int, db):
 def _blocked_unpad_lattice(tp, dbs, shape: tuple):
     """Inverse of _blocked_pad_stream: padded block-major stream ->
     lattice, dropping the holes.  Pure reshape/transpose/slice/concat —
-    the gather-free decode-side analog of jnp.take(stream, pos)."""
+    the gather-free decode-side analog of jnp.take(stream, pos).  Like
+    the forward direction, the transpose runs per axis-0 block group to
+    bound the tile-padded 6-D intermediate."""
     rank = len(shape)
-    dims = [db.num for db in dbs] + [db.early for db in dbs]
-    x = tp.reshape(dims)
-    if rank == 3:
-        x = x.transpose(0, 3, 1, 4, 2, 5)
+    dims = [dbs[0].num] + [db.num for db in dbs[1:]] + [
+        db.early for db in dbs]
+    n0 = dims[0]
+    per_b0 = int(np.prod(dims[1:]))
+    pad_elems_per_blk = int(np.prod(dims[1:-2])) * (
+        -(-dims[-2] // 8) * 8) * (-(-dims[-1] // 128) * 128)
+    grp = max(1, _TRANSPOSE_SLICE_BYTES
+              // max(1, pad_elems_per_blk * tp.dtype.itemsize))
+    perm = (0, 3, 1, 4, 2, 5) if rank == 3 else (0, 2, 1, 3)
+
+    def trans(seg, m0):
+        x = seg.reshape([m0] + dims[1:])
+        x = x.transpose(perm)
+        # post-transpose dims: (m0, E0, n1, E1[, n2, E2]); merge the
+        # (n_i, E_i) pairs from the back so indices stay stable
+        for ax in range(rank - 1, 0, -1):
+            x = _axis_merge(x, 2 * ax, dbs[ax])
+        return x  # (m0, E0, r1, ...) with axis 0 still split
+
+    if grp >= n0:
+        x = trans(tp, n0)
     else:
-        x = x.transpose(0, 2, 1, 3)
-    for ax in range(rank):
-        x = _axis_merge(x, ax, dbs[ax])
-    return x
+        segs = [trans(tp[a * per_b0:min(a + grp, n0) * per_b0],
+                      min(a + grp, n0) - a)
+                for a in range(0, n0, grp)]
+        x = jnp.concatenate(segs, axis=0)
+    return _axis_merge(x, 0, dbs[0])
 
 
 @functools.lru_cache(maxsize=16)

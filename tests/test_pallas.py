@@ -315,3 +315,31 @@ def test_plane_quantize_2d(monkeypatch):
             assert a.body == b.body
     finally:
         engine._quantize_fn.cache_clear()
+
+
+def test_blocked_transpose_sliced(monkeypatch):
+    """The blocked pad/unpad transposes slice axis-0 block groups to
+    bound the tile-padded 6-D intermediate (17.6 GB OOM at 512^3).
+    Forcing a tiny slice cap must not change the stream or the
+    engine's bytes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sz_tpu.core import regnd
+
+    monkeypatch.setattr(engine, "_TRANSPOSE_SLICE_BYTES", 1 << 12)
+    monkeypatch.setenv("SZ_TPU_PACK2", "force")
+    shape = (25, 14, 20)
+    g = engine._geom_small(shape, 6)
+    x = np.arange(int(np.prod(shape)), dtype=np.int32).reshape(shape)
+    tp = engine._blocked_pad_stream(jnp.asarray(x), tuple(g["dbs"]), -1)
+    back = np.asarray(engine._blocked_unpad_lattice(
+        tp, tuple(g["dbs"]), shape))
+    np.testing.assert_array_equal(back, x)
+    _, iperm = engine._host_stream_maps(shape, 6)
+    np.testing.assert_array_equal(np.asarray(tp)[np.asarray(tp) >= 0],
+                                  x.reshape(-1)[iperm])
+    rng = np.random.default_rng(17)
+    data = (0.1 * rng.standard_normal(shape)).astype(np.float32)
+    a = regnd.compress(data, 1e-3, **KW)
+    b = engine.compress(data, 1e-3, **KW)
+    assert a.body == b.body
