@@ -874,6 +874,10 @@ class ParsedBody:
     qcoeffs: np.ndarray    # reconstructed coeffs, one row per reg block
     types: np.ndarray      # Huffman-decoded quantization codes, stream order
     unpred: np.ndarray     # escape values, stream order
+    # raw_types mode (device-side Huffman decode): types is None and the
+    # coded section + tree arrays are exposed instead
+    tree: tuple = None     # (L, R, C, T, node_count)
+    encoded: bytes = None  # the Huffman-coded type-array bytes
 
 
 def decompress(body: bytes, shape, dtype, size_type: int = 8,
@@ -901,7 +905,11 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
                              p.rp, p.use_mean, p.mean)
 
 
-def parse_body(body: bytes, shape, dtype, size_type: int = 8) -> ParsedBody:
+def parse_body(body: bytes, shape, dtype, size_type: int = 8,
+               raw_types: bool = False) -> ParsedBody:
+    """raw_types=True defers the Huffman type decode: ParsedBody.types
+    is None and (tree, encoded) carry the coded section for a device-
+    side decoder (sz_tpu.tpu.fsm_kernel)."""
     rank = len(shape)
     spec = _spec(rank, dtype)
     T = spec.T
@@ -978,7 +986,13 @@ def parse_body(body: bytes, shape, dtype, size_type: int = 8) -> ParsedBody:
                            offset=pos)
     pos += spec.esize * total_unpred
     num_elements = int(np.prod(shape))
-    types = huffman.decode(L, R, C, Tt, body[pos:], num_elements)
+    tree = encoded = None
+    if raw_types:
+        types = None
+        tree = (L, R, C, Tt, node_count)
+        encoded = body[pos:]
+    else:
+        types = huffman.decode(L, R, C, Tt, body[pos:], num_elements)
 
     try:
         from sz_tpu.native import coeff_chain_decode
@@ -1002,7 +1016,8 @@ def parse_body(body: bytes, shape, dtype, size_type: int = 8) -> ParsedBody:
 
     return ParsedBody(spec=spec, dbs=dbs, rp=rp, intervals=intervals,
                       use_mean=use_mean, mean=mean, indicator=indicator,
-                      qcoeffs=qcoeffs, types=types, unpred=unpred)
+                      qcoeffs=qcoeffs, types=types, unpred=unpred,
+                      tree=tree, encoded=encoded)
 
 
 def _decode_points_3d(shape, T, dbs, indicator, qcoeffs, types, unpred,

@@ -1680,6 +1680,71 @@ def _delattice2_fn(shape: tuple, dtype_str: str, block_size: int,
     return _strict_jit(f, backend)
 
 
+@functools.lru_cache(maxsize=32)
+def _delattice_dev_fn(shape: tuple, dtype_str: str, k: int,
+                      backend: str = "cpu"):
+    """Decode-side staging for a DEVICE-RESIDENT symbol stream (the
+    fsm_kernel output): compact int32 stream -> (type lattice, unpred
+    lattice); escapes via searchsorted."""
+    T = jnp.dtype(dtype_str)
+    n = int(np.prod(shape))
+
+    def f(t_stream, unpred_pad, pos, iperm):
+        t_lat = jnp.take(t_stream, pos.reshape(-1)).reshape(shape)
+        is_esc = t_stream[:n] == 0
+        cum = jnp.cumsum(is_esc.astype(jnp.int32))
+        esc_idx = jnp.searchsorted(
+            cum, jnp.arange(1, k + 1, dtype=jnp.int32), side="left")
+        lat_idx = jnp.take(iperm, esc_idx, mode="fill", fill_value=n)
+        unpred_lat = jnp.zeros((n,), T).at[lat_idx].set(
+            unpred_pad, mode="drop").reshape(shape)
+        return t_lat, unpred_lat
+
+    return _strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=16)
+def _fsm_decode_fn(K: int, R: int, n_sym: int, backend: str):
+    """Cached jit of the device Huffman decode core for a (K, R)
+    stream-size bucket."""
+    from sz_tpu.tpu import fsm_kernel as _fsm
+
+    interp = backend in ("cpu", "raw")
+
+    def f(words, trans, tb):
+        return _fsm.decode_bits_core(words, trans, tb, n_sym, R,
+                                     interpret=interp)
+
+    return _strict_jit(f, backend)
+
+
+def _device_decode_types(p, n: int, be: str):
+    """Device-side Huffman decode of the type stream (fsm_kernel).
+    Returns a device int32 stream, or None when the stream/tree is
+    outside the kernel's envelope or a chunk failed to self-sync
+    (caller falls back to the host decoder)."""
+    from sz_tpu.tpu import fsm_kernel as _fsm
+
+    Lh, Rh, Ch, Th, node_count = p.tree
+    total_bits = len(p.encoded) * 8
+    if node_count > _fsm.MAX_NODES or total_bits < (1 << 16):
+        return None
+    trans = _fsm.build_trans(Lh, Rh, Ch, Th)
+    R = _fsm.bucket_rows(total_bits)
+    need = R * 128 * (_fsm.F_BITS // 32)
+    pad = (-len(p.encoded)) % 4
+    w = np.frombuffer(p.encoded + b"\0" * pad, ">u4").astype(np.uint32)
+    if len(w) < need:
+        w = np.concatenate([w, np.zeros(need - len(w), np.uint32)])
+    syms, ok = _fsm_decode_fn(trans.shape[0], R, n, be)(
+        jax.device_put(jnp.asarray(w[:need])),
+        jax.device_put(jnp.asarray(trans)),
+        jnp.asarray([total_bits], jnp.int32))
+    if not bool(ok):  # pragma: no cover - pathological no-sync stream
+        return None
+    return syms
+
+
 def _pad_pow2(n: int) -> int:
     return 1 << max(int(n - 1).bit_length(), 4)
 
@@ -1914,8 +1979,26 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
     array (decompress-to-TPU: no device->host transfer — the natural
     mode when the decompressed field feeds an on-device pipeline)."""
     shape = tuple(int(r) for r in shape)
+    # device-side Huffman decode (fsm_kernel): the host never runs the
+    # FSM and only the raw coded bytes cross the link.  auto = real-TPU
+    # backends; falls back to the host decoder when the tree/stream is
+    # outside the kernel envelope or a chunk fails to self-sync.
+    ddmode = _os.environ.get("SZ_TPU_DEVICE_DECODE", "auto").lower()
+    be0 = jax.default_backend()
+    use_dd = (ddmode == "force"
+              or (ddmode == "auto" and be0 not in ("cpu", "raw")))
     with _tr.trace("parse_body"):
-        p = regnd.parse_body(body, shape, dtype, size_type)
+        p = regnd.parse_body(body, shape, dtype, size_type,
+                             raw_types=use_dd)
+    t_dev = None
+    if use_dd:
+        with _tr.trace("huffman_device"):
+            t_dev = _device_decode_types(p, int(np.prod(shape)), be0)
+        if t_dev is None:  # fall back to the host FSM decoder
+            from sz_tpu.format import huffman as _huff
+            Lh, Rh, Ch, Th, _nc = p.tree
+            p.types = _huff.decode(Lh, Rh, Ch, Th, p.encoded,
+                                   int(np.prod(shape)))
     spec = p.spec
     T = spec.T
     dstr = np.dtype(T).str.lstrip("<>=")
@@ -1934,8 +2017,9 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
     # fixed-width pack of the type codes (native, OpenMP) cuts the
     # decode upload to ~w/16 of the raw uint16 stream on link-bound
     # hosts; SZ_TPU_PACKED_TYPES=0 uploads raw u16 instead
-    w = int(max(int(p.types.max(initial=0)), 1)).bit_length()
-    packed_ok = w < 16 and packed_types_enabled()
+    w = (0 if p.types is None else
+         int(max(int(p.types.max(initial=0)), 1)).bit_length())
+    packed_ok = 0 < w < 16 and packed_types_enabled()
     # v2 (gather-free) staging: the host inserts the late-block holes
     # so the device needs only the inverse blocked transpose — no
     # per-point take(pos) gather and no per-symbol unpack gathers
@@ -1944,7 +2028,12 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
     use2 = (p2mode == "force"
             or (p2mode == "auto" and be not in ("cpu", "raw")))
     with _tr.trace("delattice"):
-        if use2:
+        if t_dev is not None:
+            dg = _dev_geom(shape, spec.block_size, be)
+            t_lat, unpred_lat = _delattice_dev_fn(shape, dstr, k, be)(
+                t_dev, jax.device_put(unpred_pad), dg["pos"],
+                dg["iperm"])
+        elif use2:
             valid, n_pad = _host_pad_maps(shape, spec.block_size)
             if n_pad == len(p.types):   # no late-block holes
                 tp_host = np.asarray(p.types, np.uint16)

@@ -94,3 +94,23 @@ def test_hw_engine_roundtrip(tpu):
     oa = regnd.decompress(a.body, data.shape, np.float32)
     ob = engine.decompress(a.body, data.shape, np.float32)
     np.testing.assert_array_equal(oa.view(np.uint32), ob.view(np.uint32))
+
+
+def test_hw_fsm_decode(tpu):
+    """Compiled FSM decode on the chip: exact symbols + sync verify."""
+    from sz_tpu.format import huffman
+    from sz_tpu.tpu import fsm_kernel as fsm
+
+    rng = np.random.default_rng(31)
+    n, nstate = 1 << 20, 2000
+    p = 1.0 / np.arange(1, nstate + 1) ** 1.4
+    types = rng.choice(np.arange(nstate), size=n,
+                       p=p / p.sum()).astype(np.int32)
+    tables = huffman.build_tables(types, nstate)
+    enc = huffman.encode(tables, types)
+    pad = (-len(enc)) % 4
+    words = np.frombuffer(enc + b"\0" * pad, ">u4").astype(np.uint32)
+    trans = fsm.build_trans(tables.L, tables.R, tables.C, tables.T)
+    syms, ok = fsm.decode_bits_device(words, trans, n, len(enc) * 8)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(syms)[:n], types)

@@ -343,3 +343,48 @@ def test_blocked_transpose_sliced(monkeypatch):
     a = regnd.compress(data, 1e-3, **KW)
     b = engine.compress(data, 1e-3, **KW)
     assert a.body == b.body
+
+
+def test_device_decode_fsm(monkeypatch):
+    """SZ_TPU_DEVICE_DECODE=force routes decompress through the
+    speculative chunk-parallel FSM kernel (tpu/fsm_kernel.py,
+    interpret mode here; bit-exact + timed on v5e in tests/test_hw.py)
+    — reconstruction identical to the host decoder; small streams take
+    the documented fallback."""
+    import numpy as np
+    from sz_tpu.core import regnd
+
+    monkeypatch.setenv("SZ_TPU_DEVICE_DECODE", "force")
+    monkeypatch.setenv("SZ_TPU_PACK2", "force")
+    rng = np.random.default_rng(23)
+    # large enough to clear the FSM minimum-stream threshold (2^16 bits)
+    data = (np.sin(np.linspace(0, 40, 48 ** 3, dtype=np.float32))
+            + 0.2 * rng.standard_normal(48 ** 3)
+            ).astype(np.float32).reshape(48, 48, 48)
+    a = regnd.compress(data, 1e-3, **KW)
+    oa = regnd.decompress(a.body, data.shape, np.float32)
+    ob = engine.decompress(a.body, data.shape, np.float32)
+    np.testing.assert_array_equal(oa.view(np.uint32), ob.view(np.uint32))
+
+
+def test_fsm_decode_bits():
+    """fsm_kernel.decode_bits_device recovers the exact symbol stream
+    from a huffman.encode bitstream (multi-chunk, skewed distribution,
+    self-sync verification on)."""
+    from sz_tpu.format import huffman
+    from sz_tpu.tpu import fsm_kernel as fsm
+
+    rng = np.random.default_rng(29)
+    n, nstate = 40000, 600
+    p = 1.0 / np.arange(1, nstate + 1) ** 1.5
+    types = rng.choice(np.arange(nstate), size=n,
+                       p=p / p.sum()).astype(np.int32)
+    tables = huffman.build_tables(types, nstate)
+    enc = huffman.encode(tables, types)
+    pad = (-len(enc)) % 4
+    words = np.frombuffer(enc + b"\0" * pad, ">u4").astype(np.uint32)
+    trans = fsm.build_trans(tables.L, tables.R, tables.C, tables.T)
+    syms, ok = fsm.decode_bits_device(words, trans, n, len(enc) * 8,
+                                      interpret=True)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(syms)[:n], types)
