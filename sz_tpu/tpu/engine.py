@@ -1727,17 +1727,20 @@ def _device_decode_types(p, n: int, be: str):
 
     Lh, Rh, Ch, Th, node_count = p.tree
     total_bits = len(p.encoded) * 8
-    if node_count > _fsm.MAX_NODES or total_bits < (1 << 16):
+    # envelope: tree window size, a minimum worth the dispatches, the
+    # kernel's int32 bit arithmetic (< 2^31 bits), and the ~4 B/coded-
+    # bit record buffers (x2 transient) fitting HBM comfortably
+    if (node_count > _fsm.MAX_NODES or total_bits < (1 << 16)
+            or total_bits >= (1 << 30)):
         return None
     trans = _fsm.build_trans(Lh, Rh, Ch, Th)
     R = _fsm.bucket_rows(total_bits)
-    need = R * 128 * (_fsm.F_BITS // 32)
     pad = (-len(p.encoded)) % 4
-    w = np.frombuffer(p.encoded + b"\0" * pad, ">u4").astype(np.uint32)
-    if len(w) < need:
-        w = np.concatenate([w, np.zeros(need - len(w), np.uint32)])
+    w = _fsm.pad_words_to_bucket(
+        np.frombuffer(p.encoded + b"\0" * pad, ">u4").astype(np.uint32),
+        R)
     syms, ok = _fsm_decode_fn(trans.shape[0], R, n, be)(
-        jax.device_put(jnp.asarray(w[:need])),
+        jax.device_put(jnp.asarray(w)),
         jax.device_put(jnp.asarray(trans)),
         jnp.asarray([total_bits], jnp.int32))
     if not bool(ok):  # pragma: no cover - pathological no-sync stream

@@ -168,7 +168,7 @@ def _fsm_call(K: int, R: int, steps: int, pc: int, interpret: bool):
     )
 
 
-def _make_compact_kernel(OW: int, WR: int):
+def _make_compact_kernel(OW: int, WR: int, R8: int):
     """pack2's merge-tree kernel over decode records: emitting records
     are 32-bit fields holding the symbol, others contribute no bits;
     the packed words ARE the dense symbol stream."""
@@ -185,7 +185,11 @@ def _make_compact_kernel(OW: int, WR: int):
             acc[1] = jnp.int32(0)
 
         base_w, rem = acc[0], acc[1]
-        row0 = base_w >> 10
+        # clamp: a corrupted/adversarial stream can emit far more
+        # symbols than the caller-sized output; the window must never
+        # walk past the (R8,8,128) allocation (the caller's ok flag
+        # rejects the result, but only after the kernel ran)
+        row0 = jnp.minimum(base_w >> 10, jnp.int32(R8 - WR))
         rd = pltpu.make_async_copy(
             out_hbm.at[pl.ds(row0, WR)], win, sem_r)
         rd.start()
@@ -224,7 +228,9 @@ def _make_compact_kernel(OW: int, WR: int):
         w = jnp.concatenate([state, z1], 1)
         wide = jnp.concatenate(
             [w, jnp.zeros((1, WR * 1024 - OW), _U32)], 1)
-        wide = pltpu.roll(wide, base_w & jnp.int32(1023), 1)
+        wide = pltpu.roll(
+            wide, jnp.minimum(base_w - (row0 << 10),
+                              jnp.int32(WR * 1024 - OW)), 1)
         rd.wait()
         win[...] = win[...] | wide.reshape(WR, 8, 128)
         wr = pltpu.make_async_copy(
@@ -244,7 +250,7 @@ def _compact_call(C: int, R8: int, interpret: bool):
     S = F_BITS
     OW = S + 128
     WR = (OW + 1023) // 1024 + 1
-    kernel = _make_compact_kernel(OW, WR)
+    kernel = _make_compact_kernel(OW, WR, R8)
     z = np.int32(0)
     return pl.pallas_call(
         kernel,
@@ -275,6 +281,17 @@ def bucket_rows(total_bits: int) -> int:
     L = -(-total_bits // F_BITS)
     R = max(-(-L // 128), 1)
     return 1 << (R - 1).bit_length()
+
+
+def pad_words_to_bucket(words: np.ndarray, R: int) -> np.ndarray:
+    """Zero-pad a host u32 word stream to its (R,F) bucket size (the
+    decode_bits_core input contract); shared by the engine wrapper and
+    decode_bits_device."""
+    need = R * 128 * (F_BITS // 32)
+    if len(words) < need:
+        words = np.concatenate(
+            [words, np.zeros(need - len(words), np.uint32)])
+    return words[:need]
 
 
 def decode_bits_core(words, trans, tb, n_sym: int, R: int,
@@ -350,11 +367,7 @@ def decode_bits_device(words, trans, n_sym: int, total_bits: int,
     """Host-convenience wrapper around decode_bits_core: pads the word
     stream to its (R, F) bucket and passes the exact bit length."""
     R = bucket_rows(total_bits)
-    need = R * 128 * (F_BITS // 32)
-    w = jnp.asarray(words).astype(jnp.uint32)
-    if w.shape[0] < need:
-        w = jnp.concatenate(
-            [w, jnp.zeros((need - w.shape[0],), jnp.uint32)])
-    return decode_bits_core(w[:need], jnp.asarray(trans),
+    w = pad_words_to_bucket(np.asarray(words, np.uint32), R)
+    return decode_bits_core(jnp.asarray(w), jnp.asarray(trans),
                             jnp.asarray([total_bits], jnp.int32),
                             n_sym, R, interpret=interpret)
