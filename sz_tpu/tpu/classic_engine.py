@@ -439,23 +439,50 @@ def decompress(tdps: TDPS, shape, dtype, as_jax: bool = False):
     shape = tuple(int(s) for s in shape)
     dstr = np.dtype(T).str.lstrip("<>=")
     be = jax.default_backend()
-    with _tr.trace("huffman_decode"):
-        types = huffman.decode_with_tree(tdps.type_array, n)
+    # device-side FSM Huffman decode (same policy knob as the
+    # regression codec): zero host FSM pass; envelope/sync failures
+    # fall back to the host decoder below
+    ddmode = eng._os.environ.get("SZ_TPU_DEVICE_DECODE", "auto").lower()
+    use_dd = (ddmode == "force"
+              or (ddmode == "auto" and be not in ("cpu", "raw")))
+    t_dev = None
+    if use_dd:
+        from sz_tpu.format import bytes_util as _bu
+        node_count = _bu.read_u32_be(tdps.type_array, 0)
+        tsize = huffman.tree_bytes_size(node_count)
+        tree = huffman.deserialize_tree(
+            tdps.type_array[8:8 + tsize], node_count)
+        with _tr.trace("huffman_device"):
+            t_dev = eng._device_decode_stream(
+                (*tree, node_count), tdps.type_array[8 + tsize:], n, be)
+    if t_dev is None:
+        with _tr.trace("huffman_decode"):
+            types = huffman.decode_with_tree(tdps.type_array, n)
+        t_np = np.asarray(types, np.int32)
+        n_esc = int((t_np == 0).sum())
+    else:
+        t_np = None
+        n_esc = int(jnp.sum(jnp.equal(t_dev, 0),
+                            promote_integers=False))
     dec = classic.ExactDecoder(tdps, T)
     radius = tdps.intervals // 2
     dbl = T is np.float64 or len(shape) == 4
     RT = np.float64 if dbl else T
     rp = RT(tdps.real_precision)
 
-    t_np = np.asarray(types, np.int32)
-    n_esc = int((t_np == 0).sum())
     k = eng._pad_pow2(max(n_esc, 1))
     unpred_pad = np.zeros(k, dtype=T)
     unpred_pad[:n_esc] = dec.next_batch(n_esc)
 
-    w = int(max(int(t_np.max(initial=0)), 1)).bit_length()
+    w = (0 if t_np is None else
+         int(max(int(t_np.max(initial=0)), 1)).bit_length())
     with _tr.trace("decode_fixpoint"):
-        if w < 16 and eng.packed_types_enabled():
+        if t_dev is not None:
+            out, _iters = _decode_fn(_vshape(shape), dstr, dbl, be)(
+                t_dev.astype(jnp.uint16),
+                jax.device_put(unpred_pad),
+                T(rp), np.float64(rp), jnp.asarray(radius, jnp.int32))
+        elif 0 < w < 16 and eng.packed_types_enabled():
             from sz_tpu import native as _nat
             packed = _nat.pack_wide_bits_u32(t_np, w)
             out, _iters = _decode_fn_packed(_vshape(shape), dstr, dbl,

@@ -1719,14 +1719,22 @@ def _fsm_decode_fn(K: int, R: int, n_sym: int, backend: str):
 
 
 def _device_decode_types(p, n: int, be: str):
+    """Device-side Huffman decode of a ParsedBody's type stream."""
+    Lh, Rh, Ch, Th, node_count = p.tree
+    return _device_decode_stream((Lh, Rh, Ch, Th, node_count),
+                                 p.encoded, n, be)
+
+
+def _device_decode_stream(tree, encoded: bytes, n: int, be: str):
     """Device-side Huffman decode of the type stream (fsm_kernel).
     Returns a device int32 stream, or None when the stream/tree is
     outside the kernel's envelope or a chunk failed to self-sync
-    (caller falls back to the host decoder)."""
+    (caller falls back to the host decoder).  Shared by the regression
+    and classic decoders."""
     from sz_tpu.tpu import fsm_kernel as _fsm
 
-    Lh, Rh, Ch, Th, node_count = p.tree
-    total_bits = len(p.encoded) * 8
+    Lh, Rh, Ch, Th, node_count = tree
+    total_bits = len(encoded) * 8
     # envelope: tree window size, a minimum worth the dispatches, the
     # kernel's int32 bit arithmetic (< 2^31 bits), and the ~4 B/coded-
     # bit record buffers (x2 transient) fitting HBM comfortably
@@ -1735,9 +1743,9 @@ def _device_decode_types(p, n: int, be: str):
         return None
     trans = _fsm.build_trans(Lh, Rh, Ch, Th)
     R = _fsm.bucket_rows(total_bits)
-    pad = (-len(p.encoded)) % 4
+    pad = (-len(encoded)) % 4
     w = _fsm.pad_words_to_bucket(
-        np.frombuffer(p.encoded + b"\0" * pad, ">u4").astype(np.uint32),
+        np.frombuffer(encoded + b"\0" * pad, ">u4").astype(np.uint32),
         R)
     syms, ok = _fsm_decode_fn(trans.shape[0], R, n, be)(
         jax.device_put(jnp.asarray(w)),
