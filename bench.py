@@ -96,8 +96,9 @@ def attempt(n: int, engine: str) -> None:
         dt = time.time() - t0
         if best is None or dt < best:
             best = dt
-            dev_detail["compress_spans_ms"] = {
-                k: round(v * 1000, 1) for k, v in _tr.last_spans()}
+            spans = {k: round(v * 1000, 1) for k, v in _tr.last_spans()}
+            if spans:  # host engine emits no engine-stage spans
+                dev_detail["compress_spans_ms"] = spans
     as_jax = engine == "jax"
     ddt = None
     for _ in range(4 if engine == "numpy" else 2):
