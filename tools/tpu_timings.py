@@ -36,6 +36,9 @@ def main():
                     help="also time compress-from-device (jax.Array "
                          "input: upload skipped, optimizer gathers on "
                          "device)")
+    ap.add_argument("--decode", action="store_true",
+                    help="also time decompress-to-device with the "
+                         "device FSM Huffman decode on and off")
     args = ap.parse_args()
 
     import numpy as np
@@ -119,6 +122,34 @@ def main():
             if not ok:
                 print("PARITY FAILURE", file=sys.stderr)
                 sys.exit(1)
+
+    if args.decode:
+        import jax
+        import jax.numpy as jnp
+        body = host_body if host_body is not None else out.body
+        ref = regnd.decompress(body, data.shape, np.float32)
+        for dd in ("auto", "0"):
+            os.environ["SZ_TPU_DEVICE_DECODE"] = dd
+            for rep in range(args.repeats):
+                tr.reset()
+                t0 = time.perf_counter()
+                rec = engine.decompress(body, data.shape, np.float32,
+                                        as_jax=True)
+                float(jnp.sum(rec.reshape(-1)[:8]))  # force completion
+                dt = time.perf_counter() - t0
+                spans = {}
+                for name, s in tr.last_spans():
+                    spans[name] = round(spans.get(name, 0.0) + s, 4)
+                ok = np.array_equal(
+                    np.asarray(rec).view(np.uint32), ref.view(np.uint32))
+                print(json.dumps({
+                    "engine": "jax-decode", "device_decode": dd,
+                    "rep": rep, "t": round(dt, 3),
+                    "MBps": round(data.nbytes / 1e6 / dt, 1),
+                    "parity": bool(ok), "spans": spans}), flush=True)
+                if not ok:
+                    print("DECODE PARITY FAILURE", file=sys.stderr)
+                    sys.exit(1)
 
 
 if __name__ == "__main__":
