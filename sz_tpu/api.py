@@ -295,8 +295,12 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
         return _constant_stream(hdr_cfg, dt, fmin, fmax, flat[0], n)
 
     if eff_mode == ErrorBoundMode.PW_REL:
-        if data.ndim > 3:
-            raise NotImplementedError("4D PW_REL")
+        if data.ndim == 4:
+            # 4D PW_REL folds to 3D (r4*r3, r2, r1) in the reference for
+            # both pre-log (sz_float.c:2994-2997) and MSST19
+            # (sz_float.c:2989-2992, sz_double.c:2690-2692)
+            d = data.shape
+            data = data.reshape(d[0] * d[1], d[2], d[3])
         accelerate = (cfg.accelerate_pw_rel
                       and not (cfg.pw_rel_bound_ratio < 0.000009999))
         if range_info is None:
@@ -550,6 +554,10 @@ def decompress(blob: bytes, shape, dtype=np.float32,
                             size_type=hdr.size_type)
     if hdr.pw_rel:
         t.msst19 = hdr.msst19
+        if len(dims) == 4:
+            # 4D PW_REL decodes through the 3D kernels on folded dims
+            # (getSnapshotData_float_4D, szd_float.c:2836-2838)
+            dims = (dims[0] * dims[1], dims[2], dims[3])
         out = pwr.decompress_pwrel(t, dims, dtype)
     elif len(dims) == 1:
         out = classic.decompress_1d(t, n, dtype)

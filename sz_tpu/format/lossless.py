@@ -2,13 +2,18 @@
 
 Mirrors sz_lossless_compress / sz_lossless_decompress /
 is_lossless_compressed_data (utility.c:156-215).  The reference vendors
-zstd 1.3.5; any standard zstd frame is mutually decodable, so we use the
-system zstandard binding (newer encoder, >= compression ratio at equal
-level).
+zstd 1.3.5; we build the SAME release (sz_tpu/native/vendor/zstd, see
+its PROVENANCE.md) so outer frames are byte-identical to the reference
+binary's and the "compressed size <= reference" clause holds exactly.
+Fallback order for compression: vendored 1.3.5 -> system zstandard
+(newer encoder: equally decodable frames, slightly different bytes).
+Set SZ_TPU_SYSTEM_ZSTD=1 to force the system encoder (multithreaded for
+frames >= 4 MB — faster on big streams, loses frame byte-parity).
 """
 
 from __future__ import annotations
 
+import os
 import zlib
 
 try:
@@ -19,13 +24,29 @@ except ImportError:  # pragma: no cover
     _zstd = None
     _HAS_ZSTD = False
 
+try:
+    from sz_tpu import native as _native
+
+    _HAS_ZSTD135 = _native.HAVE_ZSTD135
+except Exception:  # pragma: no cover - toolchain unavailable
+    _native = None
+    _HAS_ZSTD135 = False
+
 from sz_tpu.config import Lossless
 
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 
 
+def _use_vendored() -> bool:
+    return _HAS_ZSTD135 and os.environ.get("SZ_TPU_SYSTEM_ZSTD") != "1"
+
+
 def compress(data: bytes, backend: Lossless, level: int) -> bytes:
     if backend == Lossless.ZSTD:
+        if _use_vendored():
+            # single-shot ZSTD_compress, identical call shape to
+            # sz_lossless_compress (utility.c:174)
+            return _native.zstd135_compress(data, level)
         if not _HAS_ZSTD:
             raise RuntimeError("zstandard module unavailable")
         # write_content_size must be on: the reference's sniffing relies on
@@ -64,6 +85,17 @@ def decompress(blob: bytes, expected_size: int | None = None) -> bytes:
     if backend is None:
         return blob  # SZ_BEST_SPEED stream: not lossless-wrapped
     if backend == Lossless.ZSTD:
+        if _HAS_ZSTD135:
+            # frames written by this package always carry the content
+            # size; the caller's expected_size covers foreign frames
+            n = _native.zstd135_frame_content_size(blob)
+            if n < 0:
+                n = expected_size or 0
+            if n > 0:
+                try:
+                    return _native.zstd135_decompress(blob, n)
+                except RuntimeError:
+                    pass  # fall through to the system decoder
         d = _zstd.ZstdDecompressor()
         return d.decompress(blob, max_output_size=expected_size or 0)
     return zlib.decompress(blob)

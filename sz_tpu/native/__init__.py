@@ -38,6 +38,82 @@ if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
 
 _lib = ctypes.CDLL(str(_SO))
 
+# --- vendored zstd 1.3.5 (byte-parity lossless stage) ------------------
+# The reference vendors zstd 1.3.5; building the same release makes the
+# outer frame of every stream byte-identical to the reference binary's
+# (see vendor/zstd/PROVENANCE.md).  Optional: lossless.py falls back to
+# the system zstandard module when this build is unavailable.
+_ZSTD_DIR = _HERE / "vendor" / "zstd"
+_ZSTD_SO = _HERE / "_zstd135.so"
+
+
+def _build_zstd() -> None:
+    srcs = [str(p) for sub in ("common", "compress", "decompress")
+            for p in sorted((_ZSTD_DIR / sub).glob("*.c"))]
+    cmd = ["cc", "-O3", "-fPIC", "-shared",
+           "-I", str(_ZSTD_DIR), "-I", str(_ZSTD_DIR / "common"),
+           *srcs, "-o", str(_ZSTD_SO), "-lpthread"]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+_zstd_lib = None
+try:
+    if _ZSTD_DIR.is_dir():
+        if (not _ZSTD_SO.exists()
+                or _ZSTD_SO.stat().st_mtime < max(
+                    p.stat().st_mtime for p in _ZSTD_DIR.rglob("*.[ch]"))):
+            _build_zstd()
+        _zstd_lib = ctypes.CDLL(str(_ZSTD_SO))
+        _zstd_lib.ZSTD_compress.restype = ctypes.c_size_t
+        _zstd_lib.ZSTD_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_int]
+        _zstd_lib.ZSTD_decompress.restype = ctypes.c_size_t
+        _zstd_lib.ZSTD_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t]
+        _zstd_lib.ZSTD_compressBound.restype = ctypes.c_size_t
+        _zstd_lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+        _zstd_lib.ZSTD_isError.restype = ctypes.c_uint
+        _zstd_lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+        _zstd_lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+        _zstd_lib.ZSTD_getFrameContentSize.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t]
+except Exception:  # pragma: no cover - toolchain unavailable
+    _zstd_lib = None
+
+HAVE_ZSTD135 = _zstd_lib is not None
+
+
+def zstd135_compress(data: bytes, level: int) -> bytes:
+    """Single-shot ZSTD_compress with the vendored 1.3.5 encoder —
+    byte-identical frames to the reference's sz_lossless_compress
+    (utility.c:174 -> ZSTD_compress)."""
+    bound = _zstd_lib.ZSTD_compressBound(len(data))
+    dst = ctypes.create_string_buffer(bound)
+    r = _zstd_lib.ZSTD_compress(dst, bound, data, len(data), level)
+    if _zstd_lib.ZSTD_isError(r):
+        raise RuntimeError(f"ZSTD_compress error code {r}")
+    return dst.raw[:r]
+
+
+def zstd135_decompress(blob: bytes, expected_size: int) -> bytes:
+    dst = ctypes.create_string_buffer(expected_size)
+    r = _zstd_lib.ZSTD_decompress(dst, expected_size, blob, len(blob))
+    if _zstd_lib.ZSTD_isError(r):
+        raise RuntimeError(f"ZSTD_decompress error code {r}")
+    return dst.raw[:r]
+
+
+def zstd135_frame_content_size(blob: bytes) -> int:
+    """ZSTD_getFrameContentSize: size from the frame header, or <0
+    sentinel values mapped to -1 (unknown / error)."""
+    v = _zstd_lib.ZSTD_getFrameContentSize(blob, len(blob))
+    # ZSTD_CONTENTSIZE_UNKNOWN = -1, _ERROR = -2 (as unsigned long long)
+    if v >= 2**64 - 2:
+        return -1
+    return int(v)
+
 # Raise glibc's mmap threshold so the codec's large numpy temporaries
 # (type lattices, masks — tens to hundreds of MB per call) come from
 # the reusable brk heap instead of fresh mmaps that are returned to the

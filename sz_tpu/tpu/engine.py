@@ -288,28 +288,25 @@ def _host_pad_maps(shape: tuple, block_size: int):
     order — so padded[valid] = compact_stream inserts the holes."""
     g = _geom_small(shape, block_size)
     rank = len(shape)
-    x = np.ones(shape, np.uint8)
-    for ax in range(rank - 1, -1, -1):
-        db = g["dbs"][ax]
-        E, L, sp, num = db.early, db.late, db.split, db.num
-        pre = x.shape[:ax]
-        post = x.shape[ax + 1:]
-        if sp == 0:
-            x = x.reshape(pre + (num, L) + post)
-        else:
-            head = x[(slice(None),) * ax + (slice(0, sp * E),)].reshape(
-                pre + (sp, E) + post)
-            tail = x[(slice(None),) * ax + (slice(sp * E, db.r),)].reshape(
-                pre + (num - sp, L) + post)
-            padw = ([(0, 0)] * (ax + 1) + [(0, E - L)]
-                    + [(0, 0)] * len(post))
-            tail = np.pad(tail, padw)
-            x = np.concatenate([head, tail], axis=ax)
-    if rank == 3:
-        x = x.transpose(0, 2, 4, 1, 3, 5)
-    else:
-        x = x.transpose(0, 2, 1, 3)
-    flat = x.reshape(-1)
+    # The mask over the padded stream (block dims then offset dims,
+    # (n0..nk, E0..Ek) C-order) is SEPARABLE: a padded slot is a hole
+    # iff its block is late on some axis AND its in-block offset on
+    # that axis is >= late.  One (num, E) bool per axis, broadcast-AND
+    # into the n_pad mask — no full-lattice build, per-axis pads, or
+    # 6-D transpose (those cost ~1-2 GB transient + seconds at 512^3).
+    masks = []
+    for db in g["dbs"]:
+        m = np.ones((db.num, db.early), bool)
+        if db.split:
+            m[db.split:, db.late:] = False
+        masks.append(m)
+    acc = np.ones((1,) * (2 * rank), bool)
+    for ax, m in enumerate(masks):
+        shp = [1] * (2 * rank)
+        shp[ax] = m.shape[0]
+        shp[rank + ax] = m.shape[1]
+        acc = acc & m.reshape(shp)
+    flat = acc.reshape(-1)
     return np.flatnonzero(flat).astype(np.int64), flat.size
 
 

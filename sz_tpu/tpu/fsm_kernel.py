@@ -340,10 +340,14 @@ def decode_bits_core(words, trans, tb, n_sym: int, R: int,
     true_cnt = (end_b[1] + end[1] - snap[1]).reshape(-1)
     # trailing byte-pad bits of the stream may emit junk symbols after
     # the last real one (callers pass total_bits rounded up to bytes);
-    # they append past n_sym and are sliced off, so the count check is
-    # a lower bound
-    ok = ok & (jnp.sum(true_cnt, promote_integers=False)
-               >= jnp.int32(n_sym))
+    # each junk symbol consumes >= 1 of the <= 7 pad bits, so the
+    # emitted count must land in [n_sym, n_sym + 7].  NOTE: `ok` is a
+    # SELF-CONSISTENCY check (sync + plausible count), not stream
+    # authentication — a corrupted stream that happens to sync and emit
+    # a count in range still returns wrong data with ok=True, matching
+    # the reference decoder's GIGO behavior (Huffman.c:310).
+    total = jnp.sum(true_cnt, promote_integers=False)
+    ok = ok & (total >= jnp.int32(n_sym)) & (total <= jnp.int32(n_sym + 7))
 
     rec = jnp.concatenate([rec_b, rec_a[pc:]], axis=0)
     rec = rec.reshape(F_BITS, Lp).T                  # (Lp, F)

@@ -484,7 +484,12 @@ def window_from_freq(freq, code_len) -> tuple | None:
     freq = np.asarray(freq)
     code_len = np.asarray(code_len)
     m = min(len(freq), len(code_len))
-    if int(code_len[:m][freq[:m] > 0].max(initial=0)) > 26:
+    # symbol 0 bypasses the 6-bit-packed window table via the
+    # len0/code0 select (top-32 code bits), so it tolerates codes up
+    # to 32 bits; only window symbols are capped at 26
+    if int(code_len[1:m][freq[1:m] > 0].max(initial=0)) > 26:
+        return None
+    if freq[0] > 0 and int(code_len[0]) > 32:
         return None
     used = np.flatnonzero(freq[1:m]) + 1
     lo = int(used.min()) if used.size else 1

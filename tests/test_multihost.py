@@ -58,6 +58,9 @@ def test_distributed_container_matches_serial(tmp_path, nprocs):
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)  # no virtual 8-dev mesh in workers
+    # the worker is a bare script: put the repo root on its sys.path
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
         [sys.executable, str(WORKER), str(i), str(nprocs), str(port),
          str(out)], env=env, stdout=subprocess.PIPE,
