@@ -40,6 +40,40 @@ import numpy as np
 import pytest
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
+
+# Every XLA:CPU executable keeps its JIT code pages mapped for the life
+# of the process; the full suite compiles thousands of shape-specialized
+# engine functions, and the process hits vm.max_map_count (65530) around
+# the 85% mark — mmap() then fails inside LLVM's JIT and the compile
+# SEGFAULTs.  Raise the limit when we can (root VM); either way, drop
+# all live executables whenever the map count nears the limit — freed
+# JIT regions are reused, so the count plateaus and in-use shapes just
+# recompile on demand.
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        _map_limit = int(_f.read())
+        if _map_limit < 262144:
+            try:
+                _f.seek(0)
+                _f.write("262144")
+                _map_limit = 262144
+            except OSError:
+                pass
+except OSError:  # pragma: no cover - non-linux
+    _map_limit = 65530
+_MAPS_CLEAR_AT = int(_map_limit * 0.6)
+
+
+@pytest.fixture(autouse=True)
+def _jit_map_pressure_guard():
+    yield
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            n_maps = sum(1 for _ in f)
+    except OSError:  # pragma: no cover - non-linux
+        return
+    if n_maps > _MAPS_CLEAR_AT:
+        jax.clear_caches()
 GOLDEN = REPO / "tests" / "golden"
 REF_BIN = pathlib.Path("/tmp/szref/build/bin/sz")
 REF_DATA = pathlib.Path("/root/reference/example/testdata/x86")
