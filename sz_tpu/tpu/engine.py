@@ -281,33 +281,75 @@ def _blocked_unpad_lattice(tp, dbs, shape: tuple):
     return _axis_merge(x, 0, dbs[0])
 
 
-@functools.lru_cache(maxsize=16)
-def _host_pad_maps(shape: tuple, block_size: int):
-    """Host-side padded-stream geometry: (valid, n_pad) where `valid`
-    is the padded-stream positions holding real points, in stream
-    order — so padded[valid] = compact_stream inserts the holes."""
-    g = _geom_small(shape, block_size)
+def _corner_box_to_lattice(seg, esizes: tuple):
+    """(c0..ck, prod(esizes)) corner segment -> its (c0*E0, .., ck*Ek)
+    lattice region.  The 2k-D transpose materializes with the minor two
+    dims tile-padded to (8, 128); group axis-0 block rows to bound the
+    padded intermediate (same rule as _blocked_unpad_lattice)."""
+    rank = len(esizes)
+    cs = tuple(int(c) for c in seg.shape[:-1])
+    perm = tuple(v for i in range(rank) for v in (i, rank + i))
+    out_shape = tuple(c * e for c, e in zip(cs, esizes))
+
+    pe = esizes[0]
+    for c, e in zip(cs[1:-1], esizes[1:-1]):
+        pe *= c * e
+    pe *= (-(-cs[-1] // 8) * 8) * (-(-esizes[-1] // 128) * 128)
+    grp = max(1, _TRANSPOSE_SLICE_BYTES
+              // max(1, pe * seg.dtype.itemsize))
+
+    def trans(sub, m0):
+        box = sub.reshape((m0,) + cs[1:] + esizes)
+        return box.transpose(perm).reshape((m0 * esizes[0],)
+                                           + out_shape[1:])
+
+    n0 = cs[0]
+    if grp >= n0:
+        return trans(seg, n0)
+    segs = [trans(jax.lax.slice_in_dim(seg, a, min(a + grp, n0), axis=0),
+                  min(a + grp, n0) - a)
+            for a in range(0, n0, grp)]
+    return jnp.concatenate(segs, axis=0)
+
+
+def _corner_unstream(x, dbs, shape: tuple):
+    """COMPACT block-major stream (n elements, no holes) -> lattice,
+    gather-free and hole-free.
+
+    Along each axis the `split` early blocks (length `early`) precede
+    the late blocks (length `late`) CONTIGUOUSLY (core/blocks.py
+    dim_blocks), so the stream partitions hierarchically into <= 2^rank
+    corner segments whose in-block boxes are UNIFORM: each level's
+    split is one static slice + reshape, each corner is one blocked
+    transpose, and the lattice reassembles by per-axis concatenation.
+    Replaces both jnp.take(stream, pos) (~9 ns/elem XLA gather) and the
+    padded-stream detour (host hole insertion + _blocked_unpad_lattice)
+    with pure bandwidth ops."""
     rank = len(shape)
-    # The mask over the padded stream (block dims then offset dims,
-    # (n0..nk, E0..Ek) C-order) is SEPARABLE: a padded slot is a hole
-    # iff its block is late on some axis AND its in-block offset on
-    # that axis is >= late.  One (num, E) bool per axis, broadcast-AND
-    # into the n_pad mask — no full-lattice build, per-axis pads, or
-    # 6-D transpose (those cost ~1-2 GB transient + seconds at 512^3).
-    masks = []
-    for db in g["dbs"]:
-        m = np.ones((db.num, db.early), bool)
+    parts = []
+    for db in dbs:
+        p = []
         if db.split:
-            m[db.split:, db.late:] = False
-        masks.append(m)
-    acc = np.ones((1,) * (2 * rank), bool)
-    for ax, m in enumerate(masks):
-        shp = [1] * (2 * rank)
-        shp[ax] = m.shape[0]
-        shp[rank + ax] = m.shape[1]
-        acc = acc & m.reshape(shp)
-    flat = acc.reshape(-1)
-    return np.flatnonzero(flat).astype(np.int64), flat.size
+            p.append((db.split, db.early))
+        if db.num - db.split:
+            p.append((db.num - db.split, db.late))
+        parts.append(p)
+
+    def rec(seg, ax, eprod, esizes):
+        if ax == rank:
+            return _corner_box_to_lattice(seg, esizes)
+        inner = int(np.prod(shape[ax + 1:], dtype=np.int64))
+        outs, off = [], 0
+        for cnt, esz in parts[ax]:
+            ln = cnt * esz * eprod * inner
+            sub = jax.lax.slice_in_dim(seg, off, off + ln,
+                                       axis=seg.ndim - 1)
+            sub = sub.reshape(seg.shape[:-1] + (cnt, esz * eprod * inner))
+            outs.append(rec(sub, ax + 1, eprod * esz, esizes + (esz,)))
+            off += ln
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, ax)
+
+    return rec(x, 0, 1, ())
 
 
 @functools.lru_cache(maxsize=16)
@@ -1252,10 +1294,12 @@ def pack_stream_device(t_stream_d, tables, freq, n: int, nbytes: int,
                 jnp.asarray(_pk.build_window_table(tables, lo_w, kw)),
                 lo_w, len0, code0, n, out_pad,
                 interpret=backend in ("cpu", "raw"))
+            _tr.sync(words_d)
             return np.asarray(words_d[:cut // 4]).view(np.uint8)
     packed_d = bitpack_fn(n, out_pad, backend)(
         t_stream_d, jax.device_put(tables.code_hi),
         jax.device_put(tables.code_len.astype(np.int32)))
+    _tr.sync(packed_d)
     return np.asarray(packed_d[:cut])
 
 
@@ -1617,84 +1661,36 @@ def packed_types_enabled() -> bool:
 
 
 @functools.lru_cache(maxsize=32)
-def _delattice_packed_fn(shape: tuple, dtype_str: str, k: int, w: int,
-                         backend: str = "cpu"):
-    """_delattice_fn over a fixed-width bit-packed type stream.
-
-    The host packs the decoded type codes MSB-first at w bits/symbol
-    (native.pack_wide_bits_u32) so the decode upload is ~w/16 of the
-    raw uint16 stream (w is typically 9: intervals=256)."""
-    T = jnp.dtype(dtype_str)
-    n = int(np.prod(shape))
-
-    def f(packed, unpred_pad, pos, iperm):
-        t_stream = unpack_w_bits(packed, n, w)
-        t_lat = jnp.take(t_stream, pos.reshape(-1)).reshape(shape)
-        esc_stream = jnp.nonzero(t_stream == 0, size=k, fill_value=n)[0]
-        lat_idx = jnp.take(iperm, esc_stream, mode="fill", fill_value=n)
-        unpred_lat = jnp.zeros((n,), T).at[lat_idx].set(
-            unpred_pad, mode="drop").reshape(shape)
-        return t_lat, unpred_lat
-
-    return _strict_jit(f, backend)
-
-
-@functools.lru_cache(maxsize=32)
-def _delattice2_fn(shape: tuple, dtype_str: str, block_size: int,
+def _delattice3_fn(shape: tuple, dtype_str: str, block_size: int,
                    k: int, w: int, backend: str = "cpu"):
-    """Gather-free decode-side staging (the v2 / pack2-era analog of
-    _delattice_packed_fn): the host inserts the late-block holes into
-    the type stream (value 1 — any nonzero works: holes land in the
-    sliced-away pad region and must only not read as escapes) and
-    bit-packs the PADDED stream; the device unpacks (gather-free
-    unpack_w_bits), recovers the lattice with the inverse blocked
-    transpose (pure reshape/transpose ops — no per-point take(pos)
-    gather), and places escapes via searchsorted.  w=0 means a raw
-    uint16 upload of the padded stream."""
+    """Decode-side staging v3 — one path for every source: COMPACT
+    type stream -> (int32 type lattice, unpred lattice) with zero
+    per-point gathers and zero hole handling (_corner_unstream).
+
+    w > 0: `tp` is the host's fixed-width MSB-first bit-pack of the
+    compact stream (native.pack_wide_bits_u32, upload is ~w/16 of raw
+    u16).  w = 0: `tp` is the stream itself — a raw u16 host upload or
+    the device-resident fsm_kernel output.  Escape values land via a
+    k-element scatter into a dense stream copy that rides the same
+    corner transform (k = padded escape count, small)."""
     T = jnp.dtype(dtype_str)
     n = int(np.prod(shape))
     g = _geom_small(shape, block_size)
     dbs_t = tuple(g["dbs"])
-    n_pad = padded_stream_len(shape, block_size)
 
-    def f(packed, unpred_pad):
+    def f(tp, unpred_pad):
         if w:
-            tp = unpack_w_bits(packed, n_pad, w)
+            tp = unpack_w_bits(tp, n, w)
         else:
-            tp = packed.astype(jnp.int32)
-        t_lat = _blocked_unpad_lattice(tp, dbs_t, shape)
+            tp = tp[:n].astype(jnp.int32)
+        t_lat = _corner_unstream(tp, dbs_t, shape)
         is_esc = tp == 0
         cum = jnp.cumsum(is_esc.astype(jnp.int32))
         esc_idx = jnp.searchsorted(
             cum, jnp.arange(1, k + 1, dtype=jnp.int32), side="left")
-        lat = _blocked_pad_stream(
-            jnp.arange(n, dtype=jnp.int32).reshape(shape), dbs_t, n)
-        lat_idx = jnp.take(lat, esc_idx, mode="fill", fill_value=n)
-        unpred_lat = jnp.zeros((n,), T).at[lat_idx].set(
-            unpred_pad, mode="drop").reshape(shape)
-        return t_lat, unpred_lat
-
-    return _strict_jit(f, backend)
-
-
-@functools.lru_cache(maxsize=32)
-def _delattice_dev_fn(shape: tuple, dtype_str: str, k: int,
-                      backend: str = "cpu"):
-    """Decode-side staging for a DEVICE-RESIDENT symbol stream (the
-    fsm_kernel output): compact int32 stream -> (type lattice, unpred
-    lattice); escapes via searchsorted."""
-    T = jnp.dtype(dtype_str)
-    n = int(np.prod(shape))
-
-    def f(t_stream, unpred_pad, pos, iperm):
-        t_lat = jnp.take(t_stream, pos.reshape(-1)).reshape(shape)
-        is_esc = t_stream[:n] == 0
-        cum = jnp.cumsum(is_esc.astype(jnp.int32))
-        esc_idx = jnp.searchsorted(
-            cum, jnp.arange(1, k + 1, dtype=jnp.int32), side="left")
-        lat_idx = jnp.take(iperm, esc_idx, mode="fill", fill_value=n)
-        unpred_lat = jnp.zeros((n,), T).at[lat_idx].set(
-            unpred_pad, mode="drop").reshape(shape)
+        u_stream = jnp.zeros((n,), T).at[esc_idx].set(
+            unpred_pad, mode="drop")
+        unpred_lat = _corner_unstream(u_stream, dbs_t, shape)
         return t_lat, unpred_lat
 
     return _strict_jit(f, backend)
@@ -1885,6 +1881,7 @@ def compress(data, real_precision, *, max_range_radius: int,
                 dev, jax.device_put(lc_full), jax.device_put(use_reg),
                 tuple(loc), dg_full()["iperm"], T(rp), T(recip),
                 jnp.asarray(intervals, jnp.int32), T(mean))
+        _tr.sync(tp_d if use2 else t_stream_d)
         hist = np.asarray(hist_d)
     n_esc = int(hist[0])
     with _tr.trace("escapes"):
@@ -1943,6 +1940,8 @@ def compress(data, real_precision, *, max_range_radius: int,
                     tables, lo_w, Kw)), lo_w, len0, code0,
                 np_len, out_pad,
                 interpret=be in ("cpu", "raw"))
+            _tr.sync(words_d)
+        with _tr.trace("stream_download"):
             packed = np.asarray(words_d[:cut // 4]).view(np.uint8)
         encoded = packed[:nbytes].tobytes()
         result_type = np.zeros(0, np.uint16)  # not needed downstream
@@ -1962,6 +1961,8 @@ def compress(data, real_precision, *, max_range_radius: int,
             packed_d = bitpack_fn(n, out_pad, be)(
                 t_stream_d, jax.device_put(tables.code_hi),
                 jax.device_put(tables.code_len.astype(np.int32)))
+            _tr.sync(packed_d)
+        with _tr.trace("stream_download"):
             packed = np.asarray(packed_d[:cut])
         encoded = packed[:nbytes].tobytes()
         result_type = np.zeros(0, np.uint16)  # not needed downstream
@@ -2002,6 +2003,7 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
     if use_dd:
         with _tr.trace("huffman_device"):
             t_dev = _device_decode_types(p, int(np.prod(shape)), be0)
+            _tr.sync(t_dev)
         if t_dev is None:  # fall back to the host FSM decoder
             from sz_tpu.format import huffman as _huff
             Lh, Rh, Ch, Th, _nc = p.tree
@@ -2028,51 +2030,24 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
     w = (0 if p.types is None else
          int(max(int(p.types.max(initial=0)), 1)).bit_length())
     packed_ok = 0 < w < 16 and packed_types_enabled()
-    # v2 (gather-free) staging: the host inserts the late-block holes
-    # so the device needs only the inverse blocked transpose — no
-    # per-point take(pos) gather and no per-symbol unpack gathers
-    # (same policy knob as the encode side)
-    p2mode = _os.environ.get("SZ_TPU_PACK2", "auto").lower()
-    use2 = (p2mode == "force"
-            or (p2mode == "auto" and be not in ("cpu", "raw")))
     with _tr.trace("delattice"):
         if t_dev is not None:
-            dg = _dev_geom(shape, spec.block_size, be)
-            t_lat, unpred_lat = _delattice_dev_fn(shape, dstr, k, be)(
-                t_dev, jax.device_put(unpred_pad), dg["pos"],
-                dg["iperm"])
-        elif use2:
-            valid, n_pad = _host_pad_maps(shape, spec.block_size)
-            if n_pad == len(p.types):   # no late-block holes
-                tp_host = np.asarray(p.types, np.uint16)
-            else:
-                tp_host = np.ones(n_pad, np.uint16)  # holes: nonzero
-                tp_host[valid] = p.types
-            if packed_ok:
-                from sz_tpu import native as _nat
-                packed = _nat.pack_wide_bits_u32(
-                    tp_host.astype(np.int32), w)
-                t_lat, unpred_lat = _delattice2_fn(
-                    shape, dstr, spec.block_size, k, w, be)(
-                    jax.device_put(packed), jax.device_put(unpred_pad))
-            else:
-                t_lat, unpred_lat = _delattice2_fn(
-                    shape, dstr, spec.block_size, k, 0, be)(
-                    jax.device_put(tp_host), jax.device_put(unpred_pad))
+            t_lat, unpred_lat = _delattice3_fn(
+                shape, dstr, spec.block_size, k, 0, be)(
+                t_dev, jax.device_put(unpred_pad))
         elif packed_ok:
             from sz_tpu import native as _nat
-            dg = _dev_geom(shape, spec.block_size, be)
             packed = _nat.pack_wide_bits_u32(
                 np.asarray(p.types, np.int32), w)
-            t_lat, unpred_lat = _delattice_packed_fn(shape, dstr, k, w,
-                                                     be)(
-                jax.device_put(packed), jax.device_put(unpred_pad),
-                dg["pos"], dg["iperm"])
+            t_lat, unpred_lat = _delattice3_fn(
+                shape, dstr, spec.block_size, k, w, be)(
+                jax.device_put(packed), jax.device_put(unpred_pad))
         else:
-            dg = _dev_geom(shape, spec.block_size, be)
-            t_lat, unpred_lat = _delattice_fn(shape, dstr, k, be)(
+            t_lat, unpred_lat = _delattice3_fn(
+                shape, dstr, spec.block_size, k, 0, be)(
                 jax.device_put(p.types.astype(np.uint16)),
-                jax.device_put(unpred_pad), dg["pos"], dg["iperm"])
+                jax.device_put(unpred_pad))
+        _tr.sync(t_lat, unpred_lat)
 
     with _tr.trace("decode_fixpoint"):
         out, iters = _decode_fn(shape, dstr, spec.block_size,
@@ -2080,6 +2055,7 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
             t_lat, jax.device_put(lc_full), jax.device_put(use_reg),
             unpred_lat, tuple(loc), T(p.rp),
             jnp.asarray(p.intervals, jnp.int32), T(p.mean))
+        _tr.sync(out)
     if as_jax:
         return out
     with _tr.trace("download"):
