@@ -312,7 +312,8 @@ def _compress_fp(data: np.ndarray, cfg: SZConfig, dt: DataType) -> bytes:
             pred_threshold=np.float32(cfg.pred_threshold),
             plus_bits=cfg.plus_bits,
             opt_quant_mode=1 if cfg.quantization_intervals == 0 else 0,
-            fixed_intervals=cfg.quantization_intervals)
+            fixed_intervals=cfg.quantization_intervals,
+            engine=cfg.engine)
         t.segment_size = cfg.segment_size
         header = md.make_header(hdr_cfg, dt, fmin, fmax, pw_rel=True,
                                 msst19=bool(t.msst19))
@@ -558,7 +559,8 @@ def decompress(blob: bytes, shape, dtype=np.float32,
             # 4D PW_REL decodes through the 3D kernels on folded dims
             # (getSnapshotData_float_4D, szd_float.c:2836-2838)
             dims = (dims[0] * dims[1], dims[2], dims[3])
-        out = pwr.decompress_pwrel(t, dims, dtype)
+        out = pwr.decompress_pwrel(t, dims, dtype, engine=engine,
+                                   as_jax=as_jax)
     elif len(dims) == 1:
         out = classic.decompress_1d(t, n, dtype)
     elif len(dims) in (2, 3, 4):

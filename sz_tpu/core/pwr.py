@@ -422,10 +422,27 @@ def compress_msst19(data: np.ndarray, pw_ratio: float, fmax, near_zero, *,
                     max_range_radius: int, sample_distance: int,
                     pred_threshold: float, plus_bits: int = 3,
                     opt_quant_mode: int = 1,
-                    fixed_intervals: int = 0, oracle: bool = False) -> TDPS:
+                    fixed_intervals: int = 0, oracle: bool = False,
+                    engine: str = "numpy") -> TDPS:
     """SZ_compress_float_{1,2,3}D_MDQ_MSST19 + pre_log_MSST19 driver
     pieces (zero replacement is done by the caller's copy).  `data` must
     already have zeros replaced with nearZero*multiplier."""
+    if not oracle and data.ndim in (2, 3):
+        try:
+            from sz_tpu.tpu import msst19_engine as me
+        except Exception:  # pragma: no cover - jax unavailable
+            me = None
+            if engine == "jax":
+                raise
+        if me is not None and me.device_ok(engine, data.dtype,
+                                           data.ndim, data.size):
+            return me.compress(
+                data, pw_ratio, fmax, near_zero,
+                max_range_radius=max_range_radius,
+                sample_distance=sample_distance,
+                pred_threshold=pred_threshold, plus_bits=plus_bits,
+                opt_quant_mode=opt_quant_mode,
+                fixed_intervals=fixed_intervals)
     T = np.float32 if data.dtype == np.float32 else np.float64
     dt = DataType.FLOAT if T is np.float32 else DataType.DOUBLE
     data = np.ascontiguousarray(data, dtype=T)
@@ -807,7 +824,8 @@ def decompress_msst19(tdps: TDPS, shape, dtype, *,
 def compress_prelog(data: np.ndarray, pw_ratio: float, fmin, fmax, *,
                     max_range_radius: int, sample_distance: int,
                     pred_threshold: float, opt_quant_mode: int = 1,
-                    fixed_intervals: int = 0) -> TDPS:
+                    fixed_intervals: int = 0,
+                    engine: str = "numpy") -> TDPS:
     T = np.float32 if data.dtype == np.float32 else np.float64
     flat = np.ascontiguousarray(data, dtype=T).reshape(-1)
     signs = (flat < 0).astype(np.uint8)
@@ -857,10 +875,14 @@ def compress_prelog(data: np.ndarray, pw_ratio: float, fmin, fmax, *,
             sample_distance=sample_distance, pred_threshold=pred_threshold,
             opt_quant_mode=opt_quant_mode, fixed_intervals=fixed_intervals)
     else:
+        # log2 happens on the HOST (libm-exact v_log2 above); the
+        # transformed field then rides the classic DEVICE engine when
+        # engine allows — the pre-log "TPU path" with exact parity
         tdps = classic_nd.compress_nd(
             shaped, rp, lrange, lmedian, max_range_radius=max_range_radius,
             sample_distance=sample_distance, pred_threshold=pred_threshold,
-            opt_quant_mode=opt_quant_mode, fixed_intervals=fixed_intervals)
+            opt_quant_mode=opt_quant_mode, fixed_intervals=fixed_intervals,
+            engine=engine)
     tdps.is_pwr = True
     tdps.min_log_value = float(T(np.float64(min_log) - 1.0001 * rp))
     if not positive:
@@ -878,7 +900,8 @@ def compress_pwrel(data: np.ndarray, pw_ratio: float, *, accelerate: bool,
                    range_info, max_range_radius: int, sample_distance: int,
                    pred_threshold: float, plus_bits: int = 3,
                    opt_quant_mode: int = 1,
-                   fixed_intervals: int = 0) -> TDPS:
+                   fixed_intervals: int = 0,
+                   engine: str = "numpy") -> TDPS:
     """range_info: (fmin, fmax) for pre-log, or the full
     range_size_msst19 tuple for the accelerated path."""
     T = np.float32 if data.dtype == np.float32 else np.float64
@@ -895,7 +918,7 @@ def compress_pwrel(data: np.ndarray, pw_ratio: float, *, accelerate: bool,
             max_range_radius=max_range_radius,
             sample_distance=sample_distance, pred_threshold=pred_threshold,
             plus_bits=plus_bits, opt_quant_mode=opt_quant_mode,
-            fixed_intervals=fixed_intervals)
+            fixed_intervals=fixed_intervals, engine=engine)
         tdps.min_log_value = float(T(
             np.float64(near_zero) / ((1 + pw_ratio) * (1 + pw_ratio))))
         if not positive:
@@ -907,11 +930,18 @@ def compress_pwrel(data: np.ndarray, pw_ratio: float, *, accelerate: bool,
     return compress_prelog(
         data, pw_ratio, fmin, fmax, max_range_radius=max_range_radius,
         sample_distance=sample_distance, pred_threshold=pred_threshold,
-        opt_quant_mode=opt_quant_mode, fixed_intervals=fixed_intervals)
+        opt_quant_mode=opt_quant_mode, fixed_intervals=fixed_intervals,
+        engine=engine)
 
 
-def decompress_pwrel(tdps: TDPS, shape, dtype) -> np.ndarray:
-    """szd_float_pwr.c pre_log decoders (plain :1331+, MSST19 :1425+)."""
+def decompress_pwrel(tdps: TDPS, shape, dtype, engine: str = "numpy",
+                     as_jax: bool = False):
+    """szd_float_pwr.c pre_log decoders (plain :1331+, MSST19 :1425+).
+
+    engine="jax"/"auto" routes MSST19 streams to the TPU device engine
+    (sign/zero restore included on device; as_jax keeps the result in
+    HBM).  Pre-log streams decode their classic body with the device
+    engine but the exp2 restore stays on the host (libm parity)."""
     T = np.float32 if np.dtype(dtype) == np.float32 else np.float64
     n = int(np.prod(shape))
     thr = T(tdps.min_log_value)
@@ -919,6 +949,16 @@ def decompress_pwrel(tdps: TDPS, shape, dtype) -> np.ndarray:
     signbit = ubits(1) << ubits(8 * np.dtype(T).itemsize - 1)
 
     if tdps.msst19:
+        if len(shape) in (2, 3):
+            try:
+                from sz_tpu.tpu import msst19_engine as me
+            except Exception:  # pragma: no cover - jax unavailable
+                me = None
+                if engine == "jax":
+                    raise
+            if me is not None and me.device_ok(engine, T, len(shape), n,
+                                               device_out=as_jax):
+                return me.decompress(tdps, shape, dtype, as_jax=as_jax)
         out = decompress_msst19(tdps, shape, dtype).reshape(-1)
         if len(tdps.pwr_err_bound_bytes):
             signs = np.frombuffer(
@@ -935,7 +975,8 @@ def decompress_pwrel(tdps: TDPS, shape, dtype) -> np.ndarray:
     if len(shape) == 1:
         out = classic.decompress_1d(tdps, n, dtype)
     else:
-        out = classic_nd.decompress_nd(tdps, shape, dtype).reshape(-1)
+        out = np.asarray(classic_nd.decompress_nd(
+            tdps, shape, dtype, engine=engine)).reshape(-1)
     from sz_tpu import native
 
     out = np.asarray(out).reshape(-1)

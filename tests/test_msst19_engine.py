@@ -1,0 +1,117 @@
+"""PW_REL device engine parity (sz_tpu/tpu/msst19_engine.py).
+
+The TPU MSST19 engine must emit byte-identical TDPS streams and
+bit-identical reconstructions vs the host kernels (themselves golden
+vs the reference binary in test_golden_classic_nd / the msst19 oracle).
+The pre-log family has no dedicated device kernel: its log2/exp2
+transform stays on the host (libm parity, SURVEY §7) while the classic
+body rides the classic device engine — also byte-checked here.
+"""
+
+import numpy as np
+import pytest
+
+from sz_tpu import api
+from sz_tpu.config import ErrorBoundMode, SZConfig
+from sz_tpu.core import pwr
+from sz_tpu.format import tdps as tdps_mod
+
+KW = dict(max_range_radius=32768, sample_distance=100,
+          pred_threshold=0.99, plus_bits=3)
+
+
+def synth(shape, T, seed, signed=False):
+    rng = np.random.default_rng(seed)
+    axes = [np.linspace(0.1, 4 * np.pi, n) for n in shape]
+    g = np.meshgrid(*axes, indexing="ij")
+    f = np.exp(np.sin(g[0]) * (np.cos(g[-1]) if len(g) > 1 else 1.0))
+    f = f * (1 + 0.05 * rng.standard_normal(shape))
+    if signed:
+        return (f - np.median(f)).astype(T)
+    return np.abs(f).astype(T) + T(0.01)
+
+
+@pytest.mark.parametrize("shape", [
+    (48, 37), (24, 19, 23), (7, 5), (3, 3, 3), (1, 40), (2, 2),
+    (33, 1, 17), (40, 48, 56)])
+@pytest.mark.parametrize("T", [np.float32, np.float64])
+def test_device_matches_host(shape, T):
+    from sz_tpu.tpu import msst19_engine as me
+
+    data = synth(shape, T, seed=len(shape))
+    fmax = data.max()
+    nz = np.abs(data[data != 0]).min()
+    t_h = pwr.compress_msst19(data, 1e-3, fmax, nz, **KW)
+    t_d = me.compress(data, 1e-3, fmax, nz, **KW)
+    assert tdps_mod.to_bytes(t_h) == tdps_mod.to_bytes(t_d)
+    out_h = pwr.decompress_pwrel(t_h, shape, T)
+    out_d = me.decompress(t_h, shape, T)
+    assert np.array_equal(out_h, out_d)
+
+
+@pytest.mark.parametrize("ratio", [1e-2, 1e-4])
+def test_device_matches_host_bounds(ratio):
+    from sz_tpu.tpu import msst19_engine as me
+
+    shape = (30, 26, 34)
+    data = synth(shape, np.float32, seed=11)
+    fmax = data.max()
+    nz = np.abs(data[data != 0]).min()
+    t_h = pwr.compress_msst19(data, ratio, fmax, nz, **KW)
+    t_d = me.compress(data, ratio, fmax, nz, **KW)
+    assert tdps_mod.to_bytes(t_h) == tdps_mod.to_bytes(t_d)
+    assert np.array_equal(pwr.decompress_pwrel(t_h, shape, np.float32),
+                          me.decompress(t_h, shape, np.float32))
+
+
+@pytest.mark.parametrize("shape,T,signed", [
+    ((26, 22, 30), np.float32, True),     # signed -> sign bitmap path
+    ((26, 22, 30), np.float32, False),
+    ((44, 38), np.float64, True),
+    ((9, 6, 10, 8), np.float32, False),   # 4D folds to 3D
+])
+def test_api_end_to_end_msst19(shape, T, signed):
+    data = synth(shape, T, seed=3, signed=signed)
+    data[data == 0] = T(0.5)
+    cfg_h = SZConfig(error_bound_mode=ErrorBoundMode.PW_REL,
+                     pw_rel_bound_ratio=1e-3, engine="numpy")
+    cfg_d = SZConfig(error_bound_mode=ErrorBoundMode.PW_REL,
+                     pw_rel_bound_ratio=1e-3, engine="jax")
+    blob_h = api.compress(data, cfg_h)
+    blob_d = api.compress(data, cfg_d)
+    assert blob_h == blob_d
+    out_h = api.decompress(blob_h, shape, T, engine="numpy")
+    out_d = api.decompress(blob_h, shape, T, engine="jax")
+    assert np.array_equal(out_h, out_d)
+
+
+def test_api_end_to_end_prelog():
+    """accelerate off -> pre-log body rides the classic device engine."""
+    shape = (26, 22, 30)
+    data = synth(shape, np.float32, seed=5)
+    cfg_h = SZConfig(error_bound_mode=ErrorBoundMode.PW_REL,
+                     pw_rel_bound_ratio=1e-3, accelerate_pw_rel=False,
+                     engine="numpy")
+    cfg_d = SZConfig(error_bound_mode=ErrorBoundMode.PW_REL,
+                     pw_rel_bound_ratio=1e-3, accelerate_pw_rel=False,
+                     engine="jax")
+    blob_h = api.compress(data, cfg_h)
+    blob_d = api.compress(data, cfg_d)
+    assert blob_h == blob_d
+    assert np.array_equal(api.decompress(blob_h, shape, np.float32,
+                                         engine="numpy"),
+                          api.decompress(blob_h, shape, np.float32,
+                                         engine="jax"))
+
+
+def test_as_jax_device_out():
+    shape = (24, 20, 28)
+    data = synth(shape, np.float32, seed=9, signed=True)
+    data[data == 0] = np.float32(0.5)
+    cfg = SZConfig(error_bound_mode=ErrorBoundMode.PW_REL,
+                   pw_rel_bound_ratio=1e-3)
+    blob = api.compress(data, cfg)
+    out_np = api.decompress(blob, shape, np.float32, engine="numpy")
+    out_j = api.decompress(blob, shape, np.float32, engine="jax",
+                           as_jax=True)
+    assert np.array_equal(out_np, np.asarray(out_j))
