@@ -47,3 +47,28 @@ def trace(name: str):
         if _enabled:
             print(f"[sz_tpu {name}: {dt * 1e3:.1f} ms]", file=sys.stderr,
                   flush=True)
+
+
+# --- checksum-sync instrumentation -----------------------------------------
+# jax.block_until_ready does NOT reliably synchronize through tunneled
+# device links (BASELINE.md session 7): span times become dispatch-only.
+# A bench/profiling harness installs a sync hook (typically an 8-element
+# checksum download, which forces the producer to complete); engine
+# stages call sync(arr) on their device outputs before the span closes,
+# so spans measure DEVICE COMPUTE, not dispatch.  Default: no-op.
+_sync_fn = None
+
+
+def set_sync(fn) -> None:
+    """Install (or clear, fn=None) the span sync hook: fn(jax_array)
+    must force the array's producer to complete before returning."""
+    global _sync_fn
+    _sync_fn = fn
+
+
+def sync(*arrs) -> None:
+    if _sync_fn is None:
+        return
+    for a in arrs:
+        if a is not None:
+            _sync_fn(a)
