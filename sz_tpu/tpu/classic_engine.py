@@ -391,7 +391,7 @@ def compress(data: np.ndarray, real_precision: float, value_range,
     total_bits = int((freq[:len(tables.code_len)]
                       * tables.code_len.astype(np.int64)).sum())
 
-    dev_pack = eng._os.environ.get("SZ_TPU_DEVICE_BITPACK", "1") != "0"
+    dev_pack = eng.device_bitpack_policy()
     if dev_pack and 0 < max_len <= 32 and total_bits > 0:
         nbytes = (total_bits + 7) // 8
         with _tr.trace("bitpack_device"):
@@ -442,9 +442,7 @@ def decompress(tdps: TDPS, shape, dtype, as_jax: bool = False):
     # device-side FSM Huffman decode (same policy knob as the
     # regression codec): zero host FSM pass; envelope/sync failures
     # fall back to the host decoder below
-    ddmode = eng._os.environ.get("SZ_TPU_DEVICE_DECODE", "auto").lower()
-    use_dd = (ddmode == "force"
-              or (ddmode == "auto" and be not in ("cpu", "raw")))
+    use_dd = eng.device_decode_policy(be)
     t_dev = None
     if use_dd:
         from sz_tpu.format import bytes_util as _bu

@@ -84,6 +84,35 @@ def _pallas_mode() -> str:
     return "auto"
 
 
+# --- routing policy (one place; see README "Runtime configuration") --------
+# Auto defaults differ by backend on purpose: Pallas/pack2/FSM kernels
+# run in slow interpret mode on XLA:CPU, so "auto" enables them only on
+# real accelerator backends; "force" opts CPU in (parity tests).
+
+def pack2_policy(backend: str) -> bool:
+    """Gather-free padded-stream epilogue + fully in-kernel Huffman
+    pack (SZ_TPU_PACK2: auto|force|0)."""
+    mode = _os.environ.get("SZ_TPU_PACK2", "auto").lower()
+    return (mode == "force"
+            or (mode == "auto" and backend not in ("cpu", "raw")))
+
+
+def device_decode_policy(backend: str) -> bool:
+    """On-chip speculative FSM Huffman decode (SZ_TPU_DEVICE_DECODE:
+    auto|force|0)."""
+    mode = _os.environ.get("SZ_TPU_DEVICE_DECODE", "auto").lower()
+    return (mode == "force"
+            or (mode == "auto" and backend not in ("cpu", "raw")))
+
+
+def device_bitpack_policy() -> bool:
+    """Pack the entropy stream on device (download packed bits) vs
+    download the raw u16 types and pack on the host
+    (SZ_TPU_DEVICE_BITPACK: 1|0 — backend-independent: it trades
+    transfer volume, not kernel speed)."""
+    return _os.environ.get("SZ_TPU_DEVICE_BITPACK", "1") != "0"
+
+
 # ---------------------------------------------------------------------------
 # Geometry (host, cached per shape)
 # ---------------------------------------------------------------------------
@@ -1276,10 +1305,9 @@ def pack_stream_device(t_stream_d, tables, freq, n: int, nbytes: int,
     see compress())."""
     out_pad = _pad_pow2(nbytes + 8)
     cut = min(out_pad, ((nbytes + 8 + (1 << 20) - 1) >> 20) << 20)
-    p2mode = _os.environ.get("SZ_TPU_PACK2", "auto").lower()
-    use2 = (p2mode == "force"
-            or (p2mode == "auto" and backend not in ("cpu", "raw")
-                and _default_backend() != "cpu"))
+    use2 = (pack2_policy(backend)
+            and (_os.environ.get("SZ_TPU_PACK2", "auto").lower() == "force"
+                 or _default_backend() != "cpu"))
     if use2:
         from sz_tpu.tpu import pack_kernel as _pk
         win = _pk.window_from_freq(freq, tables.code_len)
@@ -1740,10 +1768,12 @@ def _device_decode_stream(tree, encoded: bytes, n: int, be: str):
     w = _fsm.pad_words_to_bucket(
         np.frombuffer(encoded + b"\0" * pad, ">u4").astype(np.uint32),
         R)
+    with _tr.trace("stream_upload"):
+        w_d = jax.device_put(jnp.asarray(w))
+        trans_d = jax.device_put(jnp.asarray(trans))
+        _tr.sync(w_d)
     syms, ok = _fsm_decode_fn(trans.shape[0], R, n, be)(
-        jax.device_put(jnp.asarray(w)),
-        jax.device_put(jnp.asarray(trans)),
-        jnp.asarray([total_bits], jnp.int32))
+        w_d, trans_d, jnp.asarray([total_bits], jnp.int32))
     if not bool(ok):  # pragma: no cover - pathological no-sync stream
         return None
     return syms
@@ -1861,9 +1891,7 @@ def compress(data, real_precision, *, max_range_radius: int,
     # quantize epilogue emits the gather-free padded stream + MXU
     # histogram; the Huffman pack runs fully in-kernel.  force = also
     # on CPU via interpret mode (parity tests); 0 = off.
-    p2mode = _os.environ.get("SZ_TPU_PACK2", "auto").lower()
-    use2 = (p2mode == "force"
-            or (p2mode == "auto" and be not in ("cpu", "raw")))
+    use2 = pack2_policy(be)
     t_lat_d = tp_d = None
     with _tr.trace("quantize"):
         if use2:
@@ -1919,7 +1947,7 @@ def compress(data, real_precision, *, max_range_radius: int,
     # (Measured alternatives on v5e, 256^3: two u32 segment-sums 0.68 s;
     # searchsorted+cumsum-difference 2.5 s; one 2-wide-payload scatter
     # 1.38 s — XLA's sorted scatter-add is the best formulation.)
-    dev_pack = _os.environ.get("SZ_TPU_DEVICE_BITPACK", "1") != "0"
+    dev_pack = device_bitpack_policy()
     win = None
     if use2 and dev_pack and total_bits > 0:
         from sz_tpu.tpu import pack_kernel as _pk
@@ -1973,11 +2001,58 @@ def compress(data, real_precision, *, max_range_radius: int,
                                                    dg_full()["iperm"])[0]
             result_type = np.asarray(t_stream_d)
 
+    if PROBE_REPS and use2 and win is not None:
+        # Amortized device-chain probe (bench harness sets PROBE_REPS):
+        # per-span sync timing pays one link RTT + the in-span aux
+        # uploads per stage, which through a slow tunnel swamps the
+        # kernels.  Queue the whole device chain (coeff sums -> select
+        # -> quantize v2 -> pack2) K times with ONE final sync and take
+        # the marginal per-rep time — the session-7 methodology,
+        # mechanized.  All inputs are device-resident by now.
+        coeffs_d = jax.device_put(coeffs)
+        lc_d = jax.device_put(lc_full)
+        ur_d = jax.device_put(use_reg)
+        wt_d = jnp.asarray(_pk.build_window_table(tables, lo_w, Kw))
+        sync = (_tr._sync_fn or
+                (lambda a: np.asarray(jax.device_get(a[:1]))))
+
+        def chain():
+            _coeff_sums_fn(shape, dstr, spec.block_size, be)(dev)
+            _select_fn(shape, dstr, spec.block_size, use_mean, be)(
+                dev, coeffs_d, T(noise), T(mean))
+            tp_p = _quantize_fn(
+                shape, dstr, spec.block_size, use_mean, be, "v2")(
+                dev, lc_d, ur_d, tuple(loc),
+                jnp.zeros((1,), jnp.int32), T(rp), T(recip),
+                jnp.asarray(intervals, jnp.int32), T(mean))[0]
+            return _pk.pack2_bits(tp_p, wt_d, lo_w, len0, code0,
+                                  np_len, out_pad,
+                                  interpret=be in ("cpu", "raw"))
+
+        import time as _time
+        sync(chain())                       # warm
+        t0 = _time.perf_counter()
+        sync(chain())
+        t1 = _time.perf_counter()
+        last = None
+        for _ in range(PROBE_REPS):
+            last = chain()
+        sync(last)
+        tk = _time.perf_counter()
+        per_rep = (tk - t1) / PROBE_REPS
+        _tr._spans.append(("device_chain_amortized", per_rep))
+        _tr._spans.append(("device_chain_single", t1 - t0))
+
     with _tr.trace("assemble"):
         return regnd.assemble_body(
             spec, rp, intervals, use_mean, mean, use_reg, ctypes, cunpred,
             cprec, result_type, unpred_arr, size_type, freq=freq,
             tables=tables, encoded=encoded)
+
+
+# bench harness knob: number of amortized device-chain repetitions to
+# append to the trace spans (0 = off; see the probe block in compress)
+PROBE_REPS = 0
 
 
 def decompress(body: bytes, shape, dtype, size_type: int = 8,
@@ -1992,10 +2067,8 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
     # FSM and only the raw coded bytes cross the link.  auto = real-TPU
     # backends; falls back to the host decoder when the tree/stream is
     # outside the kernel envelope or a chunk fails to self-sync.
-    ddmode = _os.environ.get("SZ_TPU_DEVICE_DECODE", "auto").lower()
     be0 = jax.default_backend()
-    use_dd = (ddmode == "force"
-              or (ddmode == "auto" and be0 not in ("cpu", "raw")))
+    use_dd = device_decode_policy(be0)
     with _tr.trace("parse_body"):
         p = regnd.parse_body(body, shape, dtype, size_type,
                              raw_types=use_dd)
@@ -2031,31 +2104,62 @@ def decompress(body: bytes, shape, dtype, size_type: int = 8,
          int(max(int(p.types.max(initial=0)), 1)).bit_length())
     packed_ok = 0 < w < 16 and packed_types_enabled()
     with _tr.trace("delattice"):
+        unpred_d = jax.device_put(unpred_pad)
         if t_dev is not None:
-            t_lat, unpred_lat = _delattice3_fn(
-                shape, dstr, spec.block_size, k, 0, be)(
-                t_dev, jax.device_put(unpred_pad))
+            t_src, w_eff = t_dev, 0
         elif packed_ok:
             from sz_tpu import native as _nat
-            packed = _nat.pack_wide_bits_u32(
-                np.asarray(p.types, np.int32), w)
-            t_lat, unpred_lat = _delattice3_fn(
-                shape, dstr, spec.block_size, k, w, be)(
-                jax.device_put(packed), jax.device_put(unpred_pad))
+            t_src = jax.device_put(_nat.pack_wide_bits_u32(
+                np.asarray(p.types, np.int32), w))
+            w_eff = w
         else:
-            t_lat, unpred_lat = _delattice3_fn(
-                shape, dstr, spec.block_size, k, 0, be)(
-                jax.device_put(p.types.astype(np.uint16)),
-                jax.device_put(unpred_pad))
+            t_src = jax.device_put(p.types.astype(np.uint16))
+            w_eff = 0
+
+        def _stage():
+            return _delattice3_fn(
+                shape, dstr, spec.block_size, k, w_eff, be)(
+                t_src, unpred_d)
+
+        t_lat, unpred_lat = _stage()
         _tr.sync(t_lat, unpred_lat)
 
     with _tr.trace("decode_fixpoint"):
-        out, iters = _decode_fn(shape, dstr, spec.block_size,
-                                bool(p.use_mean), be)(
-            t_lat, jax.device_put(lc_full), jax.device_put(use_reg),
-            unpred_lat, tuple(loc), T(p.rp),
-            jnp.asarray(p.intervals, jnp.int32), T(p.mean))
+        lc_d = jax.device_put(lc_full)
+        ur_d = jax.device_put(use_reg)
+
+        def _fix(t_lat, unpred_lat):
+            return _decode_fn(shape, dstr, spec.block_size,
+                              bool(p.use_mean), be)(
+                t_lat, lc_d, ur_d, unpred_lat, tuple(loc), T(p.rp),
+                jnp.asarray(p.intervals, jnp.int32), T(p.mean))
+
+        out, iters = _fix(t_lat, unpred_lat)
         _tr.sync(out)
+
+    if PROBE_REPS:
+        # amortized decode-chain probe (staging + fixpoint; the FSM
+        # kernel itemizes as huffman_device minus stream_upload)
+        sync = (_tr._sync_fn or
+                (lambda a: np.asarray(jax.device_get(a.ravel()[:1]))))
+
+        def chain():
+            tl, ul = _stage()
+            return _fix(tl, ul)[0]
+
+        import time as _time
+        sync(chain())
+        t0 = _time.perf_counter()
+        sync(chain())
+        t1 = _time.perf_counter()
+        last = None
+        for _ in range(PROBE_REPS):
+            last = chain()
+        sync(last)
+        tk = _time.perf_counter()
+        _tr._spans.append(("decode_chain_amortized",
+                           (tk - t1) / PROBE_REPS))
+        _tr._spans.append(("decode_chain_single", t1 - t0))
     if as_jax:
         return out
     with _tr.trace("download"):

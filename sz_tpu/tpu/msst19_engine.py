@@ -444,7 +444,7 @@ def compress(work: np.ndarray, pw_ratio: float, fmax, near_zero, *,
     total_bits = int((freq[:len(tables.code_len)]
                       * tables.code_len.astype(np.int64)).sum())
 
-    dev_pack = eng._os.environ.get("SZ_TPU_DEVICE_BITPACK", "1") != "0"
+    dev_pack = eng.device_bitpack_policy()
     if dev_pack and 0 < max_len <= 32 and total_bits > 0:
         nbytes = (total_bits + 7) // 8
         with _tr.trace("bitpack_device"):
@@ -483,9 +483,7 @@ def decompress(tdps: TDPS, shape, dtype, as_jax: bool = False):
     be = jax.default_backend()
     dbl = len(shape) == 3
 
-    ddmode = eng._os.environ.get("SZ_TPU_DEVICE_DECODE", "auto").lower()
-    use_dd = (ddmode == "force"
-              or (ddmode == "auto" and be not in ("cpu", "raw")))
+    use_dd = eng.device_decode_policy(be)
     t_dev = None
     if use_dd:
         node_count = bu.read_u32_be(tdps.type_array, 0)

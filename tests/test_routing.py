@@ -1,0 +1,69 @@
+"""Env-var routing policy (README "Runtime configuration").
+
+The auto defaults differ by backend on purpose: kernel-path knobs
+(SZ_TPU_PALLAS / SZ_TPU_PACK2 / SZ_TPU_DEVICE_DECODE) follow the
+backend, transfer-shape knobs (SZ_TPU_DEVICE_BITPACK /
+SZ_TPU_PACKED_TYPES) do not.  These tests pin the selection matrix so
+a refactor cannot silently misroute a backend.
+"""
+
+import pytest
+
+from sz_tpu.tpu import engine
+
+
+@pytest.mark.parametrize("backend,expect", [
+    ("cpu", False), ("raw", False), ("tpu", True), ("axon", True)])
+def test_pack2_auto_follows_backend(monkeypatch, backend, expect):
+    monkeypatch.delenv("SZ_TPU_PACK2", raising=False)
+    assert engine.pack2_policy(backend) is expect
+
+
+@pytest.mark.parametrize("backend,expect", [
+    ("cpu", False), ("raw", False), ("tpu", True), ("axon", True)])
+def test_device_decode_auto_follows_backend(monkeypatch, backend, expect):
+    monkeypatch.delenv("SZ_TPU_DEVICE_DECODE", raising=False)
+    assert engine.device_decode_policy(backend) is expect
+
+
+@pytest.mark.parametrize("var,fn", [
+    ("SZ_TPU_PACK2", engine.pack2_policy),
+    ("SZ_TPU_DEVICE_DECODE", engine.device_decode_policy)])
+def test_force_and_off_override_backend(monkeypatch, var, fn):
+    monkeypatch.setenv(var, "force")
+    assert fn("cpu") is True
+    monkeypatch.setenv(var, "0")
+    assert fn("tpu") is False
+
+
+def test_transfer_knobs_are_backend_independent(monkeypatch):
+    monkeypatch.delenv("SZ_TPU_DEVICE_BITPACK", raising=False)
+    assert engine.device_bitpack_policy() is True
+    monkeypatch.setenv("SZ_TPU_DEVICE_BITPACK", "0")
+    assert engine.device_bitpack_policy() is False
+    monkeypatch.delenv("SZ_TPU_PACKED_TYPES", raising=False)
+    assert engine.packed_types_enabled() is True
+    monkeypatch.setenv("SZ_TPU_PACKED_TYPES", "0")
+    assert engine.packed_types_enabled() is False
+
+
+@pytest.mark.parametrize("val,expect", [
+    (None, "auto"), ("force", "force"), ("0", "off"), ("off", "off")])
+def test_pallas_mode(monkeypatch, val, expect):
+    if val is None:
+        monkeypatch.delenv("SZ_TPU_PALLAS", raising=False)
+    else:
+        monkeypatch.setenv("SZ_TPU_PALLAS", val)
+    assert engine._pallas_mode() == expect
+
+
+def test_msst19_device_ok_policy():
+    """The MSST19 engine's routing contract: never on for host-only
+    requests, always honors explicit engine="jax" for f32 2/3-D."""
+    import numpy as np
+
+    from sz_tpu.tpu import msst19_engine as me
+    assert me.device_ok("numpy", np.float32, 3, 1 << 20) is False
+    assert me.device_ok("jax", np.float32, 3, 64) is True
+    assert me.device_ok("jax", np.float32, 1, 1 << 20) is False
+    assert me.device_ok("jax", np.float32, 4, 1 << 20) is False
