@@ -395,6 +395,64 @@ def decompress_1d_ts(tdps: TDPS, prev: np.ndarray, n: int,
     return out
 
 
+@_functools.lru_cache(maxsize=8)
+def _ts_decode_fn(n: int, k: int, dstr: str):
+    from sz_tpu.tpu import engine as _eng
+    jax, jnp = _eng.jax, _eng.jnp
+    T = jnp.dtype(dstr)
+
+    def f(t_arr, prev, radius, interval2, unpred_pad):
+        t32 = t_arr.astype(jnp.int32)
+        out = (prev.astype(jnp.float64)
+               + (t32 - radius).astype(jnp.float64) * interval2
+               ).astype(T)
+        is_esc = t32 == 0
+        cum = jnp.cumsum(is_esc.astype(jnp.int32))
+        esc_idx = jnp.searchsorted(
+            cum, jnp.arange(1, k + 1, dtype=jnp.int32), side="left")
+        return out.at[esc_idx].set(unpred_pad, mode="drop")
+
+    return _eng._strict_jit(f, jax.default_backend())
+
+
+def decompress_1d_ts_device(tdps: TDPS, prev, n: int, dtype):
+    """Device analog of decompress_1d_ts: the type stream decodes with
+    the on-chip FSM kernel (zero host Huffman pass — only the raw coded
+    bytes cross the link), the elementwise temporal restore
+    (szd_float_ts.c:19 arithmetic, f64 contract) and the escape scatter
+    run on device, and the returned reconstruction stays device-resident
+    (the next step's history).  Returns None when the stream is outside
+    the FSM envelope (caller falls back to the host path)."""
+    from sz_tpu.format import bytes_util as _bu
+    from sz_tpu.tpu import engine as _eng
+    jax, jnp = _eng.jax, _eng.jnp
+
+    T = np.float32 if np.dtype(dtype) == np.float32 else np.float64
+    node_count = _bu.read_u32_be(tdps.type_array, 0)
+    tsize = huffman.tree_bytes_size(node_count)
+    tree = huffman.deserialize_tree(tdps.type_array[8:8 + tsize],
+                                    node_count)
+    t_dev = _eng._device_decode_stream(
+        (*tree, node_count), tdps.type_array[8 + tsize:], n,
+        jax.default_backend())
+    if t_dev is None:
+        return None
+    n_esc = int(jnp.sum(jnp.equal(t_dev[:n], 0),
+                        promote_integers=False))
+    dec = classic.ExactDecoder(tdps, T)
+    k = _eng._pad_pow2(max(n_esc, 1))
+    unpred_pad = np.zeros(k, dtype=T)
+    unpred_pad[:n_esc] = dec.next_batch(n_esc)
+    dstr = np.dtype(T).str.lstrip("<>=")
+    prev_d = prev if api._is_jax_array(prev) else jax.device_put(
+        np.asarray(prev, T))
+    return _ts_decode_fn(n, k, dstr)(
+        t_dev[:n], prev_d.reshape(-1),
+        jnp.asarray(tdps.intervals // 2, jnp.int32),
+        jnp.asarray(tdps.real_precision * 2, jnp.float64),
+        jax.device_put(unpred_pad))
+
+
 # ---------------------------------------------------------------------------
 # Variable registry + per-step framing
 # ---------------------------------------------------------------------------
@@ -520,8 +578,16 @@ class TemporalCompressor:
 
     # -- decompression ----------------------------------------------------
 
-    def decompress_step(self, blob: bytes) -> dict:
-        """Returns {var_id: ndarray}; updates per-var history."""
+    def decompress_step(self, blob: bytes, as_jax: bool = False) -> dict:
+        """Returns {var_id: ndarray}; updates per-var history.
+
+        as_jax=True (or an accelerator backend with the device-decode
+        policy on) decodes f32 temporal steps on device: the type
+        stream runs through the on-chip FSM kernel, the restore and
+        escape scatter are fused device ops, and the history stays in
+        HBM across steps; as_jax additionally returns the device
+        arrays (the natural mode when the steps feed an on-device
+        pipeline)."""
         pos = 0
         step = bu.read_u32_be(blob, pos)
         pos += 4
@@ -540,8 +606,22 @@ class TemporalCompressor:
             if v is None:
                 continue
             n = int(np.prod(v.shape))
+            use_dev = False
+            if v.dtype == np.float32:
+                from sz_tpu.tpu import engine as _eng
+                import jax as _jax
+                be = _jax.default_backend()
+                use_dev = as_jax or _eng.device_decode_policy(be)
             if ctype == 0:
-                data = api.decompress(payload, v.shape, v.dtype)
+                data = api.decompress(payload, v.shape, v.dtype,
+                                      engine="jax" if use_dev
+                                      else "auto", as_jax=use_dev)
+                if use_dev and not api._is_jax_array(data):
+                    # 1D snapshots decode on the host (classic 1D has
+                    # no device kernel — serial chain); keep the
+                    # history chain device-resident regardless
+                    import jax as _jax
+                    data = _jax.device_put(data)
             else:
                 T = _DT_NP[DataType.FLOAT if v.dtype == np.float32
                            else DataType.DOUBLE]
@@ -554,9 +634,20 @@ class TemporalCompressor:
                 t = tdps_mod.from_bytes(inner[off:], dt, is_pwr=False,
                                         msst19=False,
                                         size_type=hdr.size_type)
-                data = decompress_1d_ts(t, v.hist, n,
-                                        v.dtype).reshape(v.shape)
-            v.hist = np.asarray(data).reshape(-1).copy()
-            out[var_id] = data
+                data = None
+                if use_dev:
+                    data = decompress_1d_ts_device(t, v.hist, n,
+                                                   v.dtype)
+                    if data is not None:
+                        data = data.reshape(v.shape)
+                if data is None:
+                    data = decompress_1d_ts(t, np.asarray(v.hist), n,
+                                            v.dtype).reshape(v.shape)
+            if api._is_jax_array(data):
+                v.hist = data.reshape(-1)
+                out[var_id] = data if as_jax else np.asarray(data)
+            else:
+                v.hist = np.asarray(data).reshape(-1).copy()
+                out[var_id] = data
         self.current_step = step + 1
         return out

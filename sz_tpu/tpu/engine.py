@@ -1725,16 +1725,19 @@ def _delattice3_fn(shape: tuple, dtype_str: str, block_size: int,
 
 
 @functools.lru_cache(maxsize=16)
-def _fsm_decode_fn(K: int, R: int, n_sym: int, backend: str):
+def _fsm_decode_fn(K: int, R: int, n_sym: int, backend: str,
+                   p_bits: int = 0):
     """Cached jit of the device Huffman decode core for a (K, R)
-    stream-size bucket."""
+    stream-size bucket.  p_bits overrides the speculative sync window
+    (the escalation retry passes F_BITS: a full chain-repair pass)."""
     from sz_tpu.tpu import fsm_kernel as _fsm
 
     interp = backend in ("cpu", "raw")
+    pb = p_bits or _fsm.P_BITS
 
     def f(words, trans, tb):
         return _fsm.decode_bits_core(words, trans, tb, n_sym, R,
-                                     interpret=interp)
+                                     interpret=interp, p_bits=pb)
 
     return _strict_jit(f, backend)
 
@@ -1772,10 +1775,18 @@ def _device_decode_stream(tree, encoded: bytes, n: int, be: str):
         w_d = jax.device_put(jnp.asarray(w))
         trans_d = jax.device_put(jnp.asarray(trans))
         _tr.sync(w_d)
+    tb = jnp.asarray([total_bits], jnp.int32)
     syms, ok = _fsm_decode_fn(trans.shape[0], R, n, be)(
-        w_d, trans_d, jnp.asarray([total_bits], jnp.int32))
-    if not bool(ok):  # pragma: no cover - pathological no-sync stream
-        return None
+        w_d, trans_d, tb)
+    if not bool(ok):
+        # a chunk merged past the P_BITS sync window (Huffman self-sync
+        # distance has an exponential tail): escalate to a full
+        # chain-repair pass (window = the whole chunk) before giving
+        # the stream back to the host decoder
+        syms, ok = _fsm_decode_fn(trans.shape[0], R, n, be,
+                                  _fsm.F_BITS)(w_d, trans_d, tb)
+        if not bool(ok):  # pragma: no cover - no merge within a chunk
+            return None
     return syms
 
 

@@ -295,7 +295,8 @@ def pad_words_to_bucket(words: np.ndarray, R: int) -> np.ndarray:
 
 
 def decode_bits_core(words, trans, tb, n_sym: int, R: int,
-                     *, interpret: bool = False):
+                     *, interpret: bool = False,
+                     p_bits: int = P_BITS):
     """Traceable device Huffman decode (jit-cacheable: shapes depend
     only on the (K, R, n_sym) bucket; the exact bit length `tb` is a
     traced scalar).
@@ -304,13 +305,15 @@ def decode_bits_core(words, trans, tb, n_sym: int, R: int,
     zero-padded (host: np.frombuffer(encoded + pad, '>u4')).  trans:
     (K,128) uint32 from build_trans.  Returns (syms, ok): syms (n_sym,)
     int32, valid when ok (a scalar bool: every chunk self-synced
-    within P_BITS and the count reaches n_sym; callers must fall back
-    to the host decoder when not ok)."""
+    within p_bits and the count reaches n_sym; callers should retry
+    with p_bits=F_BITS — one full chain-repair pass, which accepts any
+    chunk that merges ANYWHERE inside its own chunk — then fall back
+    to the host decoder when still not ok)."""
     K = trans.shape[0]
     Lp = R * 128
     Fw = F_BITS // 32
     steps = Fw
-    pc = P_BITS // 32
+    pc = p_bits // 32
     need = Lp * Fw
     w = words.astype(jnp.uint32)
     wt = w[:need].reshape(Lp, Fw).T.reshape(Fw, R, 128)
@@ -334,7 +337,7 @@ def decode_bits_core(words, trans, tb, n_sym: int, R: int,
     # zero-padded virtual chunks, whose zero-walks cycle through the
     # left spine at arbitrary phase and never "sync".
     live = (jnp.arange(Lp, dtype=jnp.int32) * jnp.int32(F_BITS)
-            + jnp.int32(P_BITS)) < total_bits
+            + jnp.int32(p_bits)) < total_bits
     ok = jnp.all(jnp.where(live.reshape(R, 128),
                            end_b[0] == snap[0], True))
     true_cnt = (end_b[1] + end[1] - snap[1]).reshape(-1)
@@ -367,11 +370,13 @@ def decode_bits_core(words, trans, tb, n_sym: int, R: int,
 
 
 def decode_bits_device(words, trans, n_sym: int, total_bits: int,
-                       *, interpret: bool = False):
+                       *, interpret: bool = False,
+                       p_bits: int = P_BITS):
     """Host-convenience wrapper around decode_bits_core: pads the word
     stream to its (R, F) bucket and passes the exact bit length."""
     R = bucket_rows(total_bits)
     w = pad_words_to_bucket(np.asarray(words, np.uint32), R)
     return decode_bits_core(jnp.asarray(w), jnp.asarray(trans),
                             jnp.asarray([total_bits], jnp.int32),
-                            n_sym, R, interpret=interpret)
+                            n_sym, R, interpret=interpret,
+                            p_bits=p_bits)

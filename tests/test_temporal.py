@@ -140,3 +140,35 @@ def test_temporal_compressor_device_frames_identical():
     for s in steps:
         out = tc_dec.decompress_step(tc_h2.compress_step({0: s}))
         assert np.abs(out[0] - s).max() <= 1e-3 * (1 + 1e-6)
+
+
+def test_temporal_device_decode_bit_exact():
+    """decompress_step(as_jax=True): on-chip FSM type decode + fused
+    restore must be bit-identical to the host decoder, with the history
+    carried on device across steps (incl. a snapshot step mid-chain)."""
+    n = 1 << 16  # above the FSM kernel's minimum stream envelope
+    rng = np.random.default_rng(5)
+    x = np.linspace(0, 20 * np.pi, n, dtype=np.float32)
+    cfg = SZConfig().with_bound(ErrorBoundMode.ABS, 1e-4)
+
+    tc = TemporalCompressor(snapshot_step=3)
+    tc.register(1, "v", (n,), np.float32, cfg)
+    blobs = []
+    base = np.sin(x) + 0.05 * rng.standard_normal(n).astype(np.float32)
+    for s in range(4):
+        step = (base + np.float32(0.01) * s
+                + np.float32(0.003) * np.sin(x * (s + 1))).astype(
+            np.float32)
+        blobs.append(tc.compress_step({1: step}))
+
+    dec_h = TemporalCompressor(snapshot_step=3)
+    dec_h.register(1, "v", (n,), np.float32, cfg)
+    dec_d = TemporalCompressor(snapshot_step=3)
+    dec_d.register(1, "v", (n,), np.float32, cfg)
+    for s, blob in enumerate(blobs):
+        out_h = dec_h.decompress_step(blob)[1]
+        out_d = dec_d.decompress_step(blob, as_jax=True)[1]
+        assert np.array_equal(np.asarray(out_h), np.asarray(out_d)), \
+            f"step {s}"
+        import jax
+        assert isinstance(out_d, jax.Array)
