@@ -338,6 +338,19 @@ def test_blocked_transpose_sliced(monkeypatch):
     _, iperm = engine._host_stream_maps(shape, 6)
     np.testing.assert_array_equal(np.asarray(tp)[np.asarray(tp) >= 0],
                                   x.reshape(-1)[iperm])
+    # compact corner transform: stream == take(iperm), unstream inverts,
+    # and the closed-form position map matches iperm
+    cs = engine._corner_stream(jnp.asarray(x), tuple(g["dbs"]), shape)
+    np.testing.assert_array_equal(np.asarray(cs),
+                                  x.reshape(-1)[iperm])
+    np.testing.assert_array_equal(
+        np.asarray(engine._corner_unstream(cs, tuple(g["dbs"]), shape)),
+        x)
+    pos = jnp.arange(int(np.prod(shape)) + 3, dtype=jnp.int32)
+    lat = np.asarray(engine._pos_to_lat_expr(pos, tuple(g["dbs"]),
+                                             shape))
+    np.testing.assert_array_equal(lat[:len(iperm)], iperm)
+    assert (lat[len(iperm):] == int(np.prod(shape))).all()
     rng = np.random.default_rng(17)
     data = (0.1 * rng.standard_normal(shape)).astype(np.float32)
     a = regnd.compress(data, 1e-3, **KW)

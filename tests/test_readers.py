@@ -1,6 +1,7 @@
 """NetCDF reader tests (classic CDF-1 via the built-in parser and
 NetCDF-4 via h5py), plus the ADIOS gate + stream version enforcement."""
 
+import pathlib
 import struct
 
 import numpy as np
@@ -65,6 +66,73 @@ def test_read_netcdf4_via_h5py(tmp_path):
 def test_adios_gated():
     with pytest.raises((ImportError, FileNotFoundError)):
         readers.read_adios_bp("/nonexistent.bp", "x")
+
+
+# ADIOS2-written BP3 fixtures vendored from the reference's own test
+# data (/root/reference/adiosReader/test/testdata — the ADIOS project's
+# standard SmallTestData: 36 rank blocks x 3 steps, every block the
+# series base..base+7 with base = 1 + step*8 + ...): the built-in BP3
+# parser must read what the reference's libadios-based reader reads
+# (adiosReader.c:5-80, test_adiosReader.c usage -1 8 / -2 4 2).
+BP_1D = pathlib.Path(__file__).parent / "golden" / \
+    "ADIOS2ADIOS1WriteADIOS1Read1D8.bp"
+BP_2D = pathlib.Path(__file__).parent / "golden" / \
+    "ADIOS2ADIOS1WriteADIOS1Read2D2x4Test.bp"
+
+
+def test_adios_bp3_1d():
+    names = ["i8", "i16", "i32", "i64", "u8", "u16", "u32", "u64",
+             "r32", "r64"]
+    # the reference reads a [0:8) bounding box at one step for every
+    # typed variable (adiosReader_1D)
+    arrs = {n: readers.read_adios_bp(str(BP_1D), n, start=(0,),
+                                     count=(8,)) for n in names}
+    for n in names:
+        assert arrs[n].shape == (8,)
+    # ADIOS2 SmallTestData at step 1: per-type base series + step
+    assert np.array_equal(arrs["i8"],
+                          np.array([0, 1, -2, 3, -4, 5, -6, 7],
+                                   np.int8) + 1)
+    assert np.array_equal(arrs["i16"],
+                          np.array([512, 513, -510, 515, -508, 517,
+                                    -506, 519], np.int16) + 1)
+    assert np.array_equal(arrs["u8"],
+                          np.arange(128, 136, dtype=np.uint8) + 1)
+    assert np.array_equal(arrs["r32"],
+                          np.arange(8, dtype=np.float32) + 1)
+    assert np.array_equal(arrs["r64"],
+                          np.arange(8, dtype=np.float64) + 1)
+    # every type advances by one update per rank-block per step:
+    # the writer bumped the series 36 times per step (36 rank blocks)
+    for n in names:
+        for t in (2, 3):
+            st = readers.read_adios_bp(str(BP_1D), n, step=t,
+                                       start=(0,), count=(8,))
+            d = (st - arrs[n]).astype(np.float64)  # native-dtype sub
+            assert np.array_equal(d, np.full(8, 36.0 * (t - 1))), (n, t)
+
+
+def test_adios_bp3_global_assembly_and_steps():
+    # full global array: 36 rank blocks assembled at their offsets
+    full = readers.read_adios_bp(str(BP_1D), "r32")
+    assert full.shape == (288,)
+    assert np.array_equal(full[:8], np.arange(1.0, 9.0,
+                                              dtype=np.float32))
+    # per-step selection: step 3's first block in this fixture holds
+    # the series starting where step 1's last rank block ends + 8
+    s3 = readers.read_adios_bp(str(BP_1D), "r32", step=3)
+    assert s3.shape == (288,)
+    assert not np.array_equal(full, s3)
+
+
+def test_adios_bp3_2d():
+    out = readers.read_adios_bp(str(BP_2D), "r32", start=(0, 0),
+                                count=(2, 4))
+    assert out.shape == (2, 4)
+    assert np.array_equal(out.reshape(-1),
+                          np.arange(1.0, 9.0, dtype=np.float32))
+    full = readers.read_adios_bp(str(BP_2D), "i64")
+    assert full.shape == (2, 144)
 
 
 def test_stream_version_enforced():
