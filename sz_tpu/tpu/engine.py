@@ -1002,19 +1002,26 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
         if epi == "v2":
             # gather-free epilogue for pack2 (BASELINE.md session 7:
             # the v1 take(iperm) and histogram are per-element-bound at
-            # ~9 ns/elem on v5e): the stream is a padded blocked
-            # TRANSPOSE with -1 holes (pack2 emits zero bits for them),
-            # the histogram is MXU one-hot matmuls over the (order-
-            # irrelevant) type lattice, and the escape extraction runs
-            # on the padded stream through the lattice-index stream.
+            # ~9 ns/elem on v5e): the stream is the COMPACT corner-
+            # transpose form (n items, no holes — round 4; the padded
+            # hole stream cost pack2 a 1.5x longer input at 256^3 and
+            # a second full-lattice index-stream transpose for the
+            # escapes, now a closed-form position map), the histogram
+            # is MXU one-hot matmuls over the (order-irrelevant) type
+            # lattice.
             from sz_tpu.tpu import hist_kernel as _hk
             interp = backend in ("cpu", "raw")
-            tp = _blocked_pad_stream(t, dbs_t, -1)
+            tp = _corner_stream(t, dbs_t, shape)
             hist = _hk.histogram(t.reshape(-1), interpret=interp)
             n = int(np.prod(shape))
-            lat = _blocked_pad_stream(
-                jnp.arange(n, dtype=jnp.int32).reshape(shape), dbs_t, n)
-            esc_vals = _escape_values(tp, lat, data.reshape(-1))
+            is_esc = tp == 0
+            cum = jnp.cumsum(is_esc.astype(jnp.int32))
+            esc_pos = jnp.searchsorted(
+                cum, jnp.arange(1, ESC_K + 1, dtype=jnp.int32),
+                side="left")
+            lat_idx = _pos_to_lat_expr(esc_pos, dbs_t, shape)
+            esc_vals = jnp.take(data.reshape(-1), lat_idx,
+                                mode="fill", fill_value=0.0)
             return tp, hist, esc_vals, R, iters, t
 
         # fused epilogue (single device call: the tunnel's per-dispatch
@@ -1034,6 +1041,123 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
 # escapes returned inline by the quantize epilogue, padded to this size;
 # streams with more escapes take one extra device call (_escapes_fn)
 ESC_K = 4096
+
+
+def _corner_box_stream(box, csizes: tuple, esizes: tuple):
+    """Interleaved corner box (c0, E0, .., ck, Ek) -> (c0, c1.., ck,
+    prod(E)) block-major stream form (adjoint of
+    _corner_box_to_lattice).  The transpose output's minor dims are the
+    small in-block sizes (tile-padded to (8,128)); group axis-0 block
+    rows to bound the padded intermediate."""
+    rank = len(csizes)
+    perm = tuple(2 * i for i in range(rank)) \
+        + tuple(2 * i + 1 for i in range(rank))
+    eprod = int(np.prod(esizes, dtype=np.int64))
+    out_tail = tuple(csizes[1:]) + (eprod,)
+
+    pe = int(np.prod(csizes[1:], dtype=np.int64))
+    if rank >= 2:
+        pe *= int(np.prod(esizes[:-2], dtype=np.int64))
+        pe *= (-(-esizes[-2] // 8) * 8) * (-(-esizes[-1] // 128) * 128)
+    else:
+        pe *= -(-esizes[-1] // 128) * 128
+    grp = max(1, _TRANSPOSE_SLICE_BYTES
+              // max(1, pe * box.dtype.itemsize))
+
+    def trans(sub, m0):
+        return sub.transpose(perm).reshape((m0,) + out_tail)
+
+    n0 = csizes[0]
+    if grp >= n0:
+        return trans(box, n0)
+    segs = [trans(jax.lax.slice_in_dim(box, a, min(a + grp, n0),
+                                       axis=0), min(a + grp, n0) - a)
+            for a in range(0, n0, grp)]
+    return jnp.concatenate(segs, axis=0)
+
+
+def _corner_parts(dbs):
+    """Per-axis [(lattice offset, block count, block length)] corner
+    partition: the `split` early blocks then the late blocks."""
+    parts = []
+    for db in dbs:
+        p = []
+        if db.split:
+            p.append((0, db.split, db.early))
+        if db.num - db.split:
+            p.append((db.split * db.early, db.num - db.split, db.late))
+        parts.append(p)
+    return parts
+
+
+def _corner_stream(x, dbs, shape: tuple):
+    """Lattice -> COMPACT block-major stream (n elements, no holes) —
+    the exact adjoint of _corner_unstream: per-axis early/late corner
+    slices, one blocked transpose per corner, per-prefix concatenation
+    along the flat tail.  Pure bandwidth ops; replaces both the
+    take(iperm) gather (~9 ns/elem XLA) and the 1.5x-padded hole
+    stream (_blocked_pad_stream) on the encode side."""
+    rank = len(shape)
+    parts = _corner_parts(dbs)
+
+    def rec(region, ax, csizes, esizes):
+        # region: (c0, E0, .., c_{ax-1}, E_{ax-1}, shape_ax, ..)
+        if ax == rank:
+            return _corner_box_stream(region, csizes, esizes)
+        outs = []
+        for off, cnt, esz in parts[ax]:
+            sub = jax.lax.slice_in_dim(region, off, off + cnt * esz,
+                                       axis=2 * ax)
+            sub = sub.reshape(region.shape[:2 * ax] + (cnt, esz)
+                              + region.shape[2 * ax + 1:])
+            r = rec(sub, ax + 1, csizes + (cnt,), esizes + (esz,))
+            # fold the c_ax block dim into the flat tail
+            r = r.reshape(r.shape[:ax]
+                          + (r.shape[ax] * r.shape[ax + 1],)
+                          + r.shape[ax + 2:])
+            outs.append(r)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, ax)
+
+    return rec(x, 0, (), ()).reshape(-1)
+
+
+def _pos_to_lat_expr(pos, dbs, shape: tuple):
+    """Traceable COMPACT-stream position -> lattice flat index, in
+    closed form (no n-sized mapping vector): invert the per-axis
+    block-cumulative point counts C_i(b) (early/late closed forms),
+    then the in-block mixed radix.  Positions >= n pass through
+    unchanged (OOB fill sentinel for mode=\"fill\" gathers)."""
+    rank = len(shape)
+    n = int(np.prod(shape))
+    pos = pos.astype(jnp.int64)
+    oob = pos >= n
+    w = pos
+    coords = []
+    eprod = jnp.ones((), jnp.int64)  # prod of E_j(b_j) for j < ax
+    esz_list = []
+    for ax, db in enumerate(dbs):
+        inner = int(np.prod(shape[ax + 1:], dtype=np.int64))
+        # chunk index along this axis in units of (eprod * inner)
+        u = w // (eprod * inner)
+        cs = db.split * db.early     # points in early blocks
+        b = jnp.where(u < cs, u // max(db.early, 1),
+                      db.split + (u - cs) // max(db.late, 1))
+        C = jnp.where(b < db.split, b * db.early,
+                      cs + (b - db.split) * db.late)
+        E = jnp.where(b < db.split, db.early, db.late).astype(jnp.int64)
+        w = w - C * eprod * inner
+        coords.append(C)            # block start coordinate
+        esz_list.append(E)
+        eprod = eprod * E
+    # w is now the in-block index, layout (e0*E1 + e1)*E2 + e2 ...
+    lat = jnp.zeros_like(pos)
+    for ax in range(rank):
+        tail = jnp.ones((), jnp.int64)
+        for j in range(ax + 1, rank):
+            tail = tail * esz_list[j]
+        e = (w // tail) % esz_list[ax]
+        lat = lat * shape[ax] + (coords[ax] + e)
+    return jnp.where(oob, jnp.int64(n), lat).astype(jnp.int32)
 
 
 @functools.lru_cache(maxsize=16)
@@ -1369,6 +1493,35 @@ def _escapes_fn(shape: tuple, dtype_str: str, k: int, backend: str = "cpu"):
             cum, jnp.arange(1, k + 1, dtype=jnp.int32), side="left")
         lat = jnp.take(iperm, esc_idx, mode="fill", fill_value=n)
         return jnp.take(data.reshape(-1), lat, mode="fill", fill_value=0.0)
+
+    return _strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=32)
+def _escapes2_fn(shape: tuple, dtype_str: str, block_size: int, k: int,
+                 backend: str = "cpu"):
+    """_escapes_fn over the COMPACT corner stream: the stream position
+    -> lattice index map is closed-form (_pos_to_lat_expr), so no
+    n-sized iperm vector is needed."""
+    g = _geom_small(shape, block_size)
+    dbs_t = tuple(g["dbs"])
+
+    def f(data, tp):
+        is_esc = tp == 0
+        cum = jnp.cumsum(is_esc.astype(jnp.int32))
+        esc_pos = jnp.searchsorted(
+            cum, jnp.arange(1, k + 1, dtype=jnp.int32), side="left")
+        lat = _pos_to_lat_expr(esc_pos, dbs_t, shape)
+        return jnp.take(data.reshape(-1), lat, mode="fill",
+                        fill_value=0.0)
+
+    return _strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=4)
+def _u16_fn(backend: str = "cpu"):
+    def f(x):
+        return x.astype(jnp.uint16)
 
     return _strict_jit(f, backend)
 
@@ -1760,10 +1913,13 @@ def _device_decode_stream(tree, encoded: bytes, n: int, be: str):
     Lh, Rh, Ch, Th, node_count = tree
     total_bits = len(encoded) * 8
     # envelope: tree window size, a minimum worth the dispatches, the
-    # kernel's int32 bit arithmetic (< 2^31 bits), and the ~4 B/coded-
-    # bit record buffers (x2 transient) fitting HBM comfortably
+    # kernel's int32 bit arithmetic (< 2^31 bits), and the record
+    # buffer + its transpose (4 B/coded-bit each — kernel B aliases
+    # its prefix rows into kernel A's buffer, so only two such
+    # buffers exist) fitting a 16 GB HBM with room for words/output:
+    # (5<<28) bits = 2 x 5.4 GB
     if (node_count > _fsm.MAX_NODES or total_bits < (1 << 16)
-            or total_bits >= (1 << 30)):
+            or total_bits >= (5 << 28)):
         return None
     trans = _fsm.build_trans(Lh, Rh, Ch, Th)
     R = _fsm.bucket_rows(total_bits)
@@ -1929,9 +2085,8 @@ def compress(data, real_precision, *, max_range_radius: int,
         elif use2:
             k = _pad_pow2(n_esc)
             unpred_arr = np.asarray(
-                _escapes_fn(shape, dstr, k, be)(
-                    dev, tp_d,
-                    _lat_pad_fn(shape, spec.block_size, be)()))[:n_esc]
+                _escapes2_fn(shape, dstr, spec.block_size, k, be)(
+                    dev, tp_d))[:n_esc]
         else:
             k = _pad_pow2(n_esc)
             unpred_arr = np.asarray(
@@ -1972,12 +2127,11 @@ def compress(data, real_precision, *, max_range_radius: int,
         len0 = int(tables.code_len[0]) if len(tables.code_len) else 0
         code0 = (int(tables.code_hi[0] >> np.uint64(32))
                  if len(tables.code_len) else 0)
-        np_len = padded_stream_len(shape, spec.block_size)
         with _tr.trace("bitpack_device"):
             words_d = _pk.pack2_bits(
                 tp_d, jnp.asarray(_pk.build_window_table(
                     tables, lo_w, Kw)), lo_w, len0, code0,
-                np_len, out_pad,
+                n, out_pad,
                 interpret=be in ("cpu", "raw"))
             _tr.sync(words_d)
         with _tr.trace("stream_download"):
@@ -1993,9 +2147,8 @@ def compress(data, real_precision, *, max_range_radius: int,
         # tunnel): slice to 1 MB granularity on device so the download
         # carries at most 1 MB of padding instead of up to 2x
         cut = min(out_pad, ((nbytes + 8 + (1 << 20) - 1) >> 20) << 20)
-        if use2:  # pack2 window fallback: compact stream from the lattice
-            t_stream_d = _stream_fn(shape, be)(t_lat_d,
-                                               dg_full()["iperm"])[0]
+        if use2:  # pack2 window fallback: the corner stream IS compact
+            t_stream_d = tp_d
         with _tr.trace("bitpack_device"):
             packed_d = bitpack_fn(n, out_pad, be)(
                 t_stream_d, jax.device_put(tables.code_hi),
@@ -2008,8 +2161,7 @@ def compress(data, real_precision, *, max_range_radius: int,
     else:
         with _tr.trace("types_download"):
             if use2:
-                t_stream_d = _stream_fn(shape, be)(t_lat_d,
-                                                   dg_full()["iperm"])[0]
+                t_stream_d = _u16_fn(be)(tp_d)
             result_type = np.asarray(t_stream_d)
 
     if PROBE_REPS and use2 and win is not None:
@@ -2037,7 +2189,7 @@ def compress(data, real_precision, *, max_range_radius: int,
                 jnp.zeros((1,), jnp.int32), T(rp), T(recip),
                 jnp.asarray(intervals, jnp.int32), T(mean))[0]
             return _pk.pack2_bits(tp_p, wt_d, lo_w, len0, code0,
-                                  np_len, out_pad,
+                                  n, out_pad,
                                   interpret=be in ("cpu", "raw"))
 
         import time as _time

@@ -168,6 +168,55 @@ def _fsm_call(K: int, R: int, steps: int, pc: int, interpret: bool):
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _fsm_call_b(K: int, R: int, steps: int, pc: int, interpret: bool):
+    """Kernel B (true-entry re-decode of each chunk's first pc word
+    steps) writing its record rows IN PLACE into kernel A's record
+    buffer (input_output_aliases) — the merged buffer needs no
+    concatenation copy, halving the ~4 B/coded-bit transient that
+    previously capped streams at 2^30 bits."""
+    inner = _make_fsm_kernel(K, R, pc, pc)
+
+    def kernel(tb_ref, trans_ref, entry_ref, words_ref, rec_in_ref,
+               rec_ref, snap_ref, end_ref, state, cnt):
+        del rec_in_ref  # aliased storage only; blocks >= pc keep A's rows
+        inner(tb_ref, trans_ref, entry_ref, words_ref, rec_ref,
+              snap_ref, end_ref, state, cnt)
+
+    z = np.int32(0)
+    return pl.pallas_call(
+        kernel,
+        grid=(pc,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda g: (z,),
+                         memory_space=pltpu.SMEM),          # total_bits
+            pl.BlockSpec((K, 128), lambda g: (z, z)),       # trans
+            pl.BlockSpec((R, 128), lambda g: (z, z)),       # entry
+            pl.BlockSpec((1, R, 128), lambda g: (g, z, z)),  # words
+            pl.BlockSpec(memory_space=pltpu.ANY),           # rec_a
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 32, R, 128), lambda g: (g, z, z, z)),
+            pl.BlockSpec((2, R, 128), lambda g: (z, z, z)),  # snap
+            pl.BlockSpec((2, R, 128), lambda g: (z, z, z)),  # end
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((steps, 32, R, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((2, R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((2, R, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.int32),
+            pltpu.VMEM((R, 128), jnp.int32),
+        ],
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
 def _make_compact_kernel(OW: int, WR: int, R8: int):
     """pack2's merge-tree kernel over decode records: emitting records
     are 32-bit fields holding the symbol, others contribute no bits;
@@ -327,8 +376,10 @@ def decode_bits_core(words, trans, tb, n_sym: int, R: int,
     # true entry of chunk c = speculative exit of chunk c-1
     entry = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), exit_state[:-1]]).reshape(R, 128)
-    rec_b, _snap_b, end_b = _fsm_call(K, R, pc, pc, interpret)(
-        tb, trans, entry, wt[:pc])
+    # kernel B writes its rows in place into A's record buffer
+    # (input_output_aliases): rec IS the merged record set
+    rec, _snap_b, end_b = _fsm_call_b(K, R, steps, pc, interpret)(
+        tb, trans, entry, wt, rec_a)
     # verification: state at bit P from the true entry must equal the
     # speculative snapshot (self-sync within the window).  Chunks whose
     # REAL bits end at or before P need no check: kernel B decodes them
@@ -352,7 +403,6 @@ def decode_bits_core(words, trans, tb, n_sym: int, R: int,
     total = jnp.sum(true_cnt, promote_integers=False)
     ok = ok & (total >= jnp.int32(n_sym)) & (total <= jnp.int32(n_sym + 7))
 
-    rec = jnp.concatenate([rec_b, rec_a[pc:]], axis=0)
     rec = rec.reshape(F_BITS, Lp).T                  # (Lp, F)
 
     # + F_BITS//8 margin: trailing byte-pad junk symbols land past
