@@ -208,6 +208,29 @@ def attempt(n: int, engine: str) -> None:
             dev_detail["hw_parity"] = (sz_tpu.compress(data, cfg_h)
                                        == blob)
             assert dev_detail["hw_parity"], "device stream != host"
+            # PW_REL / MSST19 device engine (BASELINE target #3): the
+            # accelerated point-wise-relative family runs on device
+            # too, byte-equal to the host kernels
+            dpw = np.abs(data) + np.float32(0.01)
+            cfgp_h = SZConfig(error_bound_mode=ErrorBoundMode.PW_REL,
+                              pw_rel_bound_ratio=1e-3, engine="numpy")
+            cfgp_d = SZConfig(error_bound_mode=ErrorBoundMode.PW_REL,
+                              pw_rel_bound_ratio=1e-3, engine="jax")
+            t0 = time.time()
+            pb_h = sz_tpu.compress(dpw, cfgp_h)
+            t1 = time.time()
+            sz_tpu.compress(dpw, cfgp_d)       # cold (compile)
+            t2 = time.time()
+            pb_d = sz_tpu.compress(dpw, cfgp_d)
+            t3 = time.time()
+            dev_detail["pwrel_msst19"] = {
+                "parity": pb_h == pb_d,
+                "host_mbps": round(dpw.nbytes / 1e6 / (t1 - t0), 1),
+                "device_wall_mbps": round(
+                    dpw.nbytes / 1e6 / (t3 - t2), 1),
+                "ratio": round(dpw.nbytes / len(pb_h), 2)}
+            assert dev_detail["pwrel_msst19"]["parity"], \
+                "PW_REL device stream != host"
     mbps = data.nbytes / 1e6 / best
     # the live reference timing on this host swings 22-128 MB/s run to
     # run; use the recorded best-observed baseline (BASELINE.md) as a
@@ -288,7 +311,8 @@ def main():
                 "device_gbps_decode", "device_chain_encode_ms",
                 "device_gbps_encode_amortized", "decode_chain_ms",
                 "device_gbps_decode_amortized", "hw_parity",
-                "compress_spans_ms", "decompress_spans_ms") if k in dd},
+                "pwrel_msst19", "compress_spans_ms",
+                "decompress_spans_ms") if k in dd},
         }
     if primary is not None:
         print(json.dumps(primary))
