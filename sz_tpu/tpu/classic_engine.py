@@ -44,6 +44,7 @@ from sz_tpu.format import bytes_util as bu
 from sz_tpu.format import huffman
 from sz_tpu.format.tdps import TDPS
 from sz_tpu.tpu import engine as eng
+from sz_tpu.tpu import hist_kernel as _hk
 from sz_tpu.utils import trace as _tr
 
 jax = eng.jax
@@ -213,7 +214,10 @@ def _encode_fn(vshape: tuple, dtype_str: str, dbl: bool,
 
         t_flat = t.reshape(-1)
         t_stream = t_flat.astype(jnp.uint16)
-        hist = eng._sorted_histogram(t_flat)
+        # MXU one-hot histogram: the sort-based fallback allocates
+        # multiple full-stream copies and faulted the TPU worker at
+        # 512^3 (134M-symbol bitonic sort)
+        hist = _hk.histogram(t_flat, interpret=backend in ("cpu", "raw"))
         esc_vals = _esc_vals_raster(t_flat, data.reshape(-1), ESC_K)
         return t_stream, hist, esc_vals, jnp.max(its)
 

@@ -43,6 +43,7 @@ from sz_tpu.format import bytes_util as bu
 from sz_tpu.format import huffman
 from sz_tpu.format.tdps import TDPS
 from sz_tpu.tpu import classic_engine as ce
+from sz_tpu.tpu import hist_kernel as _hk
 from sz_tpu.tpu import engine as eng
 from sz_tpu.utils import trace as _tr
 
@@ -58,6 +59,22 @@ def _vshape(shape: tuple) -> tuple:
     if len(shape) == 2:
         return (1,) + tuple(shape)
     return tuple(shape)
+
+
+def _div_exact(a, b, T):
+    """IEEE-correct division in dtype T.  Native f32 divide is
+    approximate on TPU backends (lowered to reciprocal-multiply:
+    measured 35% 1-ulp mismatches vs IEEE on v5e); the quotient
+    computed in the f64 emulation carries ~2^-49 relative error, so
+    rounding to f32 equals the correctly-rounded result except at
+    double-rounding ties (0 / 4M random samples measured).  The C
+    contract is a plain float division (sz_float.c MSST19
+    `float ratio = cur / pred`).  f64 data divides natively (it is
+    routed to the CPU backend, where divide is IEEE)."""
+    if T == jnp.float32:
+        return (a.astype(jnp.float64)
+                / b.astype(jnp.float64)).astype(T)
+    return a / b
 
 
 def _esc_recon_raw_dev(data, req_length):
@@ -132,35 +149,36 @@ def _lookup_f64(ratio, table_flat, base_index: int, top_index: int,
     return jnp.where(ok, st, 0)
 
 
+# Single-dispatch executions through tunneled device links are killed
+# by a ~60 s watchdog, and the XLA scan-of-while plane fixpoint with
+# f64-emulated multiplicative chains exceeds it past ~200^3: the scans
+# run in PLANE CHUNKS (separate dispatches carrying the previous plane
+# and the pinned first row) sized to stay well under the limit.
+PLANE_CHUNK_BUDGET = 4 << 20   # points per chunk dispatch
+
+
+def _chunk_planes(npl: int, r2: int, r3: int) -> int:
+    return max(1, min(npl, PLANE_CHUNK_BUDGET // max(r2 * r3, 1)))
+
+
 @functools.lru_cache(maxsize=32)
-def _encode_fn(vshape: tuple, dtype_str: str, dbl: bool, bits: int,
-               base_index: int, top_index: int, backend: str = "cpu"):
-    """(work data, cache table, precision table, req_length) ->
-    (uint16 raster type stream, 65536-bin histogram, padded escape
-    values, iteration count)."""
-    npl, r2, r3 = vshape
-    plane_iter = r2 + r3 + 4
-    row0 = (jnp.arange(r2) == 0)[:, None]
-    col0 = (jnp.arange(r3) == 0)[None, :]
+def _pins_fn(r3: int, dtype_str: str, dbl: bool, bits: int,
+             base_index: int, top_index: int, backend: str = "cpu"):
+    """Layer-0 first row: escape, prev, A*A/A2 (amplifying -> pinned;
+    sz_float.c MSST19 row-0 loop).  (row data, row esc-recon, tables)
+    -> (pin_t, pin_rec)."""
     D = jnp.float64
 
-    def f(data, table_flat, ptable, req_length):
-        T = data.dtype
+    def f(row_d, row_er, table_flat, ptable):
+        T = row_d.dtype
         lookup = _lookup_f32 if T == jnp.float32 else _lookup_f64
-        data = data.reshape(vshape)
-        er = _esc_recon_raw_dev(data, req_length)
 
         def quant(d, pred, erx):
-            ratio = d / pred
+            ratio = _div_exact(d, pred, T)
             st = lookup(ratio, table_flat, base_index, top_index, bits)
             rec = (jnp.abs(pred.astype(D))
                    * jnp.take(ptable, st)).astype(T)
             return st, jnp.where(st == 0, erx, rec)
-
-        # --- layer-0 first row: escape, prev, A*A/A2 (amplifying ->
-        # pinned; sz_float.c MSST19 row-0 loop) ---
-        row_d = data[0, 0, :]
-        row_er = er[0, 0, :]
 
         def row_step(carry, xs):
             pm1, pm2, j = carry
@@ -168,7 +186,7 @@ def _encode_fn(vshape: tuple, dtype_str: str, dbl: bool, bits: int,
             if dbl:
                 lin = (pm1.astype(D) * pm1 / pm2).astype(T)
             else:
-                lin = ((pm1 * pm1).astype(T) / pm2).astype(T)
+                lin = _div_exact((pm1 * pm1).astype(T), pm2, T)
             pred = jnp.where(j == 1, pm1, lin)
             t, rec = quant(cur, pred, erx)
             t = jnp.where(j == 0, 0, t)
@@ -179,8 +197,38 @@ def _encode_fn(vshape: tuple, dtype_str: str, dbl: bool, bits: int,
         _, (pin_t, pin_rec) = jax.lax.scan(
             row_step, (z, z, jnp.asarray(0, jnp.int32)),
             (row_d, row_er))
+        return pin_t, pin_rec
 
-        first_flags = jnp.arange(npl, dtype=jnp.int32) == 0
+    return eng._strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=32)
+def _encode_chunk_fn(G: int, r2: int, r3: int, dtype_str: str,
+                     dbl: bool, bits: int, base_index: int,
+                     top_index: int, backend: str = "cpu"):
+    """One plane-chunk of the MSST19 encode fixpoint: (data chunk,
+    tables, req_length, previous reconstructed plane, pinned row,
+    chunk base plane index) -> (int32 type chunk, last reconstructed
+    plane, max sweeps)."""
+    plane_iter = r2 + r3 + 4
+    row0 = (jnp.arange(r2) == 0)[:, None]
+    col0 = (jnp.arange(r3) == 0)[None, :]
+    D = jnp.float64
+
+    def f(data, table_flat, ptable, req_length, prev0, pin_t, pin_rec,
+          base):
+        T = data.dtype
+        lookup = _lookup_f32 if T == jnp.float32 else _lookup_f64
+        er = _esc_recon_raw_dev(data, req_length)
+
+        def quant(d, pred, erx):
+            ratio = _div_exact(d, pred, T)
+            st = lookup(ratio, table_flat, base_index, top_index, bits)
+            rec = (jnp.abs(pred.astype(D))
+                   * jnp.take(ptable, st)).astype(T)
+            return st, jnp.where(st == 0, erx, rec)
+
+        first_flags = base + jnp.arange(G, dtype=jnp.int32) == 0
 
         def pred_plane(P, prev, first):
             Pp = jnp.pad(P, ((1, 0), (1, 0)))
@@ -190,17 +238,17 @@ def _encode_fn(vshape: tuple, dtype_str: str, dbl: bool, bits: int,
             if dbl:
                 p2 = (A.astype(D) * B / Dg).astype(T)
             else:
-                p2 = ((A * B).astype(T) / Dg).astype(T)
+                p2 = _div_exact((A * B).astype(T), Dg, T)
             # layer 0 (row 0 pinned): col0 takes the above value
             p0 = jnp.where(col0, B, p2)
             Qp = jnp.pad(prev, ((1, 0), (1, 0)))
             C = Qp[1:, 1:]
             E = Qp[:-1, 1:]
             F = Qp[1:, :-1]
-            G = Qp[:-1, :-1]
+            G_ = Qp[:-1, :-1]
             rw = (A.astype(D) * C / F).astype(T)
             cl = (B.astype(D) * C / E).astype(T)
-            p3 = ((A.astype(D) * B * C * G)
+            p3 = ((A.astype(D) * B * C * G_)
                   / (Dg.astype(D) * E * F)).astype(T)
             pk = jnp.where(row0 & col0, C,
                            jnp.where(row0, rw,
@@ -231,36 +279,75 @@ def _encode_fn(vshape: tuple, dtype_str: str, dbl: bool, bits: int,
             tp, P = pstep(P)
             return P, (tp, it)
 
-        erp = er.reshape(npl, r2, r3)
-        _, (t, its) = jax.lax.scan(
-            plane, jnp.zeros((r2, r3), T), (data, erp, first_flags))
-
-        t_flat = t.reshape(-1)
-        t_stream = t_flat.astype(jnp.uint16)
-        hist = eng._sorted_histogram(t_flat)
-        esc_vals = ce._esc_vals_raster(t_flat, data.reshape(-1), ESC_K)
-        return t_stream, hist, esc_vals, jnp.max(its)
+        last, (t, its) = jax.lax.scan(
+            plane, prev0, (data, er, first_flags))
+        return t, last, jnp.max(its)
 
     return eng._strict_jit(f, backend)
 
 
 @functools.lru_cache(maxsize=32)
-def _decode_fn(vshape: tuple, dtype_str: str, dbl: bool,
-               backend: str = "cpu"):
-    """(uint16 type stream, padded escapes, precision table, restore
-    params) -> reconstruction with the MSST19 sign/zero epilogue
-    (szd_float_pwr.c:1425): values below minLogValue flush to zero,
-    serialized sign bits flip the rest."""
+def _enc_epilogue_fn(n: int, backend: str = "cpu"):
+    """Concatenated type chunks -> (u16 raster stream, MXU histogram,
+    padded escape values).  The sort-based histogram faulted the TPU
+    worker at 512^3; the one-hot MXU kernel replaces it."""
+
+    def f(t_flat, data_flat):
+        t_stream = t_flat.astype(jnp.uint16)
+        hist = _hk.histogram(t_flat, interpret=backend in ("cpu",
+                                                           "raw"))
+        esc_vals = ce._esc_vals_raster(t_flat, data_flat, ESC_K)
+        return t_stream, hist, esc_vals
+
+    return eng._strict_jit(f, backend)
+
+
+def _encode_device(work_dev, vshape, dstr, dbl, cache, pt_dev, tbl_dev,
+                   req_length, be):
+    """Chunked encode driver: returns (t_stream u16 dev, hist dev,
+    esc dev, iters)."""
     npl, r2, r3 = vshape
+    rl = jnp.asarray(req_length, jnp.int32)
+    data = work_dev.reshape(vshape)
+    row_er = _esc_recon_raw_dev(data[0, 0, :], rl)
+    pin_t, pin_rec = _pins_fn(r3, dstr, dbl, int(cache.bits),
+                              int(cache.base_index),
+                              int(cache.top_index), be)(
+        data[0, 0, :], row_er, tbl_dev, pt_dev)
+    G = _chunk_planes(npl, r2, r3)
+    chunks = []
+    prev = jnp.zeros((r2, r3), work_dev.dtype)
+    iters = []
+    a = 0
+    while a < npl:
+        g = min(G, npl - a)
+        fn = _encode_chunk_fn(g, r2, r3, dstr, dbl, int(cache.bits),
+                              int(cache.base_index),
+                              int(cache.top_index), be)
+        t_c, prev, it = fn(
+            jax.lax.slice_in_dim(data, a, a + g, axis=0), tbl_dev,
+            pt_dev, rl, prev, pin_t, pin_rec,
+            jnp.asarray(a, jnp.int32))
+        chunks.append(t_c)
+        iters.append(it)
+        a += g
+    t_flat = (chunks[0] if len(chunks) == 1 else
+              jnp.concatenate(chunks, axis=0)).reshape(-1)
     n = npl * r2 * r3
-    plane_iter = r2 + r3 + 4
-    row0 = (jnp.arange(r2) == 0)[:, None]
-    col0 = (jnp.arange(r3) == 0)[None, :]
-    col1 = (jnp.arange(r3) == 1)[None, :]
-    D = jnp.float64
+    t_stream, hist, esc = _enc_epilogue_fn(n, be)(
+        t_flat, work_dev.reshape(-1))
+    return t_stream, hist, esc, iters
+
+
+@functools.lru_cache(maxsize=32)
+def _dec_stage_fn(vshape: tuple, dtype_str: str, backend: str = "cpu"):
+    """(u16 type stream, padded escapes, precision table) -> the
+    per-plane decode inputs: escape mask, known (escape) values,
+    per-point precision factors."""
+    npl, r2, r3 = vshape
     T = jnp.dtype(dtype_str)
 
-    def f(t_stream, unpred_pad, ptable, thr, signs, has_signs):
+    def f(t_stream, unpred_pad, ptable):
         t_flat = t_stream.astype(jnp.int32)
         is_esc = t_flat == 0
         rank = jnp.cumsum(is_esc.astype(jnp.int32)) - 1
@@ -268,11 +355,28 @@ def _decode_fn(vshape: tuple, dtype_str: str, dbl: bool,
                            jnp.clip(rank, 0, unpred_pad.shape[0] - 1))
         known = jnp.where(is_esc, kv_flat, jnp.asarray(0, T))
         ptv_flat = jnp.take(ptable, t_flat)  # hoisted: one gather total
+        return (is_esc.reshape(npl, r2, r3),
+                known.reshape(npl, r2, r3),
+                ptv_flat.reshape(npl, r2, r3))
 
-        km = is_esc.reshape(npl, r2, r3)
-        kv = known.reshape(npl, r2, r3)
-        pt = ptv_flat.reshape(npl, r2, r3)
-        first_flags = jnp.arange(npl, dtype=jnp.int32) == 0
+    return eng._strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=32)
+def _decode_chunk_fn(G: int, r2: int, r3: int, dtype_str: str,
+                     dbl: bool, backend: str = "cpu"):
+    """One plane-chunk of the MSST19 decode fixpoint (the multi-
+    dispatch form that stays under tunneled-link execution watchdogs;
+    see the encode-side note)."""
+    plane_iter = r2 + r3 + 4
+    row0 = (jnp.arange(r2) == 0)[:, None]
+    col0 = (jnp.arange(r3) == 0)[None, :]
+    col1 = (jnp.arange(r3) == 1)[None, :]
+    D = jnp.float64
+    T = jnp.dtype(dtype_str)
+
+    def f(km, kv, pt, prev0, base):
+        first_flags = base + jnp.arange(G, dtype=jnp.int32) == 0
 
         def pred_plane(P, prev, first):
             Pp = jnp.pad(P, ((1, 0), (1, 0)))
@@ -284,8 +388,8 @@ def _decode_fn(vshape: tuple, dtype_str: str, dbl: bool,
                 lin = (A.astype(D) * A / A2).astype(T)
                 p2 = (A.astype(D) * B / Dg).astype(T)
             else:
-                lin = ((A * A).astype(T) / A2).astype(T)
-                p2 = ((A * B).astype(T) / Dg).astype(T)
+                lin = _div_exact((A * A).astype(T), A2, T)
+                p2 = _div_exact((A * B).astype(T), Dg, T)
             p0 = jnp.where(row0 & col1, A,
                            jnp.where(row0, lin,
                                      jnp.where(col0, B, p2)))
@@ -293,10 +397,10 @@ def _decode_fn(vshape: tuple, dtype_str: str, dbl: bool,
             C = Qp[1:, 1:]
             E = Qp[:-1, 1:]
             F = Qp[1:, :-1]
-            G = Qp[:-1, :-1]
+            G_ = Qp[:-1, :-1]
             rw = (A.astype(D) * C / F).astype(T)
             cl = (B.astype(D) * C / E).astype(T)
-            p3 = ((A.astype(D) * B * C * G)
+            p3 = ((A.astype(D) * B * C * G_)
                   / (Dg.astype(D) * E * F)).astype(T)
             pk = jnp.where(row0 & col0, C,
                            jnp.where(row0, rw,
@@ -325,12 +429,21 @@ def _decode_fn(vshape: tuple, dtype_str: str, dbl: bool,
                 pcond, pbody, (P0, jnp.asarray(0), jnp.asarray(False)))
             return P, (P, it)
 
-        _, (R, its) = jax.lax.scan(
-            plane, jnp.zeros((r2, r3), T),
-            (km, kv, pt, first_flags))
-        out = R.reshape(n)
+        last, (R, its) = jax.lax.scan(
+            plane, prev0, (km, kv, pt, first_flags))
+        return R, last, jnp.max(its)
 
-        # sign/zero restore (decompress_pwrel msst19 branch)
+    return eng._strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=32)
+def _restore_fn(n: int, dtype_str: str, backend: str = "cpu"):
+    """MSST19 sign/zero epilogue (decompress_pwrel msst19 branch /
+    szd_float_pwr.c:1425): values below minLogValue flush to zero,
+    serialized sign bits flip the rest."""
+    T = jnp.dtype(dtype_str)
+
+    def f(out, thr, signs, has_signs):
         ubits = jnp.uint32 if T == jnp.float32 else jnp.uint64
         signbit = ubits(1) << ubits(8 * T.itemsize - 1)
         zero = jnp.where(has_signs,
@@ -339,36 +452,54 @@ def _decode_fn(vshape: tuple, dtype_str: str, dbl: bool,
         u = jax.lax.bitcast_convert_type(out, ubits)
         flip = has_signs & (signs != 0) & ~zero
         u = jnp.where(flip, u | signbit, u)
-        return jax.lax.bitcast_convert_type(u, T), jnp.max(its)
+        return jax.lax.bitcast_convert_type(u, T)
 
     return eng._strict_jit(f, backend)
+
+
+def _decode_device(t_dev, unpred_pad, ptable, vshape, dstr, dbl, be):
+    """Chunked decode driver -> flat reconstruction (pre-restore)."""
+    npl, r2, r3 = vshape
+    km, kv, pt = _dec_stage_fn(vshape, dstr, be)(
+        t_dev, jax.device_put(unpred_pad), jax.device_put(ptable))
+    G = _chunk_planes(npl, r2, r3)
+    prev = jnp.zeros((r2, r3), jnp.dtype(dstr))
+    chunks = []
+    a = 0
+    while a < npl:
+        g = min(G, npl - a)
+        fn = _decode_chunk_fn(g, r2, r3, dstr, dbl, be)
+        R, prev, _it = fn(
+            jax.lax.slice_in_dim(km, a, a + g, axis=0),
+            jax.lax.slice_in_dim(kv, a, a + g, axis=0),
+            jax.lax.slice_in_dim(pt, a, a + g, axis=0),
+            prev, jnp.asarray(a, jnp.int32))
+        chunks.append(R)
+        a += g
+    R = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
+    return R.reshape(npl * r2 * r3)
 
 
 # ---------------------------------------------------------------------------
 # Drivers (host side): mirror pwr.compress_msst19 / decompress_msst19
 # ---------------------------------------------------------------------------
 
-_DEVICE_MIN_SIZE = 1 << 18
-
 
 def device_ok(engine: str, dtype, ndim: int, n: int,
               device_out: bool = False) -> bool:
-    """Same policy as classic_nd._device_engine: explicit "jax" or
-    large-array "auto" on an attached accelerator; float64 only on the
-    CPU backend; link-bound tunnels keep host IO on the host codec."""
-    if engine not in ("jax", "auto") or ndim not in (2, 3):
-        return False
-    if engine == "auto" and n < _DEVICE_MIN_SIZE:
+    """Explicit engine="jax" routes MSST19 to the device; float64 only
+    on the CPU backend.  Unlike the regression/classic engines, "auto"
+    never selects this engine yet: the plane fixpoint is an XLA
+    scan-of-while with f64-emulated multiplicative chains
+    (compute-bound well below the Pallas engines' throughput), so the
+    parallel host codec wins on wall clock until the dedicated Pallas
+    kernel lands (ROADMAP).  Byte parity with the host is test- and
+    bench-gated either way."""
+    if engine != "jax" or ndim not in (2, 3):
         return False
     backend = jax.default_backend()
     if np.dtype(dtype) == np.float64 and backend != "cpu":
         return False
-    if engine == "auto" and backend == "cpu":
-        return False
-    if engine == "auto" and not device_out:
-        from sz_tpu import api
-        if api._link_bound_accelerator():
-            return False
     return True
 
 
@@ -416,10 +547,9 @@ def compress(work: np.ndarray, pw_ratio: float, fmax, near_zero, *,
         pt_dev = jax.device_put(ptable)
         dev.block_until_ready()
     with _tr.trace("quantize"):
-        t_stream_d, hist_d, esc_d, _iters = _encode_fn(
-            _vshape(shape), dstr, dbl, int(cache.bits),
-            int(cache.base_index), int(cache.top_index), be)(
-            dev, tbl_dev, pt_dev, jnp.asarray(req_length, jnp.int32))
+        t_stream_d, hist_d, esc_d, _iters = _encode_device(
+            dev, _vshape(shape), dstr, dbl, cache, pt_dev, tbl_dev,
+            req_length, be)
         _tr.sync(t_stream_d)
         hist = np.asarray(hist_d)
 
@@ -521,9 +651,10 @@ def decompress(tdps: TDPS, shape, dtype, as_jax: bool = False):
         signs = np.zeros(1, np.uint8)  # broadcasts; nothing to upload
 
     with _tr.trace("decode_fixpoint"):
-        out, _iters = _decode_fn(_vshape(shape), dstr, dbl, be)(
-            t_dev, jax.device_put(unpred_pad), jax.device_put(ptable),
-            T(thr), jax.device_put(signs),
+        out = _decode_device(t_dev, unpred_pad, ptable,
+                             _vshape(shape), dstr, dbl, be)
+        out = _restore_fn(n, dstr, be)(
+            out, T(thr), jax.device_put(signs),
             jnp.asarray(has_signs, jnp.bool_))
         _tr.sync(out)
     if as_jax:

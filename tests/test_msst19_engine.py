@@ -115,3 +115,22 @@ def test_as_jax_device_out():
     out_j = api.decompress(blob, shape, np.float32, engine="jax",
                            as_jax=True)
     assert np.array_equal(out_np, np.asarray(out_j))
+
+
+def test_chunked_scan_parity(monkeypatch):
+    """The plane scans run in multi-dispatch chunks (tunneled links
+    kill single executions past ~60 s); chunk boundaries must not
+    change a byte.  Force tiny chunks and compare against the host."""
+    from sz_tpu.tpu import msst19_engine as me
+
+    monkeypatch.setattr(me, "PLANE_CHUNK_BUDGET", 7 * 5 * 3)  # 3 planes
+    shape = (17, 7, 5)
+    data = synth(shape, np.float32, seed=21)
+    fmax = data.max()
+    nz = np.abs(data[data != 0]).min()
+    t_h = pwr.compress_msst19(data, 1e-3, fmax, nz, **KW)
+    t_d = me.compress(data, 1e-3, fmax, nz, **KW)
+    assert tdps_mod.to_bytes(t_h) == tdps_mod.to_bytes(t_d)
+    assert np.array_equal(pwr.decompress_pwrel(t_h, shape, np.float32),
+                          np.asarray(me.decompress(t_h, shape,
+                                                   np.float32)))
