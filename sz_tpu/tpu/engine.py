@@ -1913,13 +1913,15 @@ def _device_decode_stream(tree, encoded: bytes, n: int, be: str):
     Lh, Rh, Ch, Th, node_count = tree
     total_bits = len(encoded) * 8
     # envelope: tree window size, a minimum worth the dispatches, the
-    # kernel's int32 bit arithmetic (< 2^31 bits), and the record
-    # buffer + its transpose (4 B/coded-bit each — kernel B aliases
-    # its prefix rows into kernel A's buffer, so only two such
-    # buffers exist) fitting a 16 GB HBM with room for words/output:
-    # (5<<28) bits = 2 x 5.4 GB
+    # kernel's int32 bit arithmetic (< 2^31 bits), and HBM: the record
+    # buffer allocates 4 B per POW2-BUCKETED bit slot
+    # (R*128*F_BITS slots, up to 2x the stream), and its reorder
+    # transpose materializes a second such buffer — kernel B aliasing
+    # removed the third (the concat copy).  R <= 512 (streams < 2^30
+    # bits) -> two 4.3 GB buffers; the next bucket (R=1024) asks
+    # 2 x 8.6 GB and OOMs a 16 GB part (observed at 512^3 low-bound).
     if (node_count > _fsm.MAX_NODES or total_bits < (1 << 16)
-            or total_bits >= (5 << 28)):
+            or total_bits >= (1 << 30)):
         return None
     trans = _fsm.build_trans(Lh, Rh, Ch, Th)
     R = _fsm.bucket_rows(total_bits)

@@ -5,11 +5,17 @@ for SZ_compress_float_{1,2,3}D_MDQ_MSST19, sz_float.c:1824+, selected
 by sz_float.c:2890 when accelerate_pw_rel_compression and
 maxRangeRadius <= 32768) — identical bytes to the host kernels:
 
-- same plane-scan fixpoint structure as tpu/classic_engine.py, with the
-  MULTIPLICATIVE Lorenzo predictors (A*B/D in-plane, the 7-factor
-  A*B*C*G/(D*E*F) across planes) evaluated through the same float64
-  temp chains as the C kernels (`double temp, temp2`); per-plane
-  fixpoint is exact by anti-diagonal induction within r2+r3+4 sweeps;
+- the default path is a single-pass anti-diagonal WAVEFRONT (one
+  lax.scan over s = i+j+k diagonal slices, gather-free shear-by-
+  reshape layout): the MULTIPLICATIVE Lorenzo predictors (A*B/D
+  in-plane, the 7-factor A*B*C*G/(D*E*F) across planes) evaluate
+  through the same float64 temp chains as the C kernels
+  (`double temp, temp2`), each point computed once in dependency
+  order, so parity is by construction (the plane-sweep FIXPOINT
+  fallback, SZ_TPU_MSST19_WF=0, converges only at the induction bound
+  ~r2+r3 sweeps for a multiplicative predictor — a product preserves
+  low-bit seed perturbations that the additive codecs' sums absorb —
+  measured 59-96x slower on v5e);
 - the MultiLevelCacheTableWideInterval state lookup
   (MultiLevelCacheTable.c:47-186) keys on the EXPONENT+TRUNCATED-
   MANTISSA bits of the float64 prediction ratio.  XLA:TPU cannot
@@ -18,9 +24,12 @@ maxRangeRadius <= 32768) — identical bytes to the host kernels:
   rebias +896, mantissa << 29), including the subnormal-float32 and
   inf/NaN cases — verified bit-identical to the host lookup;
 - reconstruction |pred| * precision_table[state] runs in XLA:TPU's
-  extended-precision f64 emulation; the 7-factor product/division
-  chains and the final float32 rounding were measured bit-exact vs
-  IEEE on v5e (0 mismatches / 2^20 random chains);
+  extended-precision f64 emulation (float-float, ~48-bit significand):
+  the final float32 rounding equals the host's IEEE-f64-chain rounding
+  except within ~2^-48 of an f32 rounding tie, so parity is certified
+  inside DEVICE_MAX_POINTS (2^24; bit-exact at every size tested
+  through 256^3 both directions on v5e) and larger arrays route to
+  the host codec or shard through parallel.slab;
 - layer-0 row 0 (escape, prev-value, then the amplifying A*A/A2
   predictor) is solved by a short serial lax.scan and pinned, exactly
   like the classic engine's 2a-b row;
@@ -230,7 +239,9 @@ def _encode_chunk_fn(G: int, r2: int, r3: int, dtype_str: str,
 
         first_flags = base + jnp.arange(G, dtype=jnp.int32) == 0
 
-        def pred_plane(P, prev, first):
+        def pred_first(P, prev):
+            # layer-0 plane: in-plane 3-point multiplicative Lorenzo
+            # (row 0 pinned by the caller; col0 takes the above value)
             Pp = jnp.pad(P, ((1, 0), (1, 0)))
             A = Pp[1:, :-1]
             B = Pp[:-1, 1:]
@@ -239,28 +250,40 @@ def _encode_chunk_fn(G: int, r2: int, r3: int, dtype_str: str,
                 p2 = (A.astype(D) * B / Dg).astype(T)
             else:
                 p2 = _div_exact((A * B).astype(T), Dg, T)
-            # layer 0 (row 0 pinned): col0 takes the above value
-            p0 = jnp.where(col0, B, p2)
+            return jnp.where(col0, B, p2)
+
+        def pred_rest(P, prev):
+            # the f64-emulated division chains dominate sweep cost
+            # (~1000 f32 ops each after emulation): the row-0 and
+            # col-0 predictors only ever contribute one line, so they
+            # compute on (1, r3)/(r2, 1) SLICES; only the 7-factor p3
+            # runs at plane size.  Same op sequence per point as the C
+            # kernels — the where-assembly keeps bit parity.
+            Pp = jnp.pad(P, ((1, 0), (1, 0)))
+            A = Pp[1:, :-1]
+            B = Pp[:-1, 1:]
+            Dg = Pp[:-1, :-1]
             Qp = jnp.pad(prev, ((1, 0), (1, 0)))
             C = Qp[1:, 1:]
             E = Qp[:-1, 1:]
             F = Qp[1:, :-1]
             G_ = Qp[:-1, :-1]
-            rw = (A.astype(D) * C / F).astype(T)
-            cl = (B.astype(D) * C / E).astype(T)
+            rw = (A[:1].astype(D) * C[:1] / F[:1]).astype(T)
+            cl = (B[:, :1].astype(D) * C[:, :1] / E[:, :1]).astype(T)
             p3 = ((A.astype(D) * B * C * G_)
                   / (Dg.astype(D) * E * F)).astype(T)
-            pk = jnp.where(row0 & col0, C,
-                           jnp.where(row0, rw,
-                                     jnp.where(col0, cl, p3)))
-            return jnp.where(first, p0, pk)
+            return jnp.where(row0 & col0, C,
+                             jnp.where(row0, rw,
+                                       jnp.where(col0, cl, p3)))
 
         def plane(prev, xs):
             d, erx, first = xs
             pinm = first & row0
 
             def pstep(P):
-                t, rec = quant(d, pred_plane(P, prev, first), erx)
+                pred = jax.lax.cond(first, pred_first, pred_rest,
+                                    P, prev)
+                t, rec = quant(d, pred, erx)
                 t = jnp.where(pinm, pin_t[None, :], t)
                 rec = jnp.where(pinm, pin_rec[None, :], rec)
                 return t, rec
@@ -286,6 +309,417 @@ def _encode_chunk_fn(G: int, r2: int, r3: int, dtype_str: str,
     return eng._strict_jit(f, backend)
 
 
+# ---------------------------------------------------------------------------
+# Anti-diagonal WAVEFRONT engines (the default device path).
+#
+# The plane-sweep fixpoint above converges only at the induction bound
+# for the MULTIPLICATIVE predictor (~r2+r3 sweeps measured vs ~15 for
+# the additive codecs): rec = pred * precisionTable[state] preserves
+# low-bit perturbations of pred (a product), where the additive
+# rec = pred + 2eb*k absorbs them (a sum), so seed wiggles propagate
+# the full dependency depth.  Iteration is therefore the wrong shape:
+# the wavefront computes every point ONCE in dependency order — one
+# lax.scan over anti-diagonal slices (s = i+j+k), each step a
+# vectorized (r2, r3) slice in (j, k) coordinates — bit-exact by
+# construction.  The lattice <-> diagonal-slice layout is the
+# gather-free SHEAR-BY-RESHAPE: shifting axis 0 by the index of
+# another axis is one pad + flatten + truncate + reshape.
+# ---------------------------------------------------------------------------
+
+
+def _shear0_by(x, ax: int):
+    """Y with axis0 index i replaced by i + idx(ax); axis0 grows to
+    n0 + n_ax - 1.  Pure pad/reshape/transpose."""
+    x = jnp.moveaxis(x, ax, 0)               # (q, n0, rest...)
+    q, n0 = x.shape[0], x.shape[1]
+    rest = x.shape[2:]
+    W = n0 + q
+    xp = jnp.concatenate(
+        [x, jnp.zeros((q, W - n0) + rest, x.dtype)], axis=1)
+    flat = xp.reshape((q * W,) + rest)
+    y = flat[: q * (W - 1)].reshape((q, W - 1) + rest)
+    y = jnp.moveaxis(y, 1, 0)                # (n0+q-1, q, rest)
+    return jnp.moveaxis(y, 1, ax)
+
+
+def _unshear0_by(y, ax: int, n0: int):
+    """Inverse of _shear0_by."""
+    y = jnp.moveaxis(y, ax, 0)               # (q, S, rest...)
+    q, S = y.shape[0], y.shape[1]
+    rest = y.shape[2:]
+    flat = y.reshape((q * S,) + rest)
+    flat = jnp.concatenate(
+        [flat, jnp.zeros((q,) + rest, y.dtype)], axis=0)
+    x = flat.reshape((q, S + 1) + rest)[:, :n0]
+    x = jnp.moveaxis(x, 1, 0)
+    return jnp.moveaxis(x, 1, ax)
+
+
+def _shear3(x):
+    """(r1,r2,r3) lattice -> (r1+r2+r3-2, r2, r3) diagonal slices:
+    out[i+j+k, j, k] = x[i, j, k] (zeros elsewhere)."""
+    return _shear0_by(_shear0_by(x, 1), 2)
+
+
+def _unshear3(y, r1: int, r2: int, r3: int):
+    return _unshear0_by(_unshear0_by(y, 2, r1 + r2 - 1), 1, r1)
+
+
+def _shiftk(x):
+    return jnp.pad(x, ((0, 0), (1, 0)))[:, :-1]
+
+
+def _shiftj(x):
+    return jnp.pad(x, ((1, 0), (0, 0)))[:-1, :]
+
+
+def _shiftjk(x):
+    return jnp.pad(x, ((1, 0), (1, 0)))[:-1, :-1]
+
+
+@functools.lru_cache(maxsize=32)
+def _wf2_encode_fn(r2: int, r3: int, dtype_str: str, dbl: bool,
+                   bits: int, base_index: int, top_index: int,
+                   backend: str = "cpu"):
+    """Layer-0 plane by 2-D wavefront: (sheared data lines, sheared
+    esc-recon lines, tables, pins) -> (t lines, rec lines), each
+    (r2+r3-1, r3) in k-coordinates (j = d - k)."""
+    S2 = r2 + r3 - 1
+    kk = jnp.arange(r3)
+    D = jnp.float64
+
+    def f(d_lines, er_lines, table_flat, ptable, pin_t, pin_rec):
+        T = d_lines.dtype
+        lookup = _lookup_f32 if T == jnp.float32 else _lookup_f64
+
+        def step(carry, xs):
+            p1, p2l, d_idx = carry
+            dl, erl = xs
+            jrow = d_idx - kk
+            valid = (jrow >= 0) & (jrow < r2)
+            A = jnp.pad(p1, (1, 0))[:-1]          # P[j, k-1]
+            B = p1                                # P[j-1, k]
+            Dg = jnp.pad(p2l, (1, 0))[:-1]        # P[j-1, k-1]
+            if dbl:
+                p2v = (A.astype(D) * B / Dg).astype(T)
+            else:
+                p2v = _div_exact((A * B).astype(T), Dg, T)
+            pred = jnp.where(kk == 0, B, p2v)
+            ratio = _div_exact(dl, pred, T)
+            st = lookup(ratio, table_flat, base_index, top_index, bits)
+            rec = (jnp.abs(pred.astype(D))
+                   * jnp.take(ptable, st)).astype(T)
+            rec = jnp.where(st == 0, erl, rec)
+            # row 0 of the plane (j==0 <=> k==d): pinned
+            pin_mask = kk == d_idx
+            st = jnp.where(pin_mask, pin_t, st)
+            rec = jnp.where(pin_mask, pin_rec, rec)
+            st = jnp.where(valid, st, 0)
+            rec = jnp.where(valid, rec, jnp.asarray(0, T))
+            return (rec, p1, d_idx + 1), (st, rec)
+
+        z = jnp.zeros((r3,), T)
+        _, (t_lines, rec_lines) = jax.lax.scan(
+            step, (z, z, jnp.asarray(0, jnp.int32)),
+            (d_lines[:S2], er_lines[:S2]))
+        return t_lines, rec_lines
+
+    return eng._strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=32)
+def _wf3_encode_fn(G: int, r1: int, r2: int, r3: int, dtype_str: str,
+                   bits: int, base_index: int, top_index: int,
+                   backend: str = "cpu"):
+    """G steps of the 3-D encode wavefront (chunk-dispatched under
+    tunneled-link watchdogs): (sheared data/esc slices, plane-0
+    t/rec lines, tables, carries, s base) -> (t slices, carries)."""
+    jk = (jnp.arange(r2)[:, None] + jnp.arange(r3)[None, :]).astype(
+        jnp.int32)
+    row0 = (jnp.arange(r2) == 0)[:, None]
+    col0 = (jnp.arange(r3) == 0)[None, :]
+    D = jnp.float64
+
+    def f(d_sl, er_sl, p0t, p0rec, table_flat, ptable, c1, c2, c3,
+          base):
+        T = d_sl.dtype
+        lookup = _lookup_f32 if T == jnp.float32 else _lookup_f64
+
+        def step(carry, xs):
+            c1, c2, c3, s = carry
+            dl, erl, p0t_l, p0rec_l = xs
+            i_idx = s - jk
+            valid = (i_idx >= 0) & (i_idx < r1)
+            plane0 = valid & (i_idx == 0)
+            A = _shiftk(c1)        # P[i, j, k-1]
+            Bv = _shiftj(c1)       # P[i, j-1, k]
+            Dg = _shiftjk(c2)      # P[i, j-1, k-1]
+            Cv = c1                # P[i-1, j, k]
+            Ev = _shiftj(c2)       # P[i-1, j-1, k]
+            Fv = _shiftk(c2)       # P[i-1, j, k-1]
+            Gv = _shiftjk(c3)      # P[i-1, j-1, k-1]
+            # interior predictors: row-0/col-0 chains on line slices,
+            # only the 7-factor p3 at slice size (the f64-emulated
+            # division chains dominate)
+            rw = (A[:1].astype(D) * Cv[:1] / Fv[:1]).astype(T)
+            cl = (Bv[:, :1].astype(D) * Cv[:, :1]
+                  / Ev[:, :1]).astype(T)
+            p3 = ((A.astype(D) * Bv * Cv * Gv)
+                  / (Dg.astype(D) * Ev * Fv)).astype(T)
+            pred = jnp.where(row0 & col0, Cv,
+                             jnp.where(row0, rw,
+                                       jnp.where(col0, cl, p3)))
+            ratio = _div_exact(dl, pred, T)
+            st = lookup(ratio, table_flat, base_index, top_index,
+                        bits)
+            rec = (jnp.abs(pred.astype(D))
+                   * jnp.take(ptable, st)).astype(T)
+            rec = jnp.where(st == 0, erl, rec)
+            # plane-0 points (one per k at j = s-k): inject the 2-D
+            # wavefront's values via their k-line broadcast
+            st = jnp.where(plane0, p0t_l[None, :], st)
+            rec = jnp.where(plane0, p0rec_l[None, :], rec)
+            st = jnp.where(valid, st, 0)
+            rec = jnp.where(valid, rec, jnp.asarray(0, T))
+            return (rec, c1, c2, s + 1), st
+
+        (c1, c2, c3, _s), t_sl = jax.lax.scan(
+            step, (c1, c2, c3, base), (d_sl, er_sl, p0t, p0rec))
+        return t_sl, c1, c2, c3
+
+    return eng._strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=32)
+def _wf2_decode_fn(r2: int, r3: int, dtype_str: str, dbl: bool,
+                   backend: str = "cpu"):
+    """Layer-0 plane decode by 2-D wavefront: (km, kv, pt lines) ->
+    rec lines (r2+r3-1, r3)."""
+    S2 = r2 + r3 - 1
+    kk = jnp.arange(r3)
+    D = jnp.float64
+    T = jnp.dtype(dtype_str)
+
+    def f(km_l, kv_l, pt_l):
+        def step(carry, xs):
+            p1, p2l, d_idx = carry
+            kml, kvl, ptl = xs
+            jrow = d_idx - kk
+            valid = (jrow >= 0) & (jrow < r2)
+            A = jnp.pad(p1, (1, 0))[:-1]
+            B = p1
+            Dg = jnp.pad(p2l, (1, 0))[:-1]
+            A2 = jnp.pad(p2l, (2, 0))[:-2]        # P[0, k-2]
+            if dbl:
+                lin = (A.astype(D) * A / A2).astype(T)
+                p2v = (A.astype(D) * B / Dg).astype(T)
+            else:
+                lin = _div_exact((A * A).astype(T), A2, T)
+                p2v = _div_exact((A * B).astype(T), Dg, T)
+            # row0 of the plane: k==d (escape / prev / A*A/A2 rules)
+            pin = kk == d_idx
+            pred = jnp.where(pin & (kk == 1), A,
+                             jnp.where(pin, lin,
+                                       jnp.where(kk == 0, B, p2v)))
+            v = (jnp.abs(pred.astype(D)) * ptl).astype(T)
+            rec = jnp.where(kml, kvl, v)
+            rec = jnp.where(valid, rec, jnp.asarray(0, T))
+            return (rec, p1, d_idx + 1), rec
+
+        z = jnp.zeros((r3,), T)
+        _, rec_lines = jax.lax.scan(
+            step, (z, z, jnp.asarray(0, jnp.int32)),
+            (km_l[:S2], kv_l[:S2], pt_l[:S2]))
+        return rec_lines
+
+    return eng._strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=32)
+def _wf3_decode_fn(G: int, r1: int, r2: int, r3: int, dtype_str: str,
+                   backend: str = "cpu"):
+    """G steps of the 3-D decode wavefront: (km/kv/pt slices, plane-0
+    rec lines, carries, s base) -> (rec slices, carries)."""
+    jk = (jnp.arange(r2)[:, None] + jnp.arange(r3)[None, :]).astype(
+        jnp.int32)
+    row0 = (jnp.arange(r2) == 0)[:, None]
+    col0 = (jnp.arange(r3) == 0)[None, :]
+    D = jnp.float64
+    T = jnp.dtype(dtype_str)
+
+    def f(km_sl, kv_sl, pt_sl, p0rec, c1, c2, c3, base):
+        def step(carry, xs):
+            c1, c2, c3, s = carry
+            kml, kvl, ptl, p0rec_l = xs
+            i_idx = s - jk
+            valid = (i_idx >= 0) & (i_idx < r1)
+            plane0 = valid & (i_idx == 0)
+            A = _shiftk(c1)
+            Bv = _shiftj(c1)
+            Dg = _shiftjk(c2)
+            Cv = c1
+            Ev = _shiftj(c2)
+            Fv = _shiftk(c2)
+            Gv = _shiftjk(c3)
+            rw = (A[:1].astype(D) * Cv[:1] / Fv[:1]).astype(T)
+            cl = (Bv[:, :1].astype(D) * Cv[:, :1]
+                  / Ev[:, :1]).astype(T)
+            p3 = ((A.astype(D) * Bv * Cv * Gv)
+                  / (Dg.astype(D) * Ev * Fv)).astype(T)
+            pred = jnp.where(row0 & col0, Cv,
+                             jnp.where(row0, rw,
+                                       jnp.where(col0, cl, p3)))
+            v = (jnp.abs(pred.astype(D)) * ptl).astype(T)
+            rec = jnp.where(kml, kvl, v)
+            rec = jnp.where(plane0, p0rec_l[None, :], rec)
+            rec = jnp.where(valid, rec, jnp.asarray(0, T))
+            return (rec, c1, c2, s + 1), rec
+
+        (c1, c2, c3, _s), r_sl = jax.lax.scan(
+            step, (c1, c2, c3, base), (km_sl, kv_sl, pt_sl, p0rec))
+        return r_sl, c1, c2, c3
+
+    return eng._strict_jit(f, backend)
+
+
+# per-chunk step-point budget for the 3-D wavefront scan (keeps every
+# dispatch far under the ~60 s tunneled-link execution watchdog)
+WF_STEP_BUDGET = 100 << 20
+
+
+def _wf_steps_per_chunk(r2: int, r3: int) -> int:
+    return max(1, WF_STEP_BUDGET // max(r2 * r3, 1))
+
+
+def _wf_enabled() -> bool:
+    return eng._os.environ.get("SZ_TPU_MSST19_WF", "1") != "0"
+
+
+@functools.lru_cache(maxsize=8)
+def _pad_lines_fn(S2: int, S: int, r3: int, dtype_str: str,
+                  backend: str = "cpu"):
+    def f(t_lines, rec_lines):
+        pt = jnp.zeros((S - S2, r3), t_lines.dtype)
+        pr = jnp.zeros((S - S2, r3), rec_lines.dtype)
+        return (jnp.concatenate([t_lines, pt], 0),
+                jnp.concatenate([rec_lines, pr], 0))
+
+    return eng._strict_jit(f, backend)
+
+
+def _encode_device_wf(work_dev, vshape, dstr, dbl, cache, pt_dev,
+                      tbl_dev, req_length, be):
+    """Wavefront encode driver (3-D; 2-D runs as a single layer-0
+    plane through the 2-D wavefront alone)."""
+    r1, r2, r3 = vshape
+    S = r1 + r2 + r3 - 2
+    S2 = r2 + r3 - 1
+    rl = jnp.asarray(req_length, jnp.int32)
+    bits = int(cache.bits)
+    bi, ti = int(cache.base_index), int(cache.top_index)
+    data = work_dev.reshape(vshape)
+    row_er = _esc_recon_raw_dev(data[0, 0, :], rl)
+    pin_t, pin_rec = _pins_fn(r3, dstr, dbl, bits, bi, ti, be)(
+        data[0, 0, :], row_er, tbl_dev, pt_dev)
+    # plane 0 by 2-D wavefront (k-coordinate lines)
+    p0 = data[0]
+    p0_sh = _shear0_by(p0, 1)                    # (S2, r3)
+    er0_sh = _esc_recon_raw_dev(p0_sh, rl)
+    p0t, p0rec = _wf2_encode_fn(r2, r3, dstr, dbl, bits, bi, ti, be)(
+        p0_sh, er0_sh, tbl_dev, pt_dev, pin_t.astype(jnp.int32),
+        pin_rec)
+    d_sh = _shear3(data)
+    er_sh = _esc_recon_raw_dev(d_sh, rl)
+    p0t_pad, p0rec_pad = _pad_lines_fn(S2, S, r3, dstr, be)(
+        p0t, p0rec)
+    G = _wf_steps_per_chunk(r2, r3)
+    T = work_dev.dtype
+    c1 = c2 = c3 = jnp.zeros((r2, r3), T)
+    chunks = []
+    a = 0
+    while a < S:
+        g = min(G, S - a)
+        fn = _wf3_encode_fn(g, r1, r2, r3, dstr, bits, bi, ti, be)
+        t_sl, c1, c2, c3 = fn(
+            jax.lax.slice_in_dim(d_sh, a, a + g, axis=0),
+            jax.lax.slice_in_dim(er_sh, a, a + g, axis=0),
+            jax.lax.slice_in_dim(p0t_pad, a, a + g, axis=0),
+            jax.lax.slice_in_dim(p0rec_pad, a, a + g, axis=0),
+            tbl_dev, pt_dev, c1, c2, c3, jnp.asarray(a, jnp.int32))
+        chunks.append(t_sl)
+        a += g
+    t_sh = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
+    t = _unshear3(t_sh, r1, r2, r3)
+    n = r1 * r2 * r3
+    t_stream, hist, esc = _enc_epilogue_fn(n, be)(
+        t.reshape(-1), work_dev.reshape(-1))
+    return t_stream, hist, esc, [jnp.asarray(1)]
+
+
+def _encode_device_wf2(work_dev, vshape, dstr, dbl, cache, pt_dev,
+                       tbl_dev, req_length, be):
+    """2-D data: the whole field is one layer-0 plane."""
+    _one, r2, r3 = vshape
+    rl = jnp.asarray(req_length, jnp.int32)
+    bits = int(cache.bits)
+    bi, ti = int(cache.base_index), int(cache.top_index)
+    data = work_dev.reshape((r2, r3))
+    row_er = _esc_recon_raw_dev(data[0, :], rl)
+    pin_t, pin_rec = _pins_fn(r3, dstr, dbl, bits, bi, ti, be)(
+        data[0, :], row_er, tbl_dev, pt_dev)
+    p_sh = _shear0_by(data, 1)
+    er_sh = _esc_recon_raw_dev(p_sh, rl)
+    p0t, _p0rec = _wf2_encode_fn(r2, r3, dstr, dbl, bits, bi, ti, be)(
+        p_sh, er_sh, tbl_dev, pt_dev, pin_t.astype(jnp.int32), pin_rec)
+    t = _unshear0_by(p0t, 1, r2)
+    n = r2 * r3
+    t_stream, hist, esc = _enc_epilogue_fn(n, be)(
+        t.reshape(-1), work_dev.reshape(-1))
+    return t_stream, hist, esc, [jnp.asarray(1)]
+
+
+def _decode_device_wf(t_dev, unpred_pad, ptable, vshape, dstr, dbl,
+                      be):
+    """Wavefront decode driver -> flat reconstruction (pre-restore)."""
+    r1, r2, r3 = vshape
+    km, kv, pt = _dec_stage_fn(vshape, dstr, be)(
+        t_dev, jax.device_put(unpred_pad), jax.device_put(ptable))
+    if r1 == 1:
+        km2 = _shear0_by(km[0], 1)
+        kv2 = _shear0_by(kv[0], 1)
+        pt2 = _shear0_by(pt[0], 1)
+        rec = _wf2_decode_fn(r2, r3, dstr, dbl, be)(km2, kv2, pt2)
+        return _unshear0_by(rec, 1, r2).reshape(r2 * r3)
+    S = r1 + r2 + r3 - 2
+    S2 = r2 + r3 - 1
+    p0rec = _wf2_decode_fn(r2, r3, dstr, dbl, be)(
+        _shear0_by(km[0], 1), _shear0_by(kv[0], 1),
+        _shear0_by(pt[0], 1))
+    km_sh = _shear3(km)
+    kv_sh = _shear3(kv)
+    pt_sh = _shear3(pt)
+    T = jnp.dtype(dstr)
+    p0rec_pad = jnp.concatenate(
+        [p0rec, jnp.zeros((S - S2, r3), T)], 0)
+    G = _wf_steps_per_chunk(r2, r3)
+    c1 = c2 = c3 = jnp.zeros((r2, r3), T)
+    chunks = []
+    a = 0
+    while a < S:
+        g = min(G, S - a)
+        fn = _wf3_decode_fn(g, r1, r2, r3, dstr, be)
+        r_sl, c1, c2, c3 = fn(
+            jax.lax.slice_in_dim(km_sh, a, a + g, axis=0),
+            jax.lax.slice_in_dim(kv_sh, a, a + g, axis=0),
+            jax.lax.slice_in_dim(pt_sh, a, a + g, axis=0),
+            jax.lax.slice_in_dim(p0rec_pad, a, a + g, axis=0),
+            c1, c2, c3, jnp.asarray(a, jnp.int32))
+        chunks.append(r_sl)
+        a += g
+    r_sh = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
+    return _unshear3(r_sh, r1, r2, r3).reshape(r1 * r2 * r3)
+
+
 @functools.lru_cache(maxsize=32)
 def _enc_epilogue_fn(n: int, backend: str = "cpu"):
     """Concatenated type chunks -> (u16 raster stream, MXU histogram,
@@ -304,9 +738,17 @@ def _enc_epilogue_fn(n: int, backend: str = "cpu"):
 
 def _encode_device(work_dev, vshape, dstr, dbl, cache, pt_dev, tbl_dev,
                    req_length, be):
-    """Chunked encode driver: returns (t_stream u16 dev, hist dev,
-    esc dev, iters)."""
+    """Encode driver: the single-pass wavefront by default, the
+    chunked plane-sweep fixpoint as the SZ_TPU_MSST19_WF=0 fallback.
+    Returns (t_stream u16 dev, hist dev, esc dev, iters)."""
     npl, r2, r3 = vshape
+    if _wf_enabled():
+        if npl == 1:
+            return _encode_device_wf2(work_dev, vshape, dstr, dbl,
+                                      cache, pt_dev, tbl_dev,
+                                      req_length, be)
+        return _encode_device_wf(work_dev, vshape, dstr, dbl, cache,
+                                 pt_dev, tbl_dev, req_length, be)
     rl = jnp.asarray(req_length, jnp.int32)
     data = work_dev.reshape(vshape)
     row_er = _esc_recon_raw_dev(data[0, 0, :], rl)
@@ -378,40 +820,50 @@ def _decode_chunk_fn(G: int, r2: int, r3: int, dtype_str: str,
     def f(km, kv, pt, prev0, base):
         first_flags = base + jnp.arange(G, dtype=jnp.int32) == 0
 
-        def pred_plane(P, prev, first):
+        def pred_first(P, prev):
+            # layer-0 plane incl. its row-0 rules (escape/prev/A*A/A2);
+            # the amplifying lin predictor computes on the (1, r3) row
+            # slice only
             Pp = jnp.pad(P, ((1, 0), (1, 0)))
             A = Pp[1:, :-1]
             B = Pp[:-1, 1:]
             Dg = Pp[:-1, :-1]
             A2 = jnp.pad(P, ((0, 0), (2, 0)))[:, :-2]
             if dbl:
-                lin = (A.astype(D) * A / A2).astype(T)
+                lin = (A[:1].astype(D) * A[:1] / A2[:1]).astype(T)
                 p2 = (A.astype(D) * B / Dg).astype(T)
             else:
-                lin = _div_exact((A * A).astype(T), A2, T)
+                lin = _div_exact((A[:1] * A[:1]).astype(T), A2[:1], T)
                 p2 = _div_exact((A * B).astype(T), Dg, T)
-            p0 = jnp.where(row0 & col1, A,
-                           jnp.where(row0, lin,
-                                     jnp.where(col0, B, p2)))
+            return jnp.where(row0 & col1, A,
+                             jnp.where(row0, lin,
+                                       jnp.where(col0, B, p2)))
+
+        def pred_rest(P, prev):
+            # row-0/col-0 predictors on line slices; only the 7-factor
+            # p3 chain runs at plane size (see the encode-side note)
+            Pp = jnp.pad(P, ((1, 0), (1, 0)))
+            A = Pp[1:, :-1]
+            B = Pp[:-1, 1:]
+            Dg = Pp[:-1, :-1]
             Qp = jnp.pad(prev, ((1, 0), (1, 0)))
             C = Qp[1:, 1:]
             E = Qp[:-1, 1:]
             F = Qp[1:, :-1]
             G_ = Qp[:-1, :-1]
-            rw = (A.astype(D) * C / F).astype(T)
-            cl = (B.astype(D) * C / E).astype(T)
+            rw = (A[:1].astype(D) * C[:1] / F[:1]).astype(T)
+            cl = (B[:, :1].astype(D) * C[:, :1] / E[:, :1]).astype(T)
             p3 = ((A.astype(D) * B * C * G_)
                   / (Dg.astype(D) * E * F)).astype(T)
-            pk = jnp.where(row0 & col0, C,
-                           jnp.where(row0, rw,
-                                     jnp.where(col0, cl, p3)))
-            return jnp.where(first, p0, pk)
+            return jnp.where(row0 & col0, C,
+                             jnp.where(row0, rw,
+                                       jnp.where(col0, cl, p3)))
 
         def plane(prev, xs):
             kmx, kvx, ptx, first = xs
 
             def val(P):
-                p = pred_plane(P, prev, first)
+                p = jax.lax.cond(first, pred_first, pred_rest, P, prev)
                 v = (jnp.abs(p.astype(D)) * ptx).astype(T)
                 return jnp.where(kmx, kvx, v)
 
@@ -458,8 +910,12 @@ def _restore_fn(n: int, dtype_str: str, backend: str = "cpu"):
 
 
 def _decode_device(t_dev, unpred_pad, ptable, vshape, dstr, dbl, be):
-    """Chunked decode driver -> flat reconstruction (pre-restore)."""
+    """Decode driver -> flat reconstruction (pre-restore); wavefront
+    by default, plane-sweep fixpoint fallback (SZ_TPU_MSST19_WF=0)."""
     npl, r2, r3 = vshape
+    if _wf_enabled():
+        return _decode_device_wf(t_dev, unpred_pad, ptable, vshape,
+                                 dstr, dbl, be)
     km, kv, pt = _dec_stage_fn(vshape, dstr, be)(
         t_dev, jax.device_put(unpred_pad), jax.device_put(ptable))
     G = _chunk_planes(npl, r2, r3)
@@ -485,20 +941,34 @@ def _decode_device(t_dev, unpred_pad, ptable, vshape, dstr, dbl, be):
 # ---------------------------------------------------------------------------
 
 
+# Certified size envelope for the device engine on real TPU backends.
+# XLA:TPU's "f64" is float-float EMULATION with a 48-bit significand,
+# so the IEEE-f64 predictor chains round identically to the host only
+# away from f32 rounding ties ~2^-48 deep; one tie seeds a divergence
+# cascade.  Measured: bit-exact through 2^24 points (256^3 and every
+# smaller size tested, both directions), first divergence observed at
+# 512^3 (134M points).  Larger arrays route to the host codec — or
+# shard through parallel.slab, whose per-slab payloads equal
+# api.compress(slab) and stay inside this envelope.
+DEVICE_MAX_POINTS = 1 << 24
+
+
 def device_ok(engine: str, dtype, ndim: int, n: int,
               device_out: bool = False) -> bool:
     """Explicit engine="jax" routes MSST19 to the device; float64 only
     on the CPU backend.  Unlike the regression/classic engines, "auto"
-    never selects this engine yet: the plane fixpoint is an XLA
-    scan-of-while with f64-emulated multiplicative chains
-    (compute-bound well below the Pallas engines' throughput), so the
-    parallel host codec wins on wall clock until the dedicated Pallas
+    never selects this engine yet: the wavefront scan is XLA
+    (compute-bound below the Pallas engines' throughput), so the
+    parallel host codec wins on wall clock until a dedicated Pallas
     kernel lands (ROADMAP).  Byte parity with the host is test- and
-    bench-gated either way."""
+    bench-gated; on non-CPU backends it is certified only inside
+    DEVICE_MAX_POINTS (f64-emulation tie cascades past it)."""
     if engine != "jax" or ndim not in (2, 3):
         return False
     backend = jax.default_backend()
     if np.dtype(dtype) == np.float64 and backend != "cpu":
+        return False
+    if backend != "cpu" and n > DEVICE_MAX_POINTS:
         return False
     return True
 

@@ -67,3 +67,17 @@ def test_msst19_device_ok_policy():
     assert me.device_ok("jax", np.float32, 3, 64) is True
     assert me.device_ok("jax", np.float32, 1, 1 << 20) is False
     assert me.device_ok("jax", np.float32, 4, 1 << 20) is False
+
+
+def test_msst19_device_size_envelope(monkeypatch):
+    """On accelerator backends the MSST19 device engine only takes
+    arrays inside its certified parity envelope (f64-emulation tie
+    cascades past 2^24 points; larger arrays go to the host codec or
+    shard through parallel.slab)."""
+    import numpy as np
+
+    from sz_tpu.tpu import msst19_engine as me
+    monkeypatch.setattr(me.jax, "default_backend", lambda: "tpu")
+    assert me.device_ok("jax", np.float32, 3, me.DEVICE_MAX_POINTS)
+    assert not me.device_ok("jax", np.float32, 3,
+                            me.DEVICE_MAX_POINTS + 1)
