@@ -26,10 +26,19 @@ maxRangeRadius <= 32768) — identical bytes to the host kernels:
 - reconstruction |pred| * precision_table[state] runs in XLA:TPU's
   extended-precision f64 emulation (float-float, ~48-bit significand):
   the final float32 rounding equals the host's IEEE-f64-chain rounding
-  except within ~2^-48 of an f32 rounding tie, so parity is certified
-  inside DEVICE_MAX_POINTS (2^24; bit-exact at every size tested
-  through 256^3 both directions on v5e) and larger arrays route to
-  the host codec or shard through parallel.slab;
+  except within ~2^-48 of an f32 rounding tie.  On the CPU backend
+  (native f64) bit-parity with the host encoder is exact and
+  CI-gated; on EMULATED-f64 backends it is empirical, not guaranteed
+  — a near-tie chain value flips one state and seeds a divergence
+  cascade (observed once in a 512^3 field and in its 2^24-point
+  slabs; every 48^3-256^3 test field measured bit-exact).  Diverged
+  streams remain CONFORMANT: states are self-consistent with the
+  encoder's own predictions, so cross-decoding stays within the
+  point-wise bound (+ ~1 ulp) — they are valid SZ2 streams, just not
+  byte-identical to the C encoder's.  Deployments that require
+  byte-parity with the C encoder on accelerator backends should use
+  the (faster) host codec; DEVICE_MAX_POINTS caps device routing at
+  the scale where divergence has ever been observed;
 - layer-0 row 0 (escape, prev-value, then the amplifying A*A/A2
   predictor) is solved by a short serial lax.scan and pinned, exactly
   like the classic engine's 2a-b row;
@@ -941,15 +950,11 @@ def _decode_device(t_dev, unpred_pad, ptable, vshape, dstr, dbl, be):
 # ---------------------------------------------------------------------------
 
 
-# Certified size envelope for the device engine on real TPU backends.
-# XLA:TPU's "f64" is float-float EMULATION with a 48-bit significand,
-# so the IEEE-f64 predictor chains round identically to the host only
-# away from f32 rounding ties ~2^-48 deep; one tie seeds a divergence
-# cascade.  Measured: bit-exact through 2^24 points (256^3 and every
-# smaller size tested, both directions), first divergence observed at
-# 512^3 (134M points).  Larger arrays route to the host codec — or
-# shard through parallel.slab, whose per-slab payloads equal
-# api.compress(slab) and stay inside this envelope.
+# Size gate for the device engine on real TPU backends: past it, a
+# f64-emulation tie cascade has actually been observed (512^3 field;
+# also reproducible in that field's 2^24-point slabs — tie locations
+# are DATA-dependent, so this bounds observed risk, it is not a parity
+# certificate; see the module docstring).
 DEVICE_MAX_POINTS = 1 << 24
 
 
@@ -960,9 +965,10 @@ def device_ok(engine: str, dtype, ndim: int, n: int,
     never selects this engine yet: the wavefront scan is XLA
     (compute-bound below the Pallas engines' throughput), so the
     parallel host codec wins on wall clock until a dedicated Pallas
-    kernel lands (ROADMAP).  Byte parity with the host is test- and
-    bench-gated; on non-CPU backends it is certified only inside
-    DEVICE_MAX_POINTS (f64-emulation tie cascades past it)."""
+    kernel lands (ROADMAP).  Byte parity with the host is exact on
+    the CPU backend and empirical on emulated-f64 backends (see the
+    module docstring); DEVICE_MAX_POINTS bounds device routing to the
+    scale below every observed divergence."""
     if engine != "jax" or ndim not in (2, 3):
         return False
     backend = jax.default_backend()

@@ -134,3 +134,27 @@ def test_chunked_scan_parity(monkeypatch):
     assert np.array_equal(pwr.decompress_pwrel(t_h, shape, np.float32),
                           np.asarray(me.decompress(t_h, shape,
                                                    np.float32)))
+
+
+def test_sharded_pwrel_device_container():
+    """The sharded container compresses each slab with
+    api.compress(slab, cfg), so engine="jax" slabs ride the MSST19
+    device engine; on this (CPU, native-f64) test backend the
+    container must equal the host-engine container byte for byte.
+    (On emulated-f64 backends slab parity is empirical, like the
+    single-array engine — see the module docstring.)"""
+    from sz_tpu.parallel import slab
+
+    shape = (16, 20, 24)
+    data = synth(shape, np.float32, seed=31)
+    data[data == 0] = np.float32(0.5)
+    cfg_h = SZConfig(error_bound_mode=ErrorBoundMode.PW_REL,
+                     pw_rel_bound_ratio=1e-3, engine="numpy")
+    cfg_d = SZConfig(error_bound_mode=ErrorBoundMode.PW_REL,
+                     pw_rel_bound_ratio=1e-3, engine="jax")
+    blob_h = slab.compress_sharded(data, cfg_h, n_devices=4)
+    blob_d = slab.compress_sharded(data, cfg_d, n_devices=4)
+    assert blob_h == blob_d
+    out = slab.decompress_sharded(blob_h)
+    rel = np.abs(np.asarray(out) - data) / np.abs(data)
+    assert rel.max() <= 1e-3 * (1 + 1e-5)
