@@ -114,3 +114,31 @@ def test_hw_fsm_decode(tpu):
     syms, ok = fsm.decode_bits_device(words, trans, n, len(enc) * 8)
     assert bool(ok)
     np.testing.assert_array_equal(np.asarray(syms)[:n], types)
+
+
+def test_hw_msst19_wavefront(tpu):
+    """MSST19 wavefront engine on the chip: byte-identical stream and
+    bit-identical reconstruction vs the host kernels (a known-clean
+    field — parity on emulated-f64 backends is empirical, see the
+    engine docstring)."""
+    from sz_tpu.core import pwr
+    from sz_tpu.format import tdps as tdps_mod
+    from sz_tpu.tpu import msst19_engine as me
+
+    KW = dict(max_range_radius=32768, sample_distance=100,
+              pred_threshold=0.99, plus_bits=3)
+    n = 96
+    rng = np.random.default_rng(11)
+    ax = np.linspace(0.1, 12 * np.pi, n, dtype=np.float32)
+    data = np.exp(np.sin(ax)[:, None, None] * np.cos(ax)[None, :, None]
+                  + 0.05 * rng.standard_normal((n, n, n)).astype(
+                      np.float32)).astype(np.float32)
+    fmax = data.max()
+    nz = np.abs(data[data != 0]).min()
+    t_h = pwr.compress_msst19(data, 1e-3, fmax, nz, **KW)
+    t_d = me.compress(data, 1e-3, fmax, nz, **KW)
+    assert tdps_mod.to_bytes(t_h) == tdps_mod.to_bytes(t_d)
+    o_h = pwr.decompress_pwrel(t_h, (n, n, n), np.float32)
+    o_d = me.decompress(t_h, (n, n, n), np.float32)
+    np.testing.assert_array_equal(np.asarray(o_h).view(np.uint32),
+                                  np.asarray(o_d).view(np.uint32))
