@@ -110,13 +110,13 @@ def _esc_recon_raw_dev(data, req_length):
     return jax.lax.bitcast_convert_type(bits, T)
 
 
-def _lookup_f32(ratio, table_flat, base_index: int, top_index: int,
-                bits: int):
-    """CacheTable.lookup_vec on device for float32 ratios: the host
-    keys on the bits of float64(ratio); a float32 widens exactly, so
-    expo64 = e32 + 896 (normal), 2047 (inf/NaN), 874 + highbit(m32)
-    (subnormal), and mantissa52 = m32 << 29 (normal/inf/NaN) or the
-    renormalized fraction (subnormal).  Sign is masked like the C."""
+def _key_f32(ratio, base_index: int, top_index: int, bits: int):
+    """Combined cache-table key (rel*size + manti, with the in-range
+    mask) for float32 ratios: the host keys on the bits of
+    float64(ratio); a float32 widens exactly, so expo64 = e32 + 896
+    (normal), 2047 (inf/NaN), 874 + highbit(m32) (subnormal), and
+    mantissa52 = m32 << 29 (normal/inf/NaN) or the renormalized
+    fraction (subnormal).  Sign is masked like the C."""
     size = 1 << bits
     b = jax.lax.bitcast_convert_type(ratio, jnp.uint32) \
         & jnp.uint32(0x7FFFFFFF)
@@ -145,14 +145,11 @@ def _lookup_f32(ratio, table_flat, base_index: int, top_index: int,
     manti = jnp.where(is_sub, man_s, man_n)
     rel = expo - base_index
     ok = (rel >= 0) & (rel <= top_index - base_index)
-    idx = jnp.clip(rel * size + manti, 0, table_flat.shape[0] - 1)
-    st = jnp.take(table_flat, idx).astype(jnp.int32)
-    return jnp.where(ok, st, 0)
+    return rel * size + manti, ok
 
 
-def _lookup_f64(ratio, table_flat, base_index: int, top_index: int,
-                bits: int):
-    """Direct float64-bit lookup (CPU backend / float64 data)."""
+def _key_f64(ratio, base_index: int, top_index: int, bits: int):
+    """Combined key for float64 ratios (CPU backend / float64 data)."""
     size = 1 << bits
     b = jax.lax.bitcast_convert_type(ratio.astype(jnp.float64),
                                      jnp.uint64) \
@@ -162,9 +159,95 @@ def _lookup_f64(ratio, table_flat, base_index: int, top_index: int,
              >> jnp.uint64(52 - bits)).astype(jnp.int32)
     rel = expo - base_index
     ok = (rel >= 0) & (rel <= top_index - base_index)
-    idx = jnp.clip(rel * size + manti, 0, table_flat.shape[0] - 1)
+    return rel * size + manti, ok
+
+
+def _lookup_f32(ratio, table_flat, base_index: int, top_index: int,
+                bits: int):
+    key, ok = _key_f32(ratio, base_index, top_index, bits)
+    idx = jnp.clip(key, 0, table_flat.shape[0] - 1)
     st = jnp.take(table_flat, idx).astype(jnp.int32)
     return jnp.where(ok, st, 0)
+
+
+def _lookup_f64(ratio, table_flat, base_index: int, top_index: int,
+                bits: int):
+    key, ok = _key_f64(ratio, base_index, top_index, bits)
+    idx = jnp.clip(key, 0, table_flat.shape[0] - 1)
+    st = jnp.take(table_flat, idx).astype(jnp.int32)
+    return jnp.where(ok, st, 0)
+
+
+# ---------------------------------------------------------------------------
+# Gather-free table lookups for the wavefront hot loop.
+#
+# XLA gathers cost ~9 ns/element on v5e; the two per-step lookups
+# (cache table + precision table) measured 1.23 s of the 1.25 s
+# 256^3 wavefront scan.  Both tables have exploitable structure:
+# the cache table is always two MONOTONE STAIRSTEP rows (validated at
+# build), so state = count(boundaries <= key) — a fused compare-
+# reduction; and the precision values select by a one-hot compare-sum
+# of the table's exact (hi, lo) float32 split, whose emulated-f64
+# recombination hi + lo is bit-identical to take(ptable_f64, st).
+# ---------------------------------------------------------------------------
+
+STAIR_MAX_STATES = 4096   # compare-reduction cost is O(states)/point
+
+
+@functools.lru_cache(maxsize=16)
+def _stair_pack(intervals: int, ratio: float, plus_bits: int):
+    """(boundaries i32, lo_key, hi_key, pt_hi f32, pt_lo f32) for the
+    compare-reduction lookup, or None when the table is outside the
+    stairstep envelope (validated by exact reconstruction)."""
+    from sz_tpu.core import pwr
+
+    if 2 * intervals > STAIR_MAX_STATES:
+        return None
+    cache = pwr._cache_table(int(intervals), float(ratio),
+                             int(plus_bits))
+    table = np.ascontiguousarray(cache.table).reshape(-1).astype(
+        np.int64)
+    nz = np.flatnonzero(table)
+    if len(nz) == 0:
+        return None
+    lo_key, hi_key = int(nz[0]), int(nz[-1])
+    seg = table[lo_key:hi_key + 1]
+    if (seg == 0).any() or (np.diff(seg) < 0).any():
+        return None
+    max_state = int(seg[-1])
+    # boundaries[i] = first key with state > i+0  (i = 0..max_state-1)
+    bounds = lo_key + np.searchsorted(seg, np.arange(1, max_state + 1),
+                                      side="left")
+    # exact reconstruction check
+    keys = np.arange(len(table))
+    recon = (keys[:, None] >= bounds[None, :]).sum(1)
+    recon[(keys < lo_key) | (keys > hi_key)] = 0
+    if not np.array_equal(recon, table):
+        return None  # pragma: no cover - non-stairstep table
+    ptable = pwr._precision_table(int(intervals), float(ratio),
+                                  int(plus_bits))
+    pt_hi = ptable.astype(np.float32)
+    pt_lo = (ptable - pt_hi).astype(np.float32)
+    return (bounds.astype(np.int32), lo_key, hi_key, pt_hi, pt_lo)
+
+
+def _stair_state(key, ok, bounds, lo_key: int, hi_key: int):
+    """state = count(boundaries <= key): a broadcast compare + sum
+    that XLA fuses into a reduction (no gather, no materialized
+    one-hot)."""
+    inside = ok & (key >= lo_key) & (key <= hi_key)
+    st = jnp.sum((key[..., None] >= bounds).astype(jnp.int32), axis=-1)
+    return jnp.where(inside, st, 0)
+
+
+def _pt_select(st, pt_hi, pt_lo):
+    """Emulated-f64 precision value for each state via one-hot
+    compare-sums of the exact (hi, lo) float32 split — bit-identical
+    to jnp.take(ptable_f64, st) (the emulated array IS that split)."""
+    oh = st[..., None] == jnp.arange(pt_hi.shape[0], dtype=jnp.int32)
+    hi = jnp.sum(jnp.where(oh, pt_hi, jnp.float32(0)), axis=-1)
+    lo = jnp.sum(jnp.where(oh, pt_lo, jnp.float32(0)), axis=-1)
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
 
 
 # Single-dispatch executions through tunneled device links are killed
@@ -389,17 +472,32 @@ def _shiftjk(x):
 @functools.lru_cache(maxsize=32)
 def _wf2_encode_fn(r2: int, r3: int, dtype_str: str, dbl: bool,
                    bits: int, base_index: int, top_index: int,
-                   backend: str = "cpu"):
+                   backend: str = "cpu", stair_lo: int = -1,
+                   stair_hi: int = -1):
     """Layer-0 plane by 2-D wavefront: (sheared data lines, sheared
     esc-recon lines, tables, pins) -> (t lines, rec lines), each
-    (r2+r3-1, r3) in k-coordinates (j = d - k)."""
+    (r2+r3-1, r3) in k-coordinates (j = d - k).  tabs is
+    (table_flat, ptable) or, when stair_lo >= 0, the gather-free
+    (bounds, pt_hi, pt_lo) pack."""
     S2 = r2 + r3 - 1
     kk = jnp.arange(r3)
     D = jnp.float64
+    stair = stair_lo >= 0
 
-    def f(d_lines, er_lines, table_flat, ptable, pin_t, pin_rec):
+    def f(d_lines, er_lines, tabs, pin_t, pin_rec):
         T = d_lines.dtype
-        lookup = _lookup_f32 if T == jnp.float32 else _lookup_f64
+        keyf = _key_f32 if T == jnp.float32 else _key_f64
+
+        def quant_st(ratio):
+            key, okk = keyf(ratio, base_index, top_index, bits)
+            if stair:
+                st = _stair_state(key, okk, tabs[0], stair_lo,
+                                  stair_hi)
+                return st, _pt_select(st, tabs[1], tabs[2])
+            idx = jnp.clip(key, 0, tabs[0].shape[0] - 1)
+            st = jnp.where(okk, jnp.take(tabs[0], idx).astype(
+                jnp.int32), 0)
+            return st, jnp.take(tabs[1], st)
 
         def step(carry, xs):
             p1, p2l, d_idx = carry
@@ -415,9 +513,8 @@ def _wf2_encode_fn(r2: int, r3: int, dtype_str: str, dbl: bool,
                 p2v = _div_exact((A * B).astype(T), Dg, T)
             pred = jnp.where(kk == 0, B, p2v)
             ratio = _div_exact(dl, pred, T)
-            st = lookup(ratio, table_flat, base_index, top_index, bits)
-            rec = (jnp.abs(pred.astype(D))
-                   * jnp.take(ptable, st)).astype(T)
+            st, ptv = quant_st(ratio)
+            rec = (jnp.abs(pred.astype(D)) * ptv).astype(T)
             rec = jnp.where(st == 0, erl, rec)
             # row 0 of the plane (j==0 <=> k==d): pinned
             pin_mask = kk == d_idx
@@ -439,20 +536,36 @@ def _wf2_encode_fn(r2: int, r3: int, dtype_str: str, dbl: bool,
 @functools.lru_cache(maxsize=32)
 def _wf3_encode_fn(G: int, r1: int, r2: int, r3: int, dtype_str: str,
                    bits: int, base_index: int, top_index: int,
-                   backend: str = "cpu"):
+                   backend: str = "cpu", stair_lo: int = -1,
+                   stair_hi: int = -1):
     """G steps of the 3-D encode wavefront (chunk-dispatched under
     tunneled-link watchdogs): (sheared data/esc slices, plane-0
-    t/rec lines, tables, carries, s base) -> (t slices, carries)."""
+    t/rec lines, tables, carries, s base) -> (t slices, carries).
+    tabs: (table_flat, ptable), or the gather-free stairstep pack
+    (bounds, pt_hi, pt_lo) when stair_lo >= 0 — the per-step XLA
+    gathers were 98% of the scan wall on v5e."""
     jk = (jnp.arange(r2)[:, None] + jnp.arange(r3)[None, :]).astype(
         jnp.int32)
     row0 = (jnp.arange(r2) == 0)[:, None]
     col0 = (jnp.arange(r3) == 0)[None, :]
     D = jnp.float64
+    stair = stair_lo >= 0
 
-    def f(d_sl, er_sl, p0t, p0rec, table_flat, ptable, c1, c2, c3,
+    def f(d_sl, er_sl, p0t, p0rec, tabs, c1, c2, c3,
           base):
         T = d_sl.dtype
-        lookup = _lookup_f32 if T == jnp.float32 else _lookup_f64
+        keyf = _key_f32 if T == jnp.float32 else _key_f64
+
+        def quant_st(ratio):
+            key, okk = keyf(ratio, base_index, top_index, bits)
+            if stair:
+                st = _stair_state(key, okk, tabs[0], stair_lo,
+                                  stair_hi)
+                return st, _pt_select(st, tabs[1], tabs[2])
+            idx = jnp.clip(key, 0, tabs[0].shape[0] - 1)
+            st = jnp.where(okk, jnp.take(tabs[0], idx).astype(
+                jnp.int32), 0)
+            return st, jnp.take(tabs[1], st)
 
         def step(carry, xs):
             c1, c2, c3, s = carry
@@ -479,10 +592,8 @@ def _wf3_encode_fn(G: int, r1: int, r2: int, r3: int, dtype_str: str,
                              jnp.where(row0, rw,
                                        jnp.where(col0, cl, p3)))
             ratio = _div_exact(dl, pred, T)
-            st = lookup(ratio, table_flat, base_index, top_index,
-                        bits)
-            rec = (jnp.abs(pred.astype(D))
-                   * jnp.take(ptable, st)).astype(T)
+            st, ptv = quant_st(ratio)
+            rec = (jnp.abs(pred.astype(D)) * ptv).astype(T)
             rec = jnp.where(st == 0, erl, rec)
             # plane-0 points (one per k at j = s-k): inject the 2-D
             # wavefront's values via their k-line broadcast
@@ -616,8 +727,18 @@ def _pad_lines_fn(S2: int, S: int, r3: int, dtype_str: str,
     return eng._strict_jit(f, backend)
 
 
+def _stair_tabs(cache, stair, tbl_dev, pt_dev):
+    """(stair_lo, stair_hi, device tabs) for the builder calls."""
+    if stair is None:
+        return -1, -1, (tbl_dev, pt_dev)
+    bounds, lo_key, hi_key, pt_hi, pt_lo = stair
+    return lo_key, hi_key, (jax.device_put(bounds),
+                            jax.device_put(pt_hi),
+                            jax.device_put(pt_lo))
+
+
 def _encode_device_wf(work_dev, vshape, dstr, dbl, cache, pt_dev,
-                      tbl_dev, req_length, be):
+                      tbl_dev, req_length, be, stair=None):
     """Wavefront encode driver (3-D; 2-D runs as a single layer-0
     plane through the 2-D wavefront alone)."""
     r1, r2, r3 = vshape
@@ -626,6 +747,7 @@ def _encode_device_wf(work_dev, vshape, dstr, dbl, cache, pt_dev,
     rl = jnp.asarray(req_length, jnp.int32)
     bits = int(cache.bits)
     bi, ti = int(cache.base_index), int(cache.top_index)
+    slo, shi, tabs = _stair_tabs(cache, stair, tbl_dev, pt_dev)
     data = work_dev.reshape(vshape)
     row_er = _esc_recon_raw_dev(data[0, 0, :], rl)
     pin_t, pin_rec = _pins_fn(r3, dstr, dbl, bits, bi, ti, be)(
@@ -634,8 +756,9 @@ def _encode_device_wf(work_dev, vshape, dstr, dbl, cache, pt_dev,
     p0 = data[0]
     p0_sh = _shear0_by(p0, 1)                    # (S2, r3)
     er0_sh = _esc_recon_raw_dev(p0_sh, rl)
-    p0t, p0rec = _wf2_encode_fn(r2, r3, dstr, dbl, bits, bi, ti, be)(
-        p0_sh, er0_sh, tbl_dev, pt_dev, pin_t.astype(jnp.int32),
+    p0t, p0rec = _wf2_encode_fn(r2, r3, dstr, dbl, bits, bi, ti, be,
+                                slo, shi)(
+        p0_sh, er0_sh, tabs, pin_t.astype(jnp.int32),
         pin_rec)
     d_sh = _shear3(data)
     er_sh = _esc_recon_raw_dev(d_sh, rl)
@@ -648,13 +771,14 @@ def _encode_device_wf(work_dev, vshape, dstr, dbl, cache, pt_dev,
     a = 0
     while a < S:
         g = min(G, S - a)
-        fn = _wf3_encode_fn(g, r1, r2, r3, dstr, bits, bi, ti, be)
+        fn = _wf3_encode_fn(g, r1, r2, r3, dstr, bits, bi, ti, be,
+                            slo, shi)
         t_sl, c1, c2, c3 = fn(
             jax.lax.slice_in_dim(d_sh, a, a + g, axis=0),
             jax.lax.slice_in_dim(er_sh, a, a + g, axis=0),
             jax.lax.slice_in_dim(p0t_pad, a, a + g, axis=0),
             jax.lax.slice_in_dim(p0rec_pad, a, a + g, axis=0),
-            tbl_dev, pt_dev, c1, c2, c3, jnp.asarray(a, jnp.int32))
+            tabs, c1, c2, c3, jnp.asarray(a, jnp.int32))
         chunks.append(t_sl)
         a += g
     t_sh = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
@@ -666,20 +790,22 @@ def _encode_device_wf(work_dev, vshape, dstr, dbl, cache, pt_dev,
 
 
 def _encode_device_wf2(work_dev, vshape, dstr, dbl, cache, pt_dev,
-                       tbl_dev, req_length, be):
+                       tbl_dev, req_length, be, stair=None):
     """2-D data: the whole field is one layer-0 plane."""
     _one, r2, r3 = vshape
     rl = jnp.asarray(req_length, jnp.int32)
     bits = int(cache.bits)
     bi, ti = int(cache.base_index), int(cache.top_index)
+    slo, shi, tabs = _stair_tabs(cache, stair, tbl_dev, pt_dev)
     data = work_dev.reshape((r2, r3))
     row_er = _esc_recon_raw_dev(data[0, :], rl)
     pin_t, pin_rec = _pins_fn(r3, dstr, dbl, bits, bi, ti, be)(
         data[0, :], row_er, tbl_dev, pt_dev)
     p_sh = _shear0_by(data, 1)
     er_sh = _esc_recon_raw_dev(p_sh, rl)
-    p0t, _p0rec = _wf2_encode_fn(r2, r3, dstr, dbl, bits, bi, ti, be)(
-        p_sh, er_sh, tbl_dev, pt_dev, pin_t.astype(jnp.int32), pin_rec)
+    p0t, _p0rec = _wf2_encode_fn(r2, r3, dstr, dbl, bits, bi, ti, be,
+                                 slo, shi)(
+        p_sh, er_sh, tabs, pin_t.astype(jnp.int32), pin_rec)
     t = _unshear0_by(p0t, 1, r2)
     n = r2 * r3
     t_stream, hist, esc = _enc_epilogue_fn(n, be)(
@@ -746,18 +872,23 @@ def _enc_epilogue_fn(n: int, backend: str = "cpu"):
 
 
 def _encode_device(work_dev, vshape, dstr, dbl, cache, pt_dev, tbl_dev,
-                   req_length, be):
+                   req_length, be, stair_key=None):
     """Encode driver: the single-pass wavefront by default, the
     chunked plane-sweep fixpoint as the SZ_TPU_MSST19_WF=0 fallback.
-    Returns (t_stream u16 dev, hist dev, esc dev, iters)."""
+    stair_key = (intervals, ratio, plus_bits) enables the gather-free
+    stairstep lookups.  Returns (t_stream u16 dev, hist dev, esc dev,
+    iters)."""
     npl, r2, r3 = vshape
     if _wf_enabled():
+        stair = (_stair_pack(stair_key[0], stair_key[1], stair_key[2])
+                 if stair_key is not None else None)
         if npl == 1:
             return _encode_device_wf2(work_dev, vshape, dstr, dbl,
                                       cache, pt_dev, tbl_dev,
-                                      req_length, be)
+                                      req_length, be, stair)
         return _encode_device_wf(work_dev, vshape, dstr, dbl, cache,
-                                 pt_dev, tbl_dev, req_length, be)
+                                 pt_dev, tbl_dev, req_length, be,
+                                 stair)
     rl = jnp.asarray(req_length, jnp.int32)
     data = work_dev.reshape(vshape)
     row_er = _esc_recon_raw_dev(data[0, 0, :], rl)
@@ -1025,7 +1156,8 @@ def compress(work: np.ndarray, pw_ratio: float, fmax, near_zero, *,
     with _tr.trace("quantize"):
         t_stream_d, hist_d, esc_d, _iters = _encode_device(
             dev, _vshape(shape), dstr, dbl, cache, pt_dev, tbl_dev,
-            req_length, be)
+            req_length, be,
+            stair_key=(int(intervals), float(ratio), int(plus_bits)))
         _tr.sync(t_stream_d)
         hist = np.asarray(hist_d)
 
