@@ -436,13 +436,27 @@ def compress_msst19(data: np.ndarray, pw_ratio: float, fmax, near_zero, *,
                 raise
         if me is not None and me.device_ok(engine, data.dtype,
                                            data.ndim, data.size):
-            return me.compress(
+            t_dev = me.compress(
                 data, pw_ratio, fmax, near_zero,
                 max_range_radius=max_range_radius,
                 sample_distance=sample_distance,
                 pred_threshold=pred_threshold, plus_bits=plus_bits,
                 opt_quant_mode=opt_quant_mode,
                 fixed_intervals=fixed_intervals)
+            # On emulated-f64 backends the wavefront chain can diverge
+            # from the true-f64 host chain near f32 rounding ties
+            # (msst19_engine module docstring), and a diverged
+            # MULTIPLICATIVE chain is NOT self-correcting on decode —
+            # the A*B/D predictor can amplify a 1-ulp seed without
+            # bound (observed: 256^3 field decoding to inf).  Verify
+            # the stream decodes within the point-wise bound on the
+            # host (native decode, ~GB/s) and re-encode on the host
+            # when it does not.  On the CPU backend parity is exact
+            # and CI-gated; skip the cost.
+            if (me.jax.default_backend() == "cpu"
+                    or me.verify_conformant(t_dev, data, pw_ratio)):
+                return t_dev
+            # fall through: host re-encode (guaranteed-conformant)
     T = np.float32 if data.dtype == np.float32 else np.float64
     dt = DataType.FLOAT if T is np.float32 else DataType.DOUBLE
     data = np.ascontiguousarray(data, dtype=T)

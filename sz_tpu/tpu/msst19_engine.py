@@ -30,15 +30,18 @@ maxRangeRadius <= 32768) — identical bytes to the host kernels:
   (native f64) bit-parity with the host encoder is exact and
   CI-gated; on EMULATED-f64 backends it is empirical, not guaranteed
   — a near-tie chain value flips one state and seeds a divergence
-  cascade (observed once in a 512^3 field and in its 2^24-point
-  slabs; every 48^3-256^3 test field measured bit-exact).  Diverged
-  streams remain CONFORMANT: states are self-consistent with the
-  encoder's own predictions, so cross-decoding stays within the
-  point-wise bound (+ ~1 ulp) — they are valid SZ2 streams, just not
-  byte-identical to the C encoder's.  Deployments that require
-  byte-parity with the C encoder on accelerator backends should use
-  the (faster) host codec; DEVICE_MAX_POINTS caps device routing at
-  the scale where divergence has ever been observed;
+  cascade (observed in 512^3 and 256^3 fields and in 2^24-point
+  slabs; every 48^3-128^3 test field measured bit-exact).  A diverged
+  stream is NOT self-correcting: the decoder replays the chain in
+  true f64, and the multiplicative A*B/D predictor can amplify a
+  1-ulp seed without bound (a diverged 256^3 stream was observed
+  decoding to inf).  pwr.compress_msst19 therefore VERIFIES every
+  device-encoded stream on emulated-f64 backends (host decode +
+  point-wise bound check, `verify_conformant`) and re-encodes on the
+  host when the check fails — the returned stream is always
+  conformant; byte-parity with the C encoder remains empirical.
+  Deployments that require byte-parity on accelerator backends should
+  use the (faster) host codec; DEVICE_MAX_POINTS caps device routing;
 - layer-0 row 0 (escape, prev-value, then the amplifying A*A/A2
   predictor) is solved by a short serial lax.scan and pinned, exactly
   like the classic engine's 2a-b row;
@@ -228,7 +231,16 @@ def _stair_pack(intervals: int, ratio: float, plus_bits: int):
                                   int(plus_bits))
     pt_hi = ptable.astype(np.float32)
     pt_lo = (ptable - pt_hi).astype(np.float32)
-    return (bounds.astype(np.int32), lo_key, hi_key, pt_hi, pt_lo)
+    # pt_exact: the (hi, lo) split reconstructs ptable bit-exactly in
+    # TRUE f64.  On emulated-f64 TPU backends the split IS the array's
+    # representation, so _pt_select matches take() by construction; on
+    # the true-f64 CPU backend (where byte parity is the guaranteed
+    # contract) a value needing > 2x24 significand bits would silently
+    # diverge — callers must keep the gather path there unless exact.
+    pt_exact = bool(np.all(pt_hi.astype(np.float64)
+                           + pt_lo.astype(np.float64) == ptable))
+    return (bounds.astype(np.int32), lo_key, hi_key, pt_hi, pt_lo,
+            pt_exact)
 
 
 def _stair_state(key, ok, bounds, lo_key: int, hi_key: int):
@@ -715,6 +727,13 @@ def _wf_enabled() -> bool:
     return eng._os.environ.get("SZ_TPU_MSST19_WF", "1") != "0"
 
 
+def _stair_enabled() -> bool:
+    """SZ_TPU_MSST19_STAIR=0 keeps the per-step gather lookups in the
+    wavefront scan (the stairstep compare-reduction is the default:
+    256^3 scan 1.25 s -> ~0.32 s on v5e)."""
+    return eng._os.environ.get("SZ_TPU_MSST19_STAIR", "1") != "0"
+
+
 @functools.lru_cache(maxsize=8)
 def _pad_lines_fn(S2: int, S: int, r3: int, dtype_str: str,
                   backend: str = "cpu"):
@@ -731,7 +750,7 @@ def _stair_tabs(cache, stair, tbl_dev, pt_dev):
     """(stair_lo, stair_hi, device tabs) for the builder calls."""
     if stair is None:
         return -1, -1, (tbl_dev, pt_dev)
-    bounds, lo_key, hi_key, pt_hi, pt_lo = stair
+    bounds, lo_key, hi_key, pt_hi, pt_lo, _pt_exact = stair
     return lo_key, hi_key, (jax.device_put(bounds),
                             jax.device_put(pt_hi),
                             jax.device_put(pt_lo))
@@ -881,7 +900,13 @@ def _encode_device(work_dev, vshape, dstr, dbl, cache, pt_dev, tbl_dev,
     npl, r2, r3 = vshape
     if _wf_enabled():
         stair = (_stair_pack(stair_key[0], stair_key[1], stair_key[2])
-                 if stair_key is not None else None)
+                 if stair_key is not None and _stair_enabled()
+                 else None)
+        if (stair is not None and not stair[-1]
+                and be in ("cpu", "raw")):
+            # inexact (hi, lo) split on a TRUE-f64 backend: keep the
+            # gather lookup — CPU byte parity is the guaranteed contract
+            stair = None
         if npl == 1:
             return _encode_device_wf2(work_dev, vshape, dstr, dbl,
                                       cache, pt_dev, tbl_dev,
@@ -1081,11 +1106,11 @@ def _decode_device(t_dev, unpred_pad, ptable, vshape, dstr, dbl, be):
 # ---------------------------------------------------------------------------
 
 
-# Size gate for the device engine on real TPU backends: past it, a
-# f64-emulation tie cascade has actually been observed (512^3 field;
-# also reproducible in that field's 2^24-point slabs — tie locations
-# are DATA-dependent, so this bounds observed risk, it is not a parity
-# certificate; see the module docstring).
+# Size gate for the device engine on real TPU backends.  Tie-cascade
+# divergence is DATA-dependent and has been observed at 2^24 points
+# (256^3) and above; below the gate it has not been seen, but the
+# guarantee comes from pwr.compress_msst19's verify-and-fallback, not
+# from this bound (see the module docstring).
 DEVICE_MAX_POINTS = 1 << 24
 
 
@@ -1097,9 +1122,10 @@ def device_ok(engine: str, dtype, ndim: int, n: int,
     (compute-bound below the Pallas engines' throughput), so the
     parallel host codec wins on wall clock until a dedicated Pallas
     kernel lands (ROADMAP).  Byte parity with the host is exact on
-    the CPU backend and empirical on emulated-f64 backends (see the
-    module docstring); DEVICE_MAX_POINTS bounds device routing to the
-    scale below every observed divergence."""
+    the CPU backend and empirical on emulated-f64 backends; diverged
+    streams are caught by pwr.compress_msst19's verify-and-fallback
+    (see the module docstring).  DEVICE_MAX_POINTS bounds device
+    routing to the scale where re-encode risk stays low."""
     if engine != "jax" or ndim not in (2, 3):
         return False
     backend = jax.default_backend()
@@ -1108,6 +1134,27 @@ def device_ok(engine: str, dtype, ndim: int, n: int,
     if backend != "cpu" and n > DEVICE_MAX_POINTS:
         return False
     return True
+
+
+def verify_conformant(tdps: TDPS, work: np.ndarray,
+                      pw_ratio: float) -> bool:
+    """True iff `tdps` decodes (HOST decode — true f64) within the
+    point-wise relative bound of `work`.  Called by pwr.compress_msst19
+    after a device encode on emulated-f64 backends: a near-tie f32
+    rounding flip can seed a divergence between the device chain and
+    the decoder's true-f64 replay, and the MULTIPLICATIVE A*B/D
+    predictor amplifies a 1-ulp seed without bound (a 256^3 field was
+    observed decoding to inf).  Tolerance matches the suite's bound
+    checks (1 + 1e-5 slack for the escape quantization ulp)."""
+    from sz_tpu.core import pwr
+
+    with _tr.trace("verify"):
+        out = pwr.decompress_pwrel(tdps, work.shape, work.dtype)
+        err = np.abs(np.asarray(out, np.float64)
+                     - work.astype(np.float64))
+        lim = float(pw_ratio) * np.abs(work.astype(np.float64))
+        return bool(np.isfinite(err).all()
+                    and (err <= lim * (1 + 1e-5)).all())
 
 
 def compress(work: np.ndarray, pw_ratio: float, fmax, near_zero, *,

@@ -158,3 +158,76 @@ def test_sharded_pwrel_device_container():
     out = slab.decompress_sharded(blob_h)
     rel = np.abs(np.asarray(out) - data) / np.abs(data)
     assert rel.max() <= 1e-3 * (1 + 1e-5)
+
+
+def test_stairstep_lookup_parity(monkeypatch):
+    """The gather-free stairstep lookup (me._stair_pack /
+    _stair_state / _pt_select — the per-step XLA gathers were ~98% of
+    the wavefront scan wall on v5e) must not change a byte vs the
+    plain take() lookups.  Force the gather path by disabling the
+    pack and compare streams."""
+    from sz_tpu.tpu import msst19_engine as me
+
+    shape = (13, 11, 9)
+    data = synth(shape, np.float32, seed=41)
+    fmax = data.max()
+    nz = np.abs(data[data != 0]).min()
+    # default path (stairstep on this config)
+    t_s = me.compress(data, 1e-3, fmax, nz, **KW)
+    monkeypatch.setattr(me, "_stair_pack", lambda *a: None)
+    t_g = me.compress(data, 1e-3, fmax, nz, **KW)
+    assert tdps_mod.to_bytes(t_s) == tdps_mod.to_bytes(t_g)
+
+
+def test_stair_pack_invariants():
+    """_stair_pack must validate its own envelope: monotone stairstep
+    boundaries that reconstruct the cache table exactly, plus the
+    pt_exact flag guarding true-f64 backends against an inexact
+    (hi, lo) precision-table split."""
+    from sz_tpu.core import pwr as _pwr
+    from sz_tpu.tpu import msst19_engine as me
+
+    cache = _pwr._cache_table(256, 1e-3, 3)
+    pack = me._stair_pack(256, 1e-3, 3)
+    assert pack is not None
+    bounds, lo_key, hi_key, pt_hi, pt_lo, pt_exact = pack
+    assert (np.diff(bounds) >= 0).all()
+    assert isinstance(pt_exact, bool)
+    table = np.asarray(cache.table).reshape(-1)
+    keys = np.arange(table.shape[0])
+    recon = (keys[:, None] >= bounds[None, :]).sum(1)
+    recon[(keys < lo_key) | (keys > hi_key)] = 0
+    assert np.array_equal(recon, table)
+    ptable = _pwr._precision_table(256, 1e-3, 3)
+    if pt_exact:
+        assert np.array_equal(pt_hi.astype(np.float64)
+                              + pt_lo.astype(np.float64), ptable)
+
+
+def test_verify_conformant_and_fallback(monkeypatch):
+    """On emulated-f64 backends a diverged device stream is not
+    self-correcting (multiplicative predictor), so pwr.compress_msst19
+    verifies the device stream decodes within the point-wise bound and
+    re-encodes on the host when it does not.  Simulate the divergence
+    by handing back a stream for DIFFERENT data."""
+    from sz_tpu.tpu import msst19_engine as me
+
+    shape = (9, 8, 7)
+    data = synth(shape, np.float32, seed=51)
+    fmax = data.max()
+    nz = np.abs(data[data != 0]).min()
+    good = pwr.compress_msst19(data, 1e-3, fmax, nz, **KW)
+    assert me.verify_conformant(good, data, 1e-3)
+    other = synth(shape, np.float32, seed=52) * np.float32(3)
+    bad = pwr.compress_msst19(other, 1e-3, other.max(),
+                              np.abs(other).min(), **KW)
+    assert not me.verify_conformant(bad, data, 1e-3)
+
+    # wire-level: a non-conformant device stream must be replaced by
+    # the host re-encode
+    monkeypatch.setattr(me.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(me, "compress",
+                        lambda *a, **k: bad)
+    got = pwr.compress_msst19(data, 1e-3, fmax, nz, engine="jax",
+                              **KW)
+    assert tdps_mod.to_bytes(got) == tdps_mod.to_bytes(good)
