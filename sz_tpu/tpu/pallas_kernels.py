@@ -96,6 +96,13 @@ def _make_kernel(ny: int, nz: int, use_mean: bool, plane_iter: int):
         regp = reg_ref[0] != 0
         meanp = mean_ref[0] != 0
 
+        # the three shifted-prev terms are loop-invariant: hoist the
+        # data movement out of the fixpoint sweeps (the VALUES and the
+        # op ORDER below are unchanged, so streams stay bit-exact)
+        sp01 = _shift_zero(prev, 0, 1)
+        sp10 = _shift_zero(prev, 1, 0)
+        sp11 = _shift_zero(prev, 1, 1)
+
         def pred2d(P):
             # identical op sequence to the XLA plane-scan (bit-exact):
             # (x,y,z-1)+(x,y-1,z) +(x-1,y,z) -(x,y-1,z-1) -(x-1,y,z-1)
@@ -103,9 +110,9 @@ def _make_kernel(ny: int, nz: int, use_mean: bool, plane_iter: int):
             p = _shift_zero(P, 0, 1) + _shift_zero(P, 1, 0)
             p = p + prev
             p = p - _shift_zero(P, 1, 1)
-            p = p - _shift_zero(prev, 0, 1)
-            p = p - _shift_zero(prev, 1, 0)
-            p = p + _shift_zero(prev, 1, 1)
+            p = p - sp01
+            p = p - sp10
+            p = p + sp11
             return p
 
         def pstep(P):
@@ -123,17 +130,21 @@ def _make_kernel(ny: int, nz: int, use_mean: bool, plane_iter: int):
 
         def body(c):
             it, _ = c
-            P = work_scr[...]
-            _, P_new = pstep(P)
-            work_scr[...] = P_new
+            # two sweeps per iteration, converged when the SECOND
+            # leaves the first unchanged (same criterion as checking
+            # every sweep — consecutive-iterate equality — at half the
+            # reduction count; worst case one extra idempotent sweep)
+            _, A = pstep(work_scr[...])
+            _, B = pstep(A)
+            work_scr[...] = B
             # engine._same_bits: value equality suffices (see its
             # docstring).  Spelled as an explicit f32 min-reduction:
             # Mosaic lowers bool reduce_and through weak-typed 1.0/0.0
             # literals that become f64 under the engine's x64 mode and
             # fail the 32-bit scalar rule.
-            same = jnp.min(jnp.where(P_new == P, jnp.float32(1),
+            same = jnp.min(jnp.where(B == A, jnp.float32(1),
                                      jnp.float32(0))) > jnp.float32(0)
-            return it + 1, same
+            return it + 2, same
 
         def cond(c):
             it, done = c
@@ -247,6 +258,10 @@ def _make_strip_kernel(ny: int, nz: int, H: int, use_mean: bool,
                              jnp.broadcast_to(fill, (H, nz)), r)
 
         prev_d = shift_down(prev, pl_above)
+        # loop-invariant shifted-prev terms hoisted out of the sweeps
+        # (values and op order below unchanged -> bit-exact)
+        sp01 = _shift_zero(prev, 0, 1)
+        spd01 = _shift_zero(prev_d, 0, 1)
 
         def pred2d(P):
             # same op ORDER as _make_kernel.pred2d (bit-exact): only
@@ -257,9 +272,9 @@ def _make_strip_kernel(ny: int, nz: int, H: int, use_mean: bool,
             p = _shift_zero(P, 0, 1) + P_d
             p = p + prev
             p = p - _shift_zero(P_d, 0, 1)
-            p = p - _shift_zero(prev, 0, 1)
+            p = p - sp01
             p = p - prev_d
-            p = p + _shift_zero(prev_d, 0, 1)
+            p = p + spd01
             return p
 
         def pstep(P):
@@ -277,12 +292,13 @@ def _make_strip_kernel(ny: int, nz: int, H: int, use_mean: bool,
 
         def body(c):
             it, _ = c
-            P = work_scr[...]
-            _, P_new = pstep(P)
-            work_scr[...] = P_new
-            same = jnp.min(jnp.where(P_new == P, jnp.float32(1),
+            # two sweeps per convergence reduction (see _make_kernel)
+            _, A = pstep(work_scr[...])
+            _, B = pstep(A)
+            work_scr[...] = B
+            same = jnp.min(jnp.where(B == A, jnp.float32(1),
                                      jnp.float32(0))) > jnp.float32(0)
-            return it + 1, same
+            return it + 2, same
 
         def cond(c):
             it, done = c
