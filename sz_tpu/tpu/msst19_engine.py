@@ -902,10 +902,12 @@ def _encode_device(work_dev, vshape, dstr, dbl, cache, pt_dev, tbl_dev,
         stair = (_stair_pack(stair_key[0], stair_key[1], stair_key[2])
                  if stair_key is not None and _stair_enabled()
                  else None)
-        if (stair is not None and not stair[-1]
-                and be in ("cpu", "raw")):
-            # inexact (hi, lo) split on a TRUE-f64 backend: keep the
-            # gather lookup — CPU byte parity is the guaranteed contract
+        if stair is not None and not stair[-1] and be != "tpu":
+            # inexact (hi, lo) split: only emulated-f64 backends (where
+            # the split IS the array's f64 representation) match the
+            # gather lookup by construction; ANY true-f64 backend (cpu,
+            # raw, gpu, ...) must keep the gather path or hi + lo would
+            # silently diverge from take(ptable, st)
             stair = None
         if npl == 1:
             return _encode_device_wf2(work_dev, vshape, dstr, dbl,
@@ -1145,14 +1147,22 @@ def verify_conformant(tdps: TDPS, work: np.ndarray,
     the decoder's true-f64 replay, and the MULTIPLICATIVE A*B/D
     predictor amplifies a 1-ulp seed without bound (a 256^3 field was
     observed decoding to inf).  Tolerance matches the suite's bound
-    checks (1 + 1e-5 slack for the escape quantization ulp)."""
+    checks (1 + 1e-5 slack for the escape quantization ulp).
+
+    The decode is the RAW chain replay (decompress_msst19, no sign/zero
+    restore): at this point the caller has not yet attached the sign
+    bitmap or min_log_value to `tdps`, so the restored decode of a
+    signed field would zero every negative escape.  The restore is an
+    exact, orthogonal epilogue (signs flip bits, the zero flush only
+    fires below min_log_value), so comparing MAGNITUDES against the
+    signed working field is the bound the final output satisfies."""
     from sz_tpu.core import pwr
 
     with _tr.trace("verify"):
-        out = pwr.decompress_pwrel(tdps, work.shape, work.dtype)
-        err = np.abs(np.asarray(out, np.float64)
-                     - work.astype(np.float64))
-        lim = float(pw_ratio) * np.abs(work.astype(np.float64))
+        out = pwr.decompress_msst19(tdps, work.shape, work.dtype)
+        aw = np.abs(work.astype(np.float64))
+        err = np.abs(np.abs(np.asarray(out, np.float64)) - aw)
+        lim = float(pw_ratio) * aw
         return bool(np.isfinite(err).all()
                     and (err <= lim * (1 + 1e-5)).all())
 

@@ -133,7 +133,13 @@ def _make_kernel(ny: int, nz: int, use_mean: bool, plane_iter: int):
             # two sweeps per iteration, converged when the SECOND
             # leaves the first unchanged (same criterion as checking
             # every sweep — consecutive-iterate equality — at half the
-            # reduction count; worst case one extra idempotent sweep)
+            # reduction count; worst case one extra idempotent sweep).
+            # NOTE: `it` advances by 2 against the unchanged
+            # `it < plane_iter` cap, so an odd cap admits cap+1 sweeps;
+            # bit-parity with the XLA path's exactly-capped loop relies
+            # on plane_iter = ny+nz+4 strictly exceeding the ny+nz-1
+            # convergence bound (the loop always exits on `done`, never
+            # on the cap) — do not reduce the cap below that bound.
             _, A = pstep(work_scr[...])
             _, B = pstep(A)
             work_scr[...] = B
@@ -292,7 +298,9 @@ def _make_strip_kernel(ny: int, nz: int, H: int, use_mean: bool,
 
         def body(c):
             it, _ = c
-            # two sweeps per convergence reduction (see _make_kernel)
+            # two sweeps per convergence reduction (see _make_kernel;
+            # the same odd-cap note applies: strip_iter = H+nz+4 must
+            # stay above the H+nz-1 convergence bound)
             _, A = pstep(work_scr[...])
             _, B = pstep(A)
             work_scr[...] = B

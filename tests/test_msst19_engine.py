@@ -231,3 +231,39 @@ def test_verify_conformant_and_fallback(monkeypatch):
     got = pwr.compress_msst19(data, 1e-3, fmax, nz, engine="jax",
                               **KW)
     assert tdps_mod.to_bytes(got) == tdps_mod.to_bytes(good)
+
+
+def test_verify_conformant_signed_field(monkeypatch):
+    """A correct stream for a SIGNED field must verify: at verify time
+    the sign bitmap / min_log_value are not yet on the TDPS, so the
+    check decodes the raw chain and compares magnitudes (a restored
+    decode would zero every negative escape and always fail —
+    round-4 advisor finding).  The conformant device encode of a
+    signed field must also be KEPT, not silently host re-encoded."""
+    from sz_tpu.tpu import msst19_engine as me
+
+    shape = (12, 10, 11)
+    data = synth(shape, np.float32, seed=61, signed=True)
+    data[data == 0] = np.float32(-0.5)
+    assert (data < 0).any()
+    work = data.copy()   # compress_msst19 contract: zeros replaced
+    fmax = work.max()
+    nz = work.reshape(-1)[np.abs(work).reshape(-1).argmin()]
+    good = pwr.compress_msst19(work, 1e-3, fmax, nz, **KW)
+    assert me.verify_conformant(good, work, 1e-3)
+
+    # wire-level: on an emulated-f64 backend the (conformant) device
+    # stream is returned as-is — the verify must not reject it.  The
+    # device encode runs BEFORE the backend patch (Pallas epilogue
+    # kernels need interpret mode on the real cpu backend).
+    dev_stream = me.compress(work, 1e-3, fmax, nz, **KW)
+    verified = []
+    real_verify = me.verify_conformant
+    monkeypatch.setattr(me.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(me, "compress", lambda *a, **k: dev_stream)
+    monkeypatch.setattr(
+        me, "verify_conformant",
+        lambda *a: verified.append(real_verify(*a)) or verified[-1])
+    got = pwr.compress_msst19(work, 1e-3, fmax, nz, engine="jax", **KW)
+    assert verified == [True]
+    assert tdps_mod.to_bytes(got) == tdps_mod.to_bytes(good)
