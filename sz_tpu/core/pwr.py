@@ -443,17 +443,19 @@ def compress_msst19(data: np.ndarray, pw_ratio: float, fmax, near_zero, *,
                 pred_threshold=pred_threshold, plus_bits=plus_bits,
                 opt_quant_mode=opt_quant_mode,
                 fixed_intervals=fixed_intervals)
-            # On emulated-f64 backends the wavefront chain can diverge
-            # from the true-f64 host chain near f32 rounding ties
-            # (msst19_engine module docstring), and a diverged
+            # On emulated-f64 backends the FLOAT wavefront chain can
+            # diverge from the true-f64 host chain near f32 rounding
+            # ties (msst19_engine module docstring), and a diverged
             # MULTIPLICATIVE chain is NOT self-correcting on decode —
             # the A*B/D predictor can amplify a 1-ulp seed without
-            # bound (observed: 256^3 field decoding to inf).  Verify
-            # the stream decodes within the point-wise bound on the
-            # host (native decode, ~GB/s) and re-encode on the host
-            # when it does not.  On the CPU backend parity is exact
-            # and CI-gated; skip the cost.
+            # bound (observed: 256^3 field decoding to inf).  Streams
+            # from the softf64 wavefront (TDPS._device_exact) are
+            # bit-exact BY CONSTRUCTION and skip the check; so does
+            # the CPU backend (native f64, CI-gated).  Anything else
+            # is decode-verified on the host and re-encoded on
+            # failure — returned streams are always conformant.
             if (me.jax.default_backend() == "cpu"
+                    or getattr(t_dev, "_device_exact", False)
                     or me.verify_conformant(t_dev, data, pw_ratio)):
                 return t_dev
             # fall through: host re-encode (guaranteed-conformant)

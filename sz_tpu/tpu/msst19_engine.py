@@ -874,6 +874,133 @@ def _decode_device_wf(t_dev, unpred_pad, ptable, vshape, dstr, dbl,
     return _unshear3(r_sh, r1, r2, r3).reshape(r1 * r2 * r3)
 
 
+# ---------------------------------------------------------------------------
+# softf64 wavefront (guaranteed f64 parity on ANY backend): the same
+# anti-diagonal scan, but every chain op runs in the integer software-
+# f64 arithmetic of tpu/softf64.py instead of the backend's (possibly
+# emulated) f64.  Streams are bit-exact with the host C chain BY
+# CONSTRUCTION, so pwr.compress_msst19 skips the decode-verify
+# fallback for these streams (TDPS._device_exact).  3D float only:
+# the 2D float kernel chains in f32 (reference quirk), and f64 data
+# rides the CPU backend where native f64 is already exact.
+# ---------------------------------------------------------------------------
+
+WF_SOFT_STEP_BUDGET = 24 << 20   # step-points per dispatch (the soft
+                                 # scan is ~10x the float scan's cost;
+                                 # stay far under link watchdogs)
+
+
+def soft_policy(be: str, dbl: bool, dstr: str) -> bool:
+    """True when the MSST19 device route should use the softf64
+    wavefront.  Default: emulated-f64 backends only (true-f64 backends
+    are already bit-exact on the float chain and faster there);
+    SZ_TPU_MSST19_SOFT=1 forces it everywhere (parity tests), =0
+    disables (reverts to verify-and-fallback on emulated backends)."""
+    if dstr != "f4" or not dbl:
+        return False
+    env = eng._os.environ.get("SZ_TPU_MSST19_SOFT", "auto").lower()
+    if env in ("0", "off", "false"):
+        return False
+    if env in ("1", "force", "on"):
+        return True
+    return be == "tpu"
+
+
+def _encode_device_soft(work_dev, vshape, cache, tbl_dev, req_length,
+                        be, stair_key):
+    """Soft-wavefront encode driver -> (t_stream, hist, esc, iters)."""
+    from sz_tpu.tpu import msst19_soft as ms
+
+    r1, r2, r3 = vshape
+    S = r1 + r2 + r3 - 2
+    tabs = ms.soft_tables(stair_key[0], stair_key[1], stair_key[2])
+    bits_mag = (jax.lax.bitcast_convert_type(
+        work_dev.reshape(vshape), jnp.uint32) & jnp.uint32(0x7FFFFFFF))
+    ign = jnp.uint32(max(32 - int(req_length), 0))
+    er = ms.esc_recon_bits(bits_mag, ign)
+    d_sh = _shear3(bits_mag)
+    er_sh = _shear3(er)
+    pte = jax.device_put(tabs.pt_e)
+    pth = jax.device_put(tabs.pt_mh)
+    ptl = jax.device_put(tabs.pt_ml)
+    G = max(1, WF_SOFT_STEP_BUDGET // max(r2 * r3, 1))
+    c1 = c2 = c3 = jnp.zeros((r2, r3), jnp.uint32)
+    chunks = []
+    a = 0
+    while a < S:
+        g = min(G, S - a)
+        fn = ms.wf3_soft_encode_fn(g, r1, r2, r3, tabs.bits,
+                                   tabs.base_index, tabs.top_index, be)
+        t_sl, c1, c2, c3 = fn(
+            jax.lax.slice_in_dim(d_sh, a, a + g, axis=0),
+            jax.lax.slice_in_dim(er_sh, a, a + g, axis=0),
+            tbl_dev, pte, pth, ptl, c1, c2, c3,
+            jnp.asarray(a, jnp.int32))
+        chunks.append(t_sl)
+        a += g
+    t_sh = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
+    t = _unshear3(t_sh, r1, r2, r3)
+    n = r1 * r2 * r3
+    t_stream, hist, esc = _enc_epilogue_fn(n, be)(
+        t.reshape(-1), work_dev.reshape(-1))
+    return t_stream, hist, esc, [jnp.asarray(1)]
+
+
+@functools.lru_cache(maxsize=32)
+def _dec_stage_soft_fn(vshape: tuple, backend: str = "cpu"):
+    """(u16 type stream, padded escape BITS) -> (t lattice i32,
+    kv lattice u32 signed escape bits)."""
+    npl, r2, r3 = vshape
+
+    def f(t_stream, unpred_bits_pad):
+        t_flat = t_stream.astype(jnp.int32)
+        is_esc = t_flat == 0
+        rank = jnp.cumsum(is_esc.astype(jnp.int32)) - 1
+        kv_flat = jnp.take(unpred_bits_pad,
+                           jnp.clip(rank, 0,
+                                    unpred_bits_pad.shape[0] - 1))
+        kv = jnp.where(is_esc, kv_flat, jnp.uint32(0))
+        return (t_flat.reshape(npl, r2, r3),
+                kv.reshape(npl, r2, r3))
+
+    return eng._strict_jit(f, backend)
+
+
+def _decode_device_soft(t_dev, unpred_pad, ptable, vshape, be):
+    """Soft-wavefront decode driver -> flat f32 reconstruction
+    (pre-restore), bit-exact with the host's true-f64 replay."""
+    from sz_tpu.tpu import msst19_soft as ms
+
+    r1, r2, r3 = vshape
+    S = r1 + r2 + r3 - 2
+    pte_np, pth_np, ptl_np = ms.pt_triples(ptable)
+    pte = jax.device_put(pte_np)
+    pth = jax.device_put(pth_np)
+    ptl = jax.device_put(ptl_np)
+    unpred_bits = np.ascontiguousarray(
+        unpred_pad, np.float32).view(np.uint32)
+    t_lat, kv_lat = _dec_stage_soft_fn(vshape, be)(
+        t_dev, jax.device_put(unpred_bits))
+    t_sh = _shear3(t_lat)
+    kv_sh = _shear3(kv_lat)
+    G = max(1, WF_SOFT_STEP_BUDGET // max(r2 * r3, 1))
+    c1 = c2 = c3 = jnp.zeros((r2, r3), jnp.uint32)
+    chunks = []
+    a = 0
+    while a < S:
+        g = min(G, S - a)
+        fn = ms.wf3_soft_decode_fn(g, r1, r2, r3, be)
+        o_sl, c1, c2, c3 = fn(
+            jax.lax.slice_in_dim(t_sh, a, a + g, axis=0),
+            jax.lax.slice_in_dim(kv_sh, a, a + g, axis=0),
+            pte, pth, ptl, c1, c2, c3, jnp.asarray(a, jnp.int32))
+        chunks.append(o_sl)
+        a += g
+    o_sh = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
+    out_bits = _unshear3(o_sh, r1, r2, r3).reshape(r1 * r2 * r3)
+    return jax.lax.bitcast_convert_type(out_bits, jnp.float32)
+
+
 @functools.lru_cache(maxsize=32)
 def _enc_epilogue_fn(n: int, backend: str = "cpu"):
     """Concatenated type chunks -> (u16 raster stream, MXU histogram,
@@ -892,12 +1019,20 @@ def _enc_epilogue_fn(n: int, backend: str = "cpu"):
 
 def _encode_device(work_dev, vshape, dstr, dbl, cache, pt_dev, tbl_dev,
                    req_length, be, stair_key=None):
-    """Encode driver: the single-pass wavefront by default, the
-    chunked plane-sweep fixpoint as the SZ_TPU_MSST19_WF=0 fallback.
-    stair_key = (intervals, ratio, plus_bits) enables the gather-free
-    stairstep lookups.  Returns (t_stream u16 dev, hist dev, esc dev,
-    iters)."""
+    """Encode driver: the softf64 wavefront on emulated-f64 backends
+    (guaranteed parity — see soft_policy), else the float wavefront,
+    with the chunked plane-sweep fixpoint as the SZ_TPU_MSST19_WF=0
+    fallback.  stair_key = (intervals, ratio, plus_bits) enables the
+    gather-free stairstep lookups on the float path.  Returns
+    (t_stream u16 dev, hist dev, esc dev, iters, exact: bool — True
+    when the stream is bit-exact with the host BY CONSTRUCTION)."""
     npl, r2, r3 = vshape
+    if (_wf_enabled() and stair_key is not None
+            and soft_policy(be, dbl, dstr)):
+        t_stream, hist, esc, iters = _encode_device_soft(
+            work_dev, vshape, cache, tbl_dev, req_length, be,
+            stair_key)
+        return t_stream, hist, esc, iters, True
     if _wf_enabled():
         stair = (_stair_pack(stair_key[0], stair_key[1], stair_key[2])
                  if stair_key is not None and _stair_enabled()
@@ -909,13 +1044,14 @@ def _encode_device(work_dev, vshape, dstr, dbl, cache, pt_dev, tbl_dev,
             # raw, gpu, ...) must keep the gather path or hi + lo would
             # silently diverge from take(ptable, st)
             stair = None
+        exact = be in ("cpu", "raw")   # true-f64 backends: CI-gated
         if npl == 1:
-            return _encode_device_wf2(work_dev, vshape, dstr, dbl,
-                                      cache, pt_dev, tbl_dev,
-                                      req_length, be, stair)
-        return _encode_device_wf(work_dev, vshape, dstr, dbl, cache,
-                                 pt_dev, tbl_dev, req_length, be,
-                                 stair)
+            return (*_encode_device_wf2(work_dev, vshape, dstr, dbl,
+                                        cache, pt_dev, tbl_dev,
+                                        req_length, be, stair), exact)
+        return (*_encode_device_wf(work_dev, vshape, dstr, dbl, cache,
+                                   pt_dev, tbl_dev, req_length, be,
+                                   stair), exact)
     rl = jnp.asarray(req_length, jnp.int32)
     data = work_dev.reshape(vshape)
     row_er = _esc_recon_raw_dev(data[0, 0, :], rl)
@@ -945,7 +1081,7 @@ def _encode_device(work_dev, vshape, dstr, dbl, cache, pt_dev, tbl_dev,
     n = npl * r2 * r3
     t_stream, hist, esc = _enc_epilogue_fn(n, be)(
         t_flat, work_dev.reshape(-1))
-    return t_stream, hist, esc, iters
+    return t_stream, hist, esc, iters, be in ("cpu", "raw")
 
 
 @functools.lru_cache(maxsize=32)
@@ -1077,9 +1213,14 @@ def _restore_fn(n: int, dtype_str: str, backend: str = "cpu"):
 
 
 def _decode_device(t_dev, unpred_pad, ptable, vshape, dstr, dbl, be):
-    """Decode driver -> flat reconstruction (pre-restore); wavefront
-    by default, plane-sweep fixpoint fallback (SZ_TPU_MSST19_WF=0)."""
+    """Decode driver -> flat reconstruction (pre-restore); softf64
+    wavefront on emulated-f64 backends (bit-exact with the host's
+    true-f64 replay), float wavefront otherwise, plane-sweep fixpoint
+    fallback (SZ_TPU_MSST19_WF=0)."""
     npl, r2, r3 = vshape
+    if _wf_enabled() and soft_policy(be, dbl, dstr):
+        return _decode_device_soft(t_dev, unpred_pad, ptable, vshape,
+                                   be)
     if _wf_enabled():
         return _decode_device_wf(t_dev, unpred_pad, ptable, vshape,
                                  dstr, dbl, be)
@@ -1211,7 +1352,7 @@ def compress(work: np.ndarray, pw_ratio: float, fmax, near_zero, *,
         pt_dev = jax.device_put(ptable)
         dev.block_until_ready()
     with _tr.trace("quantize"):
-        t_stream_d, hist_d, esc_d, _iters = _encode_device(
+        t_stream_d, hist_d, esc_d, _iters, exact = _encode_device(
             dev, _vshape(shape), dstr, dbl, cache, pt_dev, tbl_dev,
             req_length, be,
             stair_key=(int(intervals), float(ratio), int(plus_bits)))
@@ -1253,7 +1394,7 @@ def compress(work: np.ndarray, pw_ratio: float, fmax, near_zero, *,
 
     type_array = (bu.u32_be(tables.node_count) + bu.u32_be(state_num // 2)
                   + tables.tree_bytes + body)
-    return TDPS(
+    tdps = TDPS(
         data_type=dt, ds_length=n, intervals=intervals,
         median_value=float(median), req_length=req_length,
         real_precision=ratio, type_array=type_array,
@@ -1263,6 +1404,10 @@ def compress(work: np.ndarray, pw_ratio: float, fmax, near_zero, *,
         max_quant_intervals=max_range_radius * 2,
         is_pwr=True, msst19=True, plus_bits=plus_bits,
         max_bits=max_len)
+    # softf64 streams are host-bit-exact BY CONSTRUCTION: the caller
+    # (pwr.compress_msst19) skips its decode-verify fallback for them
+    tdps._device_exact = bool(exact)
+    return tdps
 
 
 def decompress(tdps: TDPS, shape, dtype, as_jax: bool = False):

@@ -1,0 +1,434 @@
+"""Pallas TPU kernel for the MSST19 anti-diagonal wavefront.
+
+The XLA wavefront scan (tpu/msst19_engine.py) is dispatch-bound: every
+anti-diagonal step of the 3-D lattice is its own device dispatch
+(~0.32 s of per-step overhead alone at 256^3 — ROADMAP round-4 item).
+This module collapses the whole scan into ONE `pallas_call`:
+
+  * the grid runs sequentially over diagonals s = i+j+k (TPU grid
+    order); each step's (r2, r3) slice is processed in 128-lane
+    k-blocks so every vector op sits on native (8,128) tiles,
+  * the three carried diagonal reconstructions live in a ROTATING
+    (4, r2, r3) VMEM scratch indexed by s mod 4 — no copies, and
+    neighbor values (k-1, k-2 columns across block boundaries) are
+    static column reads of the scratch,
+  * the chain arithmetic is the softf64 integer IEEE-f64 of
+    tpu/softf64.py — bit-exact with the host C chain BY CONSTRUCTION
+    (sz_float.c `double temp` chains), on real silicon too,
+  * the cache-table state lookup is a 3-level stairstep COUNTING
+    search (row-last SMEM scalars -> group-last lane gathers -> fine
+    lane gathers over the transposed bounds), supporting up to 4096
+    boundary states with ~200 vector ops/tile,
+  * the precisionTable lookup packs each f64 entry into two u32 words
+    ((e+bias)<<20 | mantissa-high, mantissa-low) gathered by a K-way
+    windowed lane-select (the pack2 machinery).
+
+Layer 0 and the first row are handled INLINE by the nine-case operand
+select of tpu/msst19_soft.py (unused factors are exact 1.0 multiplies)
+— no separate 2-D wavefront, no pinned rows.
+
+Reference: sz_float.c SZ_compress_float_3D_MDQ_MSST19 (encode),
+szd_float.c decompressDataSeries_float_3D_MSST19 (decode),
+MultiLevelCacheTable.c (state lookup).
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sz_tpu.tpu import msst19_soft as ms
+from sz_tpu.tpu import pack_kernel as _pk
+from sz_tpu.tpu import softf64 as sf
+
+if sys.getrecursionlimit() < 10000:
+    sys.setrecursionlimit(10000)
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+MAX_BOUND_STATES = 4096     # 3-level search envelope (R_b <= 32)
+MAX_PT_STATES = 4096        # K-way pt gather envelope (Kp <= 32)
+_PAD_I32 = np.int32(0x7FFFFFFF)
+_E_BIAS = 1100              # pt exponent pack bias (e >= -1074)
+_E_SENTINEL = 4095          # nonfinite pt entries -> huge exponent
+
+
+def _u(x):
+    return jnp.uint32(x)
+
+
+def _i(x):
+    return jnp.int32(x)
+
+
+# ---------------------------------------------------------------------------
+# host-side table layouts
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def kernel_tables(intervals: int, ratio: float, plus_bits: int):
+    """Stairstep + packed-pt layouts for the kernel, or None when the
+    table is outside the kernel envelope (caller falls back to the XLA
+    softf64 wavefront, which handles any table)."""
+    tabs = ms.soft_tables(int(intervals), float(ratio), int(plus_bits))
+    if not tabs.stair_ok:
+        return None
+    nb = len(tabs.bounds)
+    if nb > MAX_BOUND_STATES or tabs.n_states > MAX_PT_STATES:
+        return None
+    R_b = max(1, -(-nb // 128))
+    bpad = np.full(R_b * 128, _PAD_I32, np.int32)
+    bpad[:nb] = tabs.bounds
+    b2 = bpad.reshape(R_b, 128)
+    blast = np.ascontiguousarray(b2[:, 127])             # (R_b,)
+    # group-last transposed: [g, w] = bounds[w*128 + g*8 + 7]
+    b8t = np.full((16, 128), _PAD_I32, np.int32)
+    b8t[:, :R_b] = b2[:, 7::8].T
+    # fine transposed: [t, w*16+g] = bounds[w*128 + g*8 + t]
+    nf = R_b * 16
+    nf_pad = max(128, -(-nf // 128) * 128)
+    bft = np.full((8, nf_pad), _PAD_I32, np.int32)
+    bft[:, :nf] = b2.reshape(R_b, 16, 8).transpose(2, 0, 1).reshape(
+        8, nf)
+    # packed precision table
+    Kp = max(1, -(-tabs.n_states // 128))
+    ef = np.where(tabs.pt_e >= np.int32(0x100000), _E_SENTINEL,
+                  np.clip(tabs.pt_e + _E_BIAS, 1, _E_SENTINEL - 1))
+    ef = np.where((tabs.pt_mh == 0) & (tabs.pt_ml == 0), 0, ef)
+    ptp = np.zeros(Kp * 128, np.uint32)
+    ptp[:tabs.n_states] = (ef.astype(np.uint32) << np.uint32(20)) | (
+        tabs.pt_mh & np.uint32(0xFFFFF))
+    ptl = np.zeros(Kp * 128, np.uint32)
+    ptl[:tabs.n_states] = tabs.pt_ml
+    return dict(tabs=tabs, R_b=R_b, Kp=Kp, nf_pad=nf_pad,
+                blast=blast, b8t=b8t, bft=bft.reshape(8, nf_pad),
+                ptp=ptp.reshape(Kp, 128), ptl=ptl.reshape(Kp, 128))
+
+
+# ---------------------------------------------------------------------------
+# in-kernel lookups
+# ---------------------------------------------------------------------------
+
+def _bcast_row(row128, rows: int):
+    return jnp.broadcast_to(row128.reshape(1, 128), (rows, 128))
+
+
+def _stair_state_kernel(key, okk, blast_ref, b8t_ref, bft_ref,
+                        R_b: int, nf_pad: int, lo_key: int,
+                        hi_key: int):
+    """state = count(bounds <= key): 3-level counting search.  The
+    bounds rows are padded with INT32_MAX, so partially-filled rows and
+    groups count correctly without edge cases (keys < 2^24 < pad)."""
+    rows = key.shape[0]
+    w = jnp.zeros_like(key)
+    for r in range(R_b):
+        w = w + (key >= blast_ref[r]).astype(_I32)
+    wc = jnp.minimum(w, _i(R_b - 1))
+    g = jnp.zeros_like(key)
+    for gi in range(16):
+        bg = _pk._lane_gather(_bcast_row(b8t_ref[gi], rows), wc)
+        g = g + (key >= bg).astype(_I32)
+    gc = jnp.minimum(g, _i(15))
+    wg = wc * _i(16) + gc
+    whi = wg >> _i(7)
+    wlo = wg & _i(127)
+    cnt = jnp.zeros_like(key)
+    for t in range(8):
+        if nf_pad == 128:
+            bt = _pk._lane_gather(_bcast_row(bft_ref[t], rows), wlo)
+        else:
+            bt = jnp.zeros_like(key)
+            for k in range(nf_pad // 128):
+                gk = _pk._lane_gather(
+                    _bcast_row(bft_ref[t, k * 128:(k + 1) * 128],
+                               rows), wlo)
+                bt = jnp.where(whi == _i(k), gk, bt)
+        cnt = cnt + (key >= bt).astype(_I32)
+    st = w * _i(128) + g * _i(8) + cnt
+    inside = okk & (key >= _i(lo_key)) & (key <= _i(hi_key))
+    return jnp.where(inside, st, _i(0))
+
+
+def _pt_lookup_kernel(st, ptp_ref, ptl_ref, Kp: int):
+    """(e, mh, ml) softf64 triple for each state via the packed-pt
+    K-way windowed lane gather."""
+    rows = st.shape[0]
+    wrow = st >> _i(7)
+    wlane = st & _i(127)
+    p = jnp.zeros(st.shape, _U32)
+    l = jnp.zeros(st.shape, _U32)
+    for k in range(Kp):
+        hit = wrow == _i(k)
+        gp = _pk._lane_gather(_bcast_row(ptp_ref[k], rows), wlane)
+        gl = _pk._lane_gather(_bcast_row(ptl_ref[k], rows), wlane)
+        p = jnp.where(hit, gp, p)
+        l = jnp.where(hit, gl, l)
+    ef = (p >> _u(20)).astype(_I32)
+    e = jnp.where(ef == _i(_E_SENTINEL), _i(0x100000),
+                  ef - _i(_E_BIAS))
+    mh = (p & _u(0xFFFFF)) | _u(1 << 20)
+    zero = ef == _i(0)
+    e = jnp.where(zero, jnp.full_like(e, int(sf.E_ZERO)), e)
+    mh = jnp.where(zero, _u(0), mh)
+    ml = jnp.where(zero, _u(0), l)
+    return e, mh, ml
+
+
+# ---------------------------------------------------------------------------
+# in-kernel carry plumbing
+# ---------------------------------------------------------------------------
+
+def _kshift1(block, prev_col):
+    """k-1 neighbor: roll right by one lane, lane 0 from the previous
+    block's last column (or zeros at the lattice edge)."""
+    rows, _ = block.shape
+    rolled = pltpu.roll(block, jnp.int32(1), 1)
+    lane = jax.lax.broadcasted_iota(_I32, block.shape, 1)
+    return jnp.where(lane == _i(0),
+                     jnp.broadcast_to(prev_col, block.shape), rolled)
+
+
+def _kshift2(block, prev2):
+    """k-2 neighbor: lanes 0,1 from the previous block's last two
+    columns (prev2 is (rows, 2))."""
+    rolled = pltpu.roll(block, jnp.int32(2), 1)
+    lane = jax.lax.broadcasted_iota(_I32, block.shape, 1)
+    c0 = jnp.broadcast_to(prev2[:, 0:1], block.shape)
+    c1 = jnp.broadcast_to(prev2[:, 1:2], block.shape)
+    return jnp.where(lane == _i(0), c0,
+                     jnp.where(lane == _i(1), c1, rolled))
+
+
+def _jshift(block):
+    """j-1 neighbor: roll down one row, row 0 zero (lattice edge)."""
+    rolled = pltpu.roll(block, jnp.int32(1), 0)
+    row = jax.lax.broadcasted_iota(_I32, block.shape, 0)
+    return jnp.where(row == _i(0), jnp.zeros_like(block), rolled)
+
+
+def _carry_cols(scr, idx, kb: int, width: int):
+    """(last-1-col, last-2-cols) of carry slot `idx` for block kb."""
+    rows = scr.shape[1]
+    if kb == 0:
+        z1 = jnp.zeros((rows, 1), _U32)
+        return z1, jnp.zeros((rows, 2), _U32)
+    c1 = scr[idx, :, kb * 128 - 1:kb * 128]
+    c2 = scr[idx, :, kb * 128 - 2:kb * 128]
+    return c1, c2
+
+
+# ---------------------------------------------------------------------------
+# the kernels
+# ---------------------------------------------------------------------------
+
+def _make_wf_kernel(r1: int, r2: int, r3: int, r2p: int, r3p: int,
+                    R_b: int, Kp: int, nf_pad: int, bits_n: int,
+                    base_index: int, top_index: int, lo_key: int,
+                    hi_key: int, ign: int, decode: bool):
+    nkb = r3p // 128
+    one = np.uint32(ms.ONE_BITS)
+
+    def kernel(blast_ref, b8t_ref, bft_ref, ptp_ref, ptl_ref,
+               in1_ref, in2_ref, out_ref, scr):
+        s = pl.program_id(0)
+
+        @pl.when(s == jnp.int32(0))
+        def _():
+            scr[...] = jnp.zeros_like(scr)
+
+        i1 = jnp.remainder(s + _i(3), _i(4))
+        i2 = jnp.remainder(s + _i(2), _i(4))
+        i3 = jnp.remainder(s + _i(1), _i(4))
+        iw = jnp.remainder(s, _i(4))
+
+        for kb in range(nkb):
+            ksl = slice(kb * 128, (kb + 1) * 128)
+            c1b = scr[i1, :, ksl]
+            c2b = scr[i2, :, ksl]
+            c3b = scr[i3, :, ksl]
+            p1, _ = _carry_cols(scr, i1, kb, r3p)
+            p2, p22 = _carry_cols(scr, i2, kb, r3p)
+            p3, _ = _carry_cols(scr, i3, kb, r3p)
+
+            A = _kshift1(c1b, p1)
+            Bv = _jshift(c1b)
+            Cv = c1b
+            Fv = _kshift1(c2b, p2)
+            Dg = _jshift(Fv)
+            Ev = _jshift(c2b)
+            Gv = _jshift(_kshift1(c3b, p3))
+            A2k = _kshift2(c2b, p22)
+
+            row = jax.lax.broadcasted_iota(_I32, (r2p, 128), 0)
+            lane = jax.lax.broadcasted_iota(_I32, (r2p, 128), 1)
+            kcol = lane + _i(kb * 128)
+            i_idx = s - row - kcol
+            valid = ((i_idx >= _i(0)) & (i_idx < _i(r1))
+                     & (row < _i(r2)) & (kcol < _i(r3)))
+            plane0 = i_idx == _i(0)
+            row0 = row == _i(0)
+            col0 = kcol == _i(0)
+            k1 = kcol == _i(1)
+            onev = jnp.full((r2p, 128), one, _U32)
+
+            ops = ms.select_operands(plane0, row0, col0, k1, A, Bv,
+                                     Cv, Gv, Dg, Ev, Fv, A2k, onev)
+            pred, force = ms.predict_bits(*ops)
+
+            if not decode:
+                d = in1_ref[0, :, ksl]
+                er = ms.esc_recon_bits(d, _u(ign))
+                first = plane0 & row0 & col0
+
+                def st_key(ratio_bits):
+                    return ms.key_from_f32_bits(
+                        ratio_bits, base_index, top_index, bits_n)
+
+                def st_search(key, okk):
+                    return _stair_state_kernel(
+                        key, okk, blast_ref, b8t_ref, bft_ref, R_b,
+                        nf_pad, lo_key, hi_key)
+
+                def pt_take(st):
+                    return _pt_lookup_kernel(st, ptp_ref, ptl_ref, Kp)
+
+                st, rec = ms.quant_bits(d, pred, force | first, er,
+                                        (st_key, st_search), pt_take)
+                st = jnp.where(valid, st, _i(0))
+                rec = jnp.where(valid, rec, _u(0))
+                out_ref[0, :, ksl] = st
+            else:
+                tl = in1_ref[0, :, ksl]
+                kvl = in2_ref[0, :, ksl]
+                pt = _pt_lookup_kernel(tl, ptp_ref, ptl_ref, Kp)
+                val = ms.recon_bits(pred, *pt)
+                esc = tl == _i(0)
+                outv = jnp.where(esc, kvl, val)
+                rec = jnp.where(esc, kvl & _u(0x7FFFFFFF), val)
+                outv = jnp.where(valid, outv, _u(0))
+                rec = jnp.where(valid, rec, _u(0))
+                out_ref[0, :, ksl] = outv
+            scr[iw, :, ksl] = rec
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _wf_call(r1: int, r2: int, r3: int, r2p: int, r3p: int, R_b: int,
+             Kp: int, nf_pad: int, bits_n: int, base_index: int,
+             top_index: int, lo_key: int, hi_key: int, ign: int,
+             decode: bool, interpret: bool):
+    S = r1 + r2 + r3 - 2
+    kernel = _make_wf_kernel(r1, r2, r3, r2p, r3p, R_b, Kp, nf_pad,
+                             bits_n, base_index, top_index, lo_key,
+                             hi_key, ign, decode)
+    z = np.int32(0)
+    sl = lambda s: (s, z, z)
+    full = lambda s: (z, z)
+    in_specs = [
+        pl.BlockSpec((R_b,), lambda s: (z,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((16, 128), full),
+        pl.BlockSpec((8, nf_pad), full),
+        pl.BlockSpec((Kp, 128), full),
+        pl.BlockSpec((Kp, 128), full),
+        pl.BlockSpec((1, r2p, r3p), sl),
+        pl.BlockSpec((1, r2p, r3p), sl),
+    ]
+    out_dtype = jnp.uint32 if decode else jnp.int32
+    return pl.pallas_call(
+        kernel,
+        grid=(S,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, r2p, r3p), sl),
+        out_shape=jax.ShapeDtypeStruct((S, r2p, r3p), out_dtype),
+        scratch_shapes=[pltpu.VMEM((4, r2p, r3p), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# drivers (jnp in / jnp out; shear + pad on the XLA side)
+# ---------------------------------------------------------------------------
+
+def _pad23(x, r2p: int, r3p: int):
+    _, r2, r3 = x.shape
+    if r2 == r2p and r3 == r3p:
+        return x
+    return jnp.pad(x, ((0, 0), (0, r2p - r2), (0, r3p - r3)))
+
+
+def supported(vshape, intervals: int, ratio: float,
+              plus_bits: int) -> bool:
+    """True when the Pallas wavefront covers this (shape, table)."""
+    r1, r2, r3 = vshape
+    if r1 < 2:
+        return False            # single plane: XLA path is fine
+    return kernel_tables(intervals, ratio, plus_bits) is not None
+
+
+def encode(work_dev, vshape, stair_key, req_length: int, be: str):
+    """work_dev f32 (n,) on device -> type lattice i32 (r1,r2,r3
+    flattened) via the Pallas wavefront.  Caller guarantees
+    supported(...)."""
+    kt = kernel_tables(*stair_key)
+    tabs = kt["tabs"]
+    r1, r2, r3 = vshape
+    r2p = -(-r2 // 8) * 8
+    r3p = -(-r3 // 128) * 128
+    bits_mag = (jax.lax.bitcast_convert_type(
+        work_dev.reshape(vshape), jnp.uint32) & _u(0x7FFFFFFF))
+    d_sh = _pad23(ms_shear3(bits_mag), r2p, r3p)
+    ign = max(32 - int(req_length), 0)
+    interp = be not in ("tpu",)
+    f = _wf_call(r1, r2, r3, r2p, r3p, kt["R_b"], kt["Kp"],
+                 kt["nf_pad"], tabs.bits, tabs.base_index,
+                 tabs.top_index, tabs.lo_key, tabs.hi_key, ign,
+                 False, interp)
+    st_sh = f(jnp.asarray(kt["blast"]), jnp.asarray(kt["b8t"]),
+              jnp.asarray(kt["bft"]), jnp.asarray(kt["ptp"]),
+              jnp.asarray(kt["ptl"]), d_sh, d_sh)
+    st = ms_unshear3(st_sh[:, :r2, :r3], r1, r2, r3)
+    return st.reshape(r1 * r2 * r3)
+
+
+def decode(t_lat, kv_lat, vshape, stair_key, be: str):
+    """(t lattice i32, kv lattice u32 signed escape bits) -> signed
+    f32-bit lattice u32 (pre-restore) via the Pallas wavefront."""
+    kt = kernel_tables(*stair_key)
+    tabs = kt["tabs"]
+    r1, r2, r3 = vshape
+    r2p = -(-r2 // 8) * 8
+    r3p = -(-r3 // 128) * 128
+    t_sh = _pad23(ms_shear3(t_lat), r2p, r3p)
+    kv_sh = _pad23(ms_shear3(kv_lat), r2p, r3p)
+    interp = be not in ("tpu",)
+    f = _wf_call(r1, r2, r3, r2p, r3p, kt["R_b"], kt["Kp"],
+                 kt["nf_pad"], tabs.bits, tabs.base_index,
+                 tabs.top_index, tabs.lo_key, tabs.hi_key, 0,
+                 True, interp)
+    o_sh = f(jnp.asarray(kt["blast"]), jnp.asarray(kt["b8t"]),
+             jnp.asarray(kt["bft"]), jnp.asarray(kt["ptp"]),
+             jnp.asarray(kt["ptl"]), t_sh, kv_sh)
+    out = ms_unshear3(o_sh[:, :r2, :r3], r1, r2, r3)
+    return out.reshape(r1 * r2 * r3)
+
+
+def ms_shear3(x):
+    from sz_tpu.tpu import msst19_engine as me
+    return me._shear3(x)
+
+
+def ms_unshear3(y, r1, r2, r3):
+    from sz_tpu.tpu import msst19_engine as me
+    return me._unshear3(y, r1, r2, r3)
