@@ -198,13 +198,17 @@ STAIR_MAX_STATES = 4096   # compare-reduction cost is O(states)/point
 
 
 @functools.lru_cache(maxsize=16)
-def _stair_pack(intervals: int, ratio: float, plus_bits: int):
+def _stair_pack(intervals: int, ratio: float, plus_bits: int,
+                max_states: int = STAIR_MAX_STATES):
     """(boundaries i32, lo_key, hi_key, pt_hi f32, pt_lo f32) for the
     compare-reduction lookup, or None when the table is outside the
-    stairstep envelope (validated by exact reconstruction)."""
+    stairstep envelope (validated by exact reconstruction).
+    max_states caps 2*intervals: the XLA compare-reduction is
+    O(states)/point so it keeps the default; the Pallas kernel's
+    3-level counting search is ~O(1) and passes a higher cap."""
     from sz_tpu.core import pwr
 
-    if 2 * intervals > STAIR_MAX_STATES:
+    if 2 * intervals > max_states:
         return None
     cache = pwr._cache_table(int(intervals), float(ratio),
                              int(plus_bits))
@@ -906,12 +910,35 @@ def soft_policy(be: str, dbl: bool, dstr: str) -> bool:
     return be == "tpu"
 
 
+def kernel_policy(be: str) -> bool:
+    """Pallas wavefront routing inside the soft path: default on for
+    compiled TPU backends; SZ_TPU_MSST19_KERNEL=1 forces it everywhere
+    (interpret mode on CPU — parity tests), =0 keeps the XLA scan."""
+    env = eng._os.environ.get("SZ_TPU_MSST19_KERNEL", "auto").lower()
+    if env in ("0", "off", "false"):
+        return False
+    if env in ("1", "force", "on"):
+        return True
+    return be == "tpu"
+
+
 def _encode_device_soft(work_dev, vshape, cache, tbl_dev, req_length,
                         be, stair_key):
-    """Soft-wavefront encode driver -> (t_stream, hist, esc, iters)."""
+    """Soft-wavefront encode driver -> (t_stream, hist, esc, iters).
+    One Pallas dispatch when the kernel covers (shape, table); the
+    chunked XLA scan otherwise — both softf64, both host-bit-exact."""
     from sz_tpu.tpu import msst19_soft as ms
 
     r1, r2, r3 = vshape
+    if kernel_policy(be):
+        from sz_tpu.tpu import msst19_kernel as mk
+        if mk.supported(vshape, *stair_key):
+            t_flat = mk.encode(work_dev, vshape, stair_key,
+                               int(req_length), be)
+            n = r1 * r2 * r3
+            t_stream, hist, esc = _enc_epilogue_fn(n, be)(
+                t_flat, work_dev.reshape(-1))
+            return t_stream, hist, esc, [jnp.asarray(1)]
     S = r1 + r2 + r3 - 2
     tabs = ms.soft_tables(stair_key[0], stair_key[1], stair_key[2])
     bits_mag = (jax.lax.bitcast_convert_type(
@@ -966,12 +993,23 @@ def _dec_stage_soft_fn(vshape: tuple, backend: str = "cpu"):
     return eng._strict_jit(f, backend)
 
 
-def _decode_device_soft(t_dev, unpred_pad, ptable, vshape, be):
+def _decode_device_soft(t_dev, unpred_pad, ptable, vshape, be,
+                        stair_key=None):
     """Soft-wavefront decode driver -> flat f32 reconstruction
-    (pre-restore), bit-exact with the host's true-f64 replay."""
+    (pre-restore), bit-exact with the host's true-f64 replay.  One
+    Pallas dispatch when the kernel covers (shape, table)."""
     from sz_tpu.tpu import msst19_soft as ms
 
     r1, r2, r3 = vshape
+    if stair_key is not None and kernel_policy(be):
+        from sz_tpu.tpu import msst19_kernel as mk
+        if mk.supported(vshape, *stair_key):
+            unpred_bits = np.ascontiguousarray(
+                unpred_pad, np.float32).view(np.uint32)
+            t_lat, kv_lat = _dec_stage_soft_fn(vshape, be)(
+                t_dev, jax.device_put(unpred_bits))
+            out_bits = mk.decode(t_lat, kv_lat, vshape, stair_key, be)
+            return jax.lax.bitcast_convert_type(out_bits, jnp.float32)
     S = r1 + r2 + r3 - 2
     pte_np, pth_np, ptl_np = ms.pt_triples(ptable)
     pte = jax.device_put(pte_np)
@@ -1212,15 +1250,17 @@ def _restore_fn(n: int, dtype_str: str, backend: str = "cpu"):
     return eng._strict_jit(f, backend)
 
 
-def _decode_device(t_dev, unpred_pad, ptable, vshape, dstr, dbl, be):
+def _decode_device(t_dev, unpred_pad, ptable, vshape, dstr, dbl, be,
+                   stair_key=None):
     """Decode driver -> flat reconstruction (pre-restore); softf64
     wavefront on emulated-f64 backends (bit-exact with the host's
-    true-f64 replay), float wavefront otherwise, plane-sweep fixpoint
-    fallback (SZ_TPU_MSST19_WF=0)."""
+    true-f64 replay; Pallas kernel when it covers the config), float
+    wavefront otherwise, plane-sweep fixpoint fallback
+    (SZ_TPU_MSST19_WF=0)."""
     npl, r2, r3 = vshape
     if _wf_enabled() and soft_policy(be, dbl, dstr):
         return _decode_device_soft(t_dev, unpred_pad, ptable, vshape,
-                                   be)
+                                   be, stair_key)
     if _wf_enabled():
         return _decode_device_wf(t_dev, unpred_pad, ptable, vshape,
                                  dstr, dbl, be)
@@ -1249,33 +1289,37 @@ def _decode_device(t_dev, unpred_pad, ptable, vshape, dstr, dbl, be):
 # ---------------------------------------------------------------------------
 
 
-# Size gate for the device engine on real TPU backends.  Tie-cascade
-# divergence is DATA-dependent and has been observed at 2^24 points
-# (256^3) and above; below the gate it has not been seen, but the
-# guarantee comes from pwr.compress_msst19's verify-and-fallback, not
-# from this bound (see the module docstring).
+# Size gates for the device engine on real TPU backends.  The FLOAT
+# wavefront's parity is empirical (tie-cascade divergence observed at
+# 2^24 points and above — the verify-and-fallback covers it), so it
+# keeps the small gate.  The softf64 wavefront is bit-exact BY
+# CONSTRUCTION at any size; its gate is a memory bound (the sheared
+# diagonal-slice arrays are ~3x the lattice: 512^3 peaks ~5 GB of the
+# 16 GB part).
 DEVICE_MAX_POINTS = 1 << 24
+SOFT_MAX_POINTS = 1 << 27       # covers the 512^3 flagship config
 
 
 def device_ok(engine: str, dtype, ndim: int, n: int,
               device_out: bool = False) -> bool:
     """Explicit engine="jax" routes MSST19 to the device; float64 only
     on the CPU backend.  Unlike the regression/classic engines, "auto"
-    never selects this engine yet: the wavefront scan is XLA
-    (compute-bound below the Pallas engines' throughput), so the
-    parallel host codec wins on wall clock until a dedicated Pallas
-    kernel lands (ROADMAP).  Byte parity with the host is exact on
-    the CPU backend and empirical on emulated-f64 backends; diverged
-    streams are caught by pwr.compress_msst19's verify-and-fallback
-    (see the module docstring).  DEVICE_MAX_POINTS bounds device
-    routing to the scale where re-encode risk stays low."""
+    never selects this engine yet (see auto_device_ok for the planned
+    crossover).  On emulated-f64 backends the 3D f32 route is the
+    softf64 wavefront — bit-exact by construction, sized for the
+    512^3 flagship (SOFT_MAX_POINTS); other routes keep the float
+    wavefront with verify-and-fallback under DEVICE_MAX_POINTS."""
     if engine != "jax" or ndim not in (2, 3):
         return False
     backend = jax.default_backend()
     if np.dtype(dtype) == np.float64 and backend != "cpu":
         return False
-    if backend != "cpu" and n > DEVICE_MAX_POINTS:
-        return False
+    if backend != "cpu":
+        soft = soft_policy(backend, ndim == 3,
+                           np.dtype(dtype).str.lstrip("<>="))
+        cap = SOFT_MAX_POINTS if soft else DEVICE_MAX_POINTS
+        if n > cap:
+            return False
     return True
 
 
@@ -1462,7 +1506,10 @@ def decompress(tdps: TDPS, shape, dtype, as_jax: bool = False):
 
     with _tr.trace("decode_fixpoint"):
         out = _decode_device(t_dev, unpred_pad, ptable,
-                             _vshape(shape), dstr, dbl, be)
+                             _vshape(shape), dstr, dbl, be,
+                             stair_key=(int(tdps.intervals),
+                                        float(tdps.real_precision),
+                                        int(tdps.plus_bits)))
         out = _restore_fn(n, dstr, be)(
             out, T(thr), jax.device_put(signs),
             jnp.asarray(has_signs, jnp.bool_))

@@ -73,6 +73,23 @@ def _i(x):
 # host-side table layouts
 # ---------------------------------------------------------------------------
 
+class _RekeyedTables:
+    """SoftTables view with kernel-envelope stair bounds attached."""
+
+    def __init__(self, base, bounds, lo_key, hi_key):
+        self.bits = base.bits
+        self.base_index = base.base_index
+        self.top_index = base.top_index
+        self.pt_e = base.pt_e
+        self.pt_mh = base.pt_mh
+        self.pt_ml = base.pt_ml
+        self.n_states = base.n_states
+        self.stair_ok = True
+        self.bounds = np.ascontiguousarray(bounds, np.int32)
+        self.lo_key = int(lo_key)
+        self.hi_key = int(hi_key)
+
+
 @functools.lru_cache(maxsize=16)
 def kernel_tables(intervals: int, ratio: float, plus_bits: int):
     """Stairstep + packed-pt layouts for the kernel, or None when the
@@ -80,7 +97,15 @@ def kernel_tables(intervals: int, ratio: float, plus_bits: int):
     softf64 wavefront, which handles any table)."""
     tabs = ms.soft_tables(int(intervals), float(ratio), int(plus_bits))
     if not tabs.stair_ok:
-        return None
+        # the XLA stairstep declines past its compare-reduction cap;
+        # retry at the kernel's counting-search envelope
+        from sz_tpu.tpu import msst19_engine as me
+        pack = me._stair_pack(int(intervals), float(ratio),
+                              int(plus_bits), 2 * MAX_BOUND_STATES)
+        if pack is None:
+            return None
+        bounds, lo_key, hi_key = pack[0], pack[1], pack[2]
+        tabs = _RekeyedTables(tabs, bounds, lo_key, hi_key)
     nb = len(tabs.bounds)
     if nb > MAX_BOUND_STATES or tabs.n_states > MAX_PT_STATES:
         return None
@@ -244,10 +269,10 @@ def _make_wf_kernel(r1: int, r2: int, r3: int, r2p: int, r3p: int,
         def _():
             scr[...] = jnp.zeros_like(scr)
 
-        i1 = jnp.remainder(s + _i(3), _i(4))
-        i2 = jnp.remainder(s + _i(2), _i(4))
-        i3 = jnp.remainder(s + _i(1), _i(4))
-        iw = jnp.remainder(s, _i(4))
+        i1 = (s + _i(3)) & _i(3)
+        i2 = (s + _i(2)) & _i(3)
+        i3 = (s + _i(1)) & _i(3)
+        iw = s & _i(3)
 
         for kb in range(nkb):
             ksl = slice(kb * 128, (kb + 1) * 128)

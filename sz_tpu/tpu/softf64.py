@@ -354,16 +354,18 @@ def pack_f32_rn(e, mh, ml):
     # shift amount: 29 for normals, + (-126 - e) extra for subnormals,
     # clamped to 54 (values below half the minimum subnormal round to
     # zero; exactly half ties to even = zero)
+    # clips stay in SIGNED i32 before the u32 casts: Mosaic has no
+    # unsigned vector min (arith.minui fails to legalize on TPU)
     t = jnp.clip(_i(29) + jnp.maximum(_i(0), _i(-126) - e),
                  _i(29), _i(54))
     tu = t.astype(_U32)
     lo_path = t <= _i(31)
-    tc = jnp.clip(tu, _u(0), _u(31))
+    tc = jnp.clip(t, _i(0), _i(31)).astype(_U32)
     keep_lo = (ml >> tc) | (mh << (_u(32) - tc))
     rb_lo = (ml >> (tc - _u(1))) & _u(1)
     st_lo = _nz32(ml & ((_u(1) << (tc - _u(1))) - _u(1)))
-    t2 = jnp.clip(tu - _u(32), _u(0), _u(22))
-    t3 = jnp.clip(tu - _u(33), _u(0), _u(31))
+    t2 = jnp.clip(t - _i(32), _i(0), _i(22)).astype(_U32)
+    t3 = jnp.clip(t - _i(33), _i(0), _i(31)).astype(_U32)
     keep_hi = mh >> t2
     rb_hi = jnp.where(tu == _u(32), ml >> _u(31), (mh >> t3) & _u(1))
     st_hi = (_nz32(ml)
@@ -378,7 +380,8 @@ def pack_f32_rn(e, mh, ml):
     # biased exponent and mantissa together, with rounding carry and
     # subnormal->normal promotion rolling into the exponent naturally
     bits = (ebase << _u(23)) + keep + inc
-    bits = jnp.minimum(bits, _u(0x7F800000))   # overflow -> +inf
+    # overflow -> +inf (unsigned compare+select: Mosaic lacks minui)
+    bits = jnp.where(bits >= _u(0x7F800000), _u(0x7F800000), bits)
     return jnp.where(zero, _u(0), bits)
 
 
@@ -446,7 +449,7 @@ def div24_f32_rn(ce, cm, pe, pm):
     inc = rbit & (sticky | (keep & _u(1)))
     ebase = jnp.clip(e_out + _i(126), _i(0), _i(255)).astype(_U32)
     bits = (ebase << _u(23)) + keep + inc
-    bits = jnp.minimum(bits, _u(0x7F800000))
+    bits = jnp.where(bits >= _u(0x7F800000), _u(0x7F800000), bits)
     bits = jnp.where(cm == _u(0), _u(0), bits)
     bits = jnp.where(pm == _u(0), _u(0x7F800000), bits)
     return bits

@@ -257,6 +257,9 @@ def test_verify_conformant_signed_field(monkeypatch):
     # device encode runs BEFORE the backend patch (Pallas epilogue
     # kernels need interpret mode on the real cpu backend).
     dev_stream = me.compress(work, 1e-3, fmax, nz, **KW)
+    # simulate a non-guaranteed (float-wavefront) device stream: the
+    # softf64 path marks streams _device_exact, which skips the verify
+    dev_stream._device_exact = False
     verified = []
     real_verify = me.verify_conformant
     monkeypatch.setattr(me.jax, "default_backend", lambda: "tpu")

@@ -82,6 +82,52 @@ def test_soft_skips_verify(soft_forced, monkeypatch):
     assert tdps_mod.to_bytes(got) == tdps_mod.to_bytes(dev_stream)
 
 
+@pytest.mark.parametrize("shape,seed,signed", [
+    ((9, 11, 13), 5, False),
+    ((14, 10, 12), 7, True),
+    ((4, 3, 3), 9, False),
+])
+def test_kernel_forced_parity(monkeypatch, shape, seed, signed):
+    """The Pallas wavefront kernel (interpret mode on this CPU
+    backend) must produce byte-identical streams and bit-identical
+    decodes through the full engine path."""
+    monkeypatch.setenv("SZ_TPU_MSST19_SOFT", "1")
+    monkeypatch.setenv("SZ_TPU_MSST19_KERNEL", "1")
+    from sz_tpu.tpu import msst19_engine as me
+
+    data = synth(shape, np.float32, seed=seed, signed=signed)
+    data[data == 0] = np.float32(0.5)
+    fmax = data.max()
+    nz = data.reshape(-1)[np.abs(data).reshape(-1).argmin()]
+    t_h = pwr.compress_msst19(data, 1e-3, fmax, nz, **KW)
+    t_d = me.compress(data, 1e-3, fmax, nz, **KW)
+    assert tdps_mod.to_bytes(t_h) == tdps_mod.to_bytes(t_d)
+    out_h = pwr.decompress_pwrel(t_h, shape, np.float32)
+    out_d = me.decompress(t_h, shape, np.float32)
+    assert np.array_equal(out_h, np.asarray(out_d))
+
+
+def test_kernel_tables_envelope():
+    """kernel_tables covers interval counts past the XLA stairstep's
+    compare-reduction cap (re-packed at the counting-search envelope)
+    and declines cleanly beyond it."""
+    from sz_tpu.tpu import msst19_kernel as mk
+
+    kt = mk.kernel_tables(4096, 1e-3, 3)   # stair_ok False upstream
+    assert kt is not None
+    assert len(kt["tabs"].bounds) <= mk.MAX_BOUND_STATES
+    # the counting-search layouts reconstruct the flat table
+    tabs = kt["tabs"]
+    keys = np.arange(tabs.lo_key - 5, tabs.hi_key + 6)
+    want = (keys[:, None] >= tabs.bounds[None, :]).sum(1)
+    want[(keys < tabs.lo_key) | (keys > tabs.hi_key)] = 0
+    from sz_tpu.core import pwr as _pwr
+    cache = _pwr._cache_table(4096, 1e-3, 3)
+    flat = np.asarray(cache.table).reshape(-1).astype(np.int64)
+    inr = (keys >= 0) & (keys < len(flat))
+    assert np.array_equal(want[inr], flat[keys[inr]])
+
+
 def test_soft_tables_stair_matches_flat():
     """The stairstep counting search (Pallas form) must equal the flat
     cache-table gather over the ENTIRE key range."""
