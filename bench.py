@@ -93,6 +93,102 @@ def time_reference(data: np.ndarray) -> float:
         return data.nbytes / 1e6 / best
 
 
+def pwrel_probe(dpw: np.ndarray) -> dict:
+    """PW_REL / MSST19 device-engine probe (BASELINE target #3): byte
+    parity with the host kernels plus SLOPE-TIMED device kernel-chain
+    throughput.  The softf64 Pallas wavefront is bit-exact with the
+    host BY CONSTRUCTION; timing chains sequentially-dependent encode
+    iterations and takes (t5 - t2) / 3 so tunnel RTT and queueing
+    cancel (plain block_until_ready is dispatch-only here)."""
+    import jax
+    import jax.numpy as jnp
+    import sz_tpu
+    from sz_tpu import SZConfig, ErrorBoundMode
+    from sz_tpu.core import classic, pwr
+    from sz_tpu.tpu import msst19_kernel as mk
+
+    cfgp_h = SZConfig(error_bound_mode=ErrorBoundMode.PW_REL,
+                      pw_rel_bound_ratio=1e-3, engine="numpy")
+    cfgp_d = SZConfig(error_bound_mode=ErrorBoundMode.PW_REL,
+                      pw_rel_bound_ratio=1e-3, engine="jax")
+    t0 = time.time()
+    pb_h = sz_tpu.compress(dpw, cfgp_h)
+    t1 = time.time()
+    sz_tpu.compress(dpw, cfgp_d)       # cold (compile)
+    t2 = time.time()
+    pb_d = sz_tpu.compress(dpw, cfgp_d)
+    t3 = time.time()
+    out = {"parity": pb_h == pb_d,
+           "host_mbps": round(dpw.nbytes / 1e6 / (t1 - t0), 1),
+           "device_wall_mbps": round(dpw.nbytes / 1e6 / (t3 - t2), 1),
+           "ratio": round(dpw.nbytes / len(pb_h), 2)}
+    # kernel-chain slope timing (needs the Pallas route)
+    intervals = pwr._optimize_intervals_msst19(dpw, 1e-3, 32768, 100,
+                                               0.99)
+    sk = (int(intervals), 1e-3, 3)
+    if not mk.supported(dpw.shape, *sk):
+        return out
+    req = 9 - classic.get_exponent(np.float32(1e-3), np.float32)
+    dev = jax.device_put(dpw)
+    dev.block_until_ready()
+    mag = jnp.uint32(0x7FFFFFFF)
+    seed = jnp.uint32(0x3F000000)
+
+    def enc_chain(iters):
+        d = dev
+        st = None
+        for _ in range(iters):
+            st = mk.encode(d, dpw.shape, sk, req, "tpu")
+            d = jax.lax.bitcast_convert_type(
+                ((jax.lax.bitcast_convert_type(d.reshape(-1),
+                                               jnp.uint32)
+                  ^ st.astype(jnp.uint32)) & mag) | seed,
+                jnp.float32).reshape(dpw.shape)
+        np.asarray(st[:8])
+        return st
+
+    st0 = enc_chain(1)
+    te2 = _t(lambda: enc_chain(2))
+    te5 = _t(lambda: enc_chain(5))
+    per = max((te5 - te2) / 3, 1e-6)
+    out["device_chain_encode_ms"] = round(per * 1000, 1)
+    out["device_chain_mbps_encode"] = round(dpw.nbytes / 1e6 / per, 1)
+
+    t_lat = st0.reshape(dpw.shape)
+    kv = jnp.zeros(dpw.shape, jnp.uint32)
+
+    def dec_chain(iters):
+        t = t_lat
+        o = None
+        for _ in range(iters):
+            o = mk.decode(t, kv, dpw.shape, sk, "tpu")
+            t = jnp.abs(t + o.reshape(dpw.shape).astype(jnp.int32)
+                        % jnp.int32(2)) % jnp.int32(max(intervals, 2))
+        np.asarray(o[:8])
+
+    dec_chain(1)
+    td2 = _t(lambda: dec_chain(2))
+    td5 = _t(lambda: dec_chain(5))
+    perd = max((td5 - td2) / 3, 1e-6)
+    out["device_chain_decode_ms"] = round(perd * 1000, 1)
+    out["device_chain_mbps_decode"] = round(dpw.nbytes / 1e6 / perd, 1)
+    return out
+
+
+def attempt_pwrel512() -> None:
+    """Flagship BASELINE config #3 probe: 512^3 f32 PW_REL on device —
+    byte parity with the host + slope-timed kernel chain.  Runs as its
+    own subprocess attempt (cold Mosaic compile at this shape is
+    ~2-3 min through the tunnel)."""
+    base = synth(512)
+    dpw = np.abs(base) + np.float32(0.01)
+    del base
+    detail = pwrel_probe(dpw)
+    print(json.dumps({"metric": "pwrel_512", "value":
+                      detail.get("device_chain_mbps_encode", 0),
+                      "unit": "MB/s", "detail": detail}))
+
+
 def attempt(n: int, engine: str) -> None:
     """Subprocess entry: measure one config, print a JSON line."""
     data = synth(n)
@@ -216,23 +312,7 @@ def attempt(n: int, engine: str) -> None:
             # execution watchdog) pending its Pallas kernel (ROADMAP)
             m = min(n, 128)
             dpw = np.abs(data[:m, :m, :m]) + np.float32(0.01)
-            cfgp_h = SZConfig(error_bound_mode=ErrorBoundMode.PW_REL,
-                              pw_rel_bound_ratio=1e-3, engine="numpy")
-            cfgp_d = SZConfig(error_bound_mode=ErrorBoundMode.PW_REL,
-                              pw_rel_bound_ratio=1e-3, engine="jax")
-            t0 = time.time()
-            pb_h = sz_tpu.compress(dpw, cfgp_h)
-            t1 = time.time()
-            sz_tpu.compress(dpw, cfgp_d)       # cold (compile)
-            t2 = time.time()
-            pb_d = sz_tpu.compress(dpw, cfgp_d)
-            t3 = time.time()
-            dev_detail["pwrel_msst19"] = {
-                "parity": pb_h == pb_d,
-                "host_mbps": round(dpw.nbytes / 1e6 / (t1 - t0), 1),
-                "device_wall_mbps": round(
-                    dpw.nbytes / 1e6 / (t3 - t2), 1),
-                "ratio": round(dpw.nbytes / len(pb_h), 2)}
+            dev_detail["pwrel_msst19"] = pwrel_probe(dpw)
             assert dev_detail["pwrel_msst19"]["parity"], \
                 "PW_REL device stream != host"
     mbps = data.nbytes / 1e6 / best
@@ -254,7 +334,10 @@ def attempt(n: int, engine: str) -> None:
 
 def main():
     if len(sys.argv) == 4 and sys.argv[1] == "--attempt":
-        attempt(int(sys.argv[2]), sys.argv[3])
+        if sys.argv[3] == "pwrel512":
+            attempt_pwrel512()
+        else:
+            attempt(int(sys.argv[2]), sys.argv[3])
         return
     def run_attempt(n, engine, budget):
         env = dict(os.environ)
@@ -303,6 +386,12 @@ def main():
     # budget covers the amortized probe + the MSST19 parity gate's
     # cold compile through the tunnel
     device = run_attempt(N, "jax", 1500) or run_attempt(96, "jax", 600)
+    # flagship 512^3 PW_REL probe (BASELINE config #3): its own
+    # subprocess + budget; absence degrades the detail, not the bench
+    if device is not None:
+        p512 = run_attempt(512, "pwrel512", 900)
+        if p512 is not None:
+            device["detail"]["pwrel_512"] = p512["detail"]
     if primary is None and device is not None:
         primary = device
     elif primary is not None and device is not None:
@@ -317,7 +406,7 @@ def main():
                 "device_gbps_decode", "device_chain_encode_ms",
                 "device_gbps_encode_amortized", "decode_chain_ms",
                 "device_gbps_decode_amortized", "hw_parity",
-                "pwrel_msst19", "compress_spans_ms",
+                "pwrel_msst19", "pwrel_512", "compress_spans_ms",
                 "decompress_spans_ms") if k in dd},
         }
     if primary is not None:

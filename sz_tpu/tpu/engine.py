@@ -1895,6 +1895,11 @@ def _fsm_decode_fn(K: int, R: int, n_sym: int, backend: str,
     return _strict_jit(f, backend)
 
 
+# streams at/above this route through the segment-pipelined FSM
+# (bounded per-segment buffers); below it, one-allocation is faster
+_SEG_SPLIT_BITS = 1 << 30
+
+
 def _device_decode_types(p, n: int, be: str):
     """Device-side Huffman decode of a ParsedBody's type stream."""
     Lh, Rh, Ch, Th, node_count = p.tree
@@ -1912,23 +1917,36 @@ def _device_decode_stream(tree, encoded: bytes, n: int, be: str):
 
     Lh, Rh, Ch, Th, node_count = tree
     total_bits = len(encoded) * 8
-    # envelope: tree window size, a minimum worth the dispatches, the
-    # kernel's int32 bit arithmetic (< 2^31 bits), and HBM: the record
-    # buffer allocates 4 B per POW2-BUCKETED bit slot
-    # (R*128*F_BITS slots, up to 2x the stream), and its reorder
-    # transpose materializes a second such buffer — kernel B aliasing
-    # removed the third (the concat copy).  R <= 512 (streams < 2^30
-    # bits) -> two 4.3 GB buffers; the next bucket (R=1024) asks
-    # 2 x 8.6 GB and OOMs a 16 GB part (observed at 512^3 low-bound).
+    # envelope: tree window size, a minimum worth the dispatches, and
+    # the single-allocation record-buffer bound.  Streams past
+    # _SEG_SPLIT_BITS (~2^30: two pow2-bucketed 4 B/bit-slot buffers —
+    # records + reorder transpose — OOM a 16 GB part at the next
+    # bucket, observed at 512^3 low-bound) route to the SEGMENTED
+    # pipeline instead of the host: per-segment bounded buffers,
+    # chunk-entry states carried across segments (fsm_kernel.
+    # decode_bits_segmented).  The remaining cap is the padded word
+    # stream itself (+ output) in HBM.
     if (node_count > _fsm.MAX_NODES or total_bits < (1 << 16)
-            or total_bits >= (1 << 30)):
+            or total_bits >= (1 << 33)):
         return None
     trans = _fsm.build_trans(Lh, Rh, Ch, Th)
-    R = _fsm.bucket_rows(total_bits)
     pad = (-len(encoded)) % 4
-    w = _fsm.pad_words_to_bucket(
-        np.frombuffer(encoded + b"\0" * pad, ">u4").astype(np.uint32),
-        R)
+    words = np.frombuffer(encoded + b"\0" * pad,
+                          ">u4").astype(np.uint32)
+    interp = be in ("cpu", "raw")
+    if total_bits >= _SEG_SPLIT_BITS:
+        with _tr.trace("huffman_device_seg"):
+            syms, ok = _fsm.decode_bits_segmented(
+                words, trans, total_bits, n, interpret=interp)
+            if not bool(ok):
+                syms, ok = _fsm.decode_bits_segmented(
+                    words, trans, total_bits, n, interpret=interp,
+                    p_bits=_fsm.F_BITS)
+                if not bool(ok):  # pragma: no cover - no in-chunk merge
+                    return None
+        return syms
+    R = _fsm.bucket_rows(total_bits)
+    w = _fsm.pad_words_to_bucket(words, R)
     with _tr.trace("stream_upload"):
         w_d = jax.device_put(jnp.asarray(w))
         trans_d = jax.device_put(jnp.asarray(trans))

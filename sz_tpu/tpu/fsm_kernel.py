@@ -430,3 +430,101 @@ def decode_bits_device(words, trans, n_sym: int, total_bits: int,
                             jnp.asarray([total_bits], jnp.int32),
                             n_sym, R, interpret=interpret,
                             p_bits=p_bits)
+
+
+# ---------------------------------------------------------------------------
+# Segment-pipelined decode: streams past the single-allocation record-
+# buffer envelope (~2^30 coded bits: two pow2-bucketed 4 B/bit-slot
+# buffers OOM a 16 GB part at the next bucket) decode in SEGMENTS of
+# SEG_ROWS chunk-tile rows.  Huffman decoding is sequential only
+# through the chunk-entry STATES: segment s's first true entry is
+# segment s-1's last speculative exit (verified by the same in-window
+# sync check), so each segment runs the ordinary A/reconcile/B/compact
+# pipeline on its own bounded buffers and appends its symbols at the
+# running output offset.
+# ---------------------------------------------------------------------------
+
+SEG_ROWS = 64     # 64*128 chunks * F_BITS = 2^27 bits/segment:
+                  # record buffer + transpose stay ~0.5 GB each
+
+
+def _seg_core(words_seg, trans, tb_local, carry_entry, R: int,
+              out_cap_rows: int, *, interpret: bool, p_bits: int):
+    """One segment's A/reconcile/B/compact over LOCAL bit indices.
+    Returns (seg_syms u32 flat, seg_count i32, last_exit i32, ok)."""
+    K = trans.shape[0]
+    Lp = R * 128
+    Fw = F_BITS // 32
+    steps = Fw
+    pc = p_bits // 32
+    wt = words_seg.reshape(Lp, Fw).T.reshape(Fw, R, 128)
+    tb = tb_local.reshape(1).astype(jnp.int32)
+    total_bits = tb[0]
+
+    zero_entry = jnp.zeros((R, 128), jnp.int32)
+    rec_a, snap, end = _fsm_call(K, R, steps, pc, interpret)(
+        tb, trans, zero_entry, wt)
+    exit_state = end[0].reshape(-1)
+    entry = jnp.concatenate(
+        [carry_entry.reshape(1), exit_state[:-1]]).reshape(R, 128)
+    rec, _snap_b, end_b = _fsm_call_b(K, R, steps, pc, interpret)(
+        tb, trans, entry, wt, rec_a)
+    live = (jnp.arange(Lp, dtype=jnp.int32) * jnp.int32(F_BITS)
+            + jnp.int32(p_bits)) < total_bits
+    ok = jnp.all(jnp.where(live.reshape(R, 128),
+                           end_b[0] == snap[0], True))
+    true_cnt = (end_b[1] + end[1] - snap[1]).reshape(-1)
+    count = jnp.sum(true_cnt, promote_integers=False)
+
+    rec = rec.reshape(F_BITS, Lp).T
+    rev = jnp.asarray(np.broadcast_to(_pk._REV7, (8, 128)))
+    wordsout = _compact_call(Lp, out_cap_rows, interpret)(
+        jnp.zeros((out_cap_rows, 8, 128), jnp.uint32), rev,
+        rec.reshape(Lp, 1, F_BITS))
+    return wordsout.reshape(-1), count, exit_state[-1], ok
+
+
+def decode_bits_segmented(words, trans, total_bits: int, n_sym: int,
+                          *, seg_rows: int = SEG_ROWS,
+                          interpret: bool = False,
+                          p_bits: int = P_BITS):
+    """Chunk-segment-pipelined device Huffman decode for streams past
+    the single-allocation envelope.  total_bits is a HOST int (the
+    caller always knows len(encoded)), so per-segment local bit budgets
+    stay in int32 regardless of stream size.  Returns (syms (n_sym,)
+    i32 device, ok bool device) like decode_bits_core."""
+    R = bucket_rows(total_bits)
+    assert R > seg_rows, "use decode_bits_core inside the envelope"
+    w = pad_words_to_bucket(np.asarray(words, np.uint32), R)
+    seg_bits = seg_rows * 128 * F_BITS
+    seg_words = seg_rows * 128 * (F_BITS // 32)
+    n_seg = -(-R // seg_rows)
+    # per-segment output bucket: a valid stream emits <= n_sym total,
+    # and any segment's emissions are also bounded by its bit budget
+    WR = (F_BITS + 128 + 1023) // 1024 + 1
+    per_cap = min(n_sym + F_BITS // 8, seg_bits)
+    R8 = (per_cap + 1023) // 1024 + WR
+    R8 = 1 << (R8 - 1).bit_length()
+    out = jnp.zeros(n_sym + R8 * 1024 + 8, jnp.uint32)
+    offset = jnp.zeros((), jnp.int32)
+    carry = jnp.zeros((), jnp.int32)          # root
+    total_cnt = jnp.zeros((), jnp.int32)
+    ok_all = jnp.asarray(True)
+    trans_d = jnp.asarray(trans)
+    for s in range(n_seg):
+        start_bits = s * seg_bits
+        if start_bits >= total_bits:
+            break
+        tb_local = np.int32(min(total_bits - start_bits, seg_bits))
+        wseg = jnp.asarray(w[s * seg_words:(s + 1) * seg_words])
+        syms_s, cnt_s, exit_s, ok_s = _seg_core(
+            wseg, trans_d, jnp.asarray([tb_local], jnp.int32), carry,
+            seg_rows, R8, interpret=interpret, p_bits=p_bits)
+        out = jax.lax.dynamic_update_slice(out, syms_s, (offset,))
+        offset = offset + cnt_s
+        total_cnt = total_cnt + cnt_s
+        carry = exit_s
+        ok_all = ok_all & ok_s
+    ok = (ok_all & (total_cnt >= jnp.int32(n_sym))
+          & (total_cnt <= jnp.int32(n_sym + 7)))
+    return out[:n_sym].astype(jnp.int32), ok

@@ -1082,6 +1082,18 @@ def _encode_device(work_dev, vshape, dstr, dbl, cache, pt_dev, tbl_dev,
             # raw, gpu, ...) must keep the gather path or hi + lo would
             # silently diverge from take(ptable, st)
             stair = None
+        if (stair is None and stair_key is not None and _stair_enabled()
+                and be not in ("cpu", "raw")):
+            # surface the ~4.5x slower per-step gather fallback (large
+            # interval counts / non-stairstep tables) instead of
+            # silently degrading — visible in traces and stats
+            import warnings
+
+            warnings.warn(
+                f"MSST19 float wavefront: stairstep lookup unavailable "
+                f"for intervals={stair_key[0]} (cap "
+                f"{STAIR_MAX_STATES // 2}); using the ~4.5x slower "
+                f"gather path", RuntimeWarning, stacklevel=2)
         exact = be in ("cpu", "raw")   # true-f64 backends: CI-gated
         if npl == 1:
             return (*_encode_device_wf2(work_dev, vshape, dstr, dbl,
@@ -1298,25 +1310,38 @@ def _decode_device(t_dev, unpred_pad, ptable, vshape, dstr, dbl, be,
 # 16 GB part).
 DEVICE_MAX_POINTS = 1 << 24
 SOFT_MAX_POINTS = 1 << 27       # covers the 512^3 flagship config
+AUTO_MIN_SIZE = 1 << 18         # same floor as api._AUTO_JAX_MIN_SIZE
 
 
 def device_ok(engine: str, dtype, ndim: int, n: int,
               device_out: bool = False) -> bool:
-    """Explicit engine="jax" routes MSST19 to the device; float64 only
-    on the CPU backend.  Unlike the regression/classic engines, "auto"
-    never selects this engine yet (see auto_device_ok for the planned
-    crossover).  On emulated-f64 backends the 3D f32 route is the
-    softf64 wavefront — bit-exact by construction, sized for the
-    512^3 flagship (SOFT_MAX_POINTS); other routes keep the float
-    wavefront with verify-and-fallback under DEVICE_MAX_POINTS."""
-    if engine != "jax" or ndim not in (2, 3):
+    """Route MSST19 to the device engine?  Explicit engine="jax"
+    always (float64 only on the CPU backend).  "auto" now selects the
+    device too — the Pallas softf64 wavefront measured 1.5-2.8 GB/s
+    per chip vs the ~100 MB/s host codec (BASELINE.md round 5) — under
+    the same conditions as the regression/classic engines: a real
+    accelerator attached, the guaranteed-parity softf64 route covering
+    the config, n >= AUTO_MIN_SIZE, and host-resident IO not behind a
+    link-bound tunnel (device-resident IO always qualifies).  On
+    emulated-f64 backends the 3D f32 route is the softf64 wavefront —
+    bit-exact by construction, sized for the 512^3 flagship
+    (SOFT_MAX_POINTS); other routes keep the float wavefront with
+    verify-and-fallback under DEVICE_MAX_POINTS."""
+    if engine not in ("jax", "auto") or ndim not in (2, 3):
         return False
     backend = jax.default_backend()
     if np.dtype(dtype) == np.float64 and backend != "cpu":
         return False
+    soft = soft_policy(backend, ndim == 3,
+                       np.dtype(dtype).str.lstrip("<>="))
+    if engine == "auto":
+        if backend == "cpu" or not soft or n < AUTO_MIN_SIZE:
+            return False
+        if not device_out:
+            from sz_tpu import api
+            if api._link_bound_accelerator():
+                return False
     if backend != "cpu":
-        soft = soft_policy(backend, ndim == 3,
-                           np.dtype(dtype).str.lstrip("<>="))
         cap = SOFT_MAX_POINTS if soft else DEVICE_MAX_POINTS
         if n > cap:
             return False

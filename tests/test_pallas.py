@@ -401,3 +401,29 @@ def test_fsm_decode_bits():
                                       interpret=True)
     assert bool(ok)
     np.testing.assert_array_equal(np.asarray(syms)[:n], types)
+
+
+def test_fsm_decode_segmented():
+    """decode_bits_segmented (the past-2^30-bit pipeline: per-segment
+    record buffers, chunk-entry state carried across segments) must
+    recover the exact stream — forced here with tiny seg_rows so a
+    small stream crosses several segment boundaries."""
+    from sz_tpu.format import huffman
+    from sz_tpu.tpu import fsm_kernel as fsm
+
+    rng = np.random.default_rng(31)
+    n, nstate = 700_000, 300
+    p = 1.0 / np.arange(1, nstate + 1) ** 1.4
+    types = rng.choice(np.arange(nstate), size=n,
+                       p=p / p.sum()).astype(np.int32)
+    tables = huffman.build_tables(types, nstate)
+    enc = huffman.encode(tables, types)
+    pad = (-len(enc)) % 4
+    words = np.frombuffer(enc + b"\0" * pad, ">u4").astype(np.uint32)
+    trans = fsm.build_trans(tables.L, tables.R, tables.C, tables.T)
+    total_bits = len(enc) * 8
+    assert fsm.bucket_rows(total_bits) > 1   # multiple segments
+    syms, ok = fsm.decode_bits_segmented(words, trans, total_bits, n,
+                                         seg_rows=1, interpret=True)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(syms)[:n], types)

@@ -70,14 +70,48 @@ def test_msst19_device_ok_policy():
 
 
 def test_msst19_device_size_envelope(monkeypatch):
-    """On accelerator backends the MSST19 device engine only takes
-    arrays inside its certified parity envelope (f64-emulation tie
-    cascades past 2^24 points; larger arrays go to the host codec or
-    shard through parallel.slab)."""
+    """On accelerator backends the 3D f32 route (softf64 wavefront,
+    bit-exact by construction) covers the 512^3 flagship
+    (SOFT_MAX_POINTS); routes without the guaranteed-parity path —
+    e.g. 2D f32, whose C kernel chains in f32 — keep the old float
+    envelope (DEVICE_MAX_POINTS) with verify-and-fallback."""
     import numpy as np
 
     from sz_tpu.tpu import msst19_engine as me
     monkeypatch.setattr(me.jax, "default_backend", lambda: "tpu")
-    assert me.device_ok("jax", np.float32, 3, me.DEVICE_MAX_POINTS)
+    assert me.device_ok("jax", np.float32, 3, me.SOFT_MAX_POINTS)
+    assert not me.device_ok("jax", np.float32, 3,
+                            me.SOFT_MAX_POINTS + 1)
+    assert me.device_ok("jax", np.float32, 2, me.DEVICE_MAX_POINTS)
+    assert not me.device_ok("jax", np.float32, 2,
+                            me.DEVICE_MAX_POINTS + 1)
+    monkeypatch.setenv("SZ_TPU_MSST19_SOFT", "0")
     assert not me.device_ok("jax", np.float32, 3,
                             me.DEVICE_MAX_POINTS + 1)
+
+
+def test_msst19_auto_routing(monkeypatch):
+    """engine="auto" picks the MSST19 device engine on accelerator
+    backends for large 3D f32 arrays via the guaranteed-parity softf64
+    route (measured 1.5-2.8 GB/s/chip vs ~100 MB/s host), under the
+    same link-bound guard as the other engines."""
+    import numpy as np
+
+    from sz_tpu import api
+    from sz_tpu.tpu import msst19_engine as me
+
+    # CPU backend: auto never routes to the device
+    assert not me.device_ok("auto", np.float32, 3, 1 << 24)
+    monkeypatch.setattr(me.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(api, "_link_bound_accelerator", lambda: False)
+    assert me.device_ok("auto", np.float32, 3, 1 << 24)
+    assert not me.device_ok("auto", np.float32, 3,
+                            me.AUTO_MIN_SIZE - 1)
+    # 2D f32 has no guaranteed-parity route: auto stays on the host
+    assert not me.device_ok("auto", np.float32, 2, 1 << 22)
+    # link-bound tunnel: host-resident IO stays on the host codec,
+    # device-resident IO still routes
+    monkeypatch.setattr(api, "_link_bound_accelerator", lambda: True)
+    assert not me.device_ok("auto", np.float32, 3, 1 << 24)
+    assert me.device_ok("auto", np.float32, 3, 1 << 24,
+                        device_out=True)
