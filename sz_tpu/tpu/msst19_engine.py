@@ -896,11 +896,14 @@ WF_SOFT_STEP_BUDGET = 24 << 20   # step-points per dispatch (the soft
 
 def soft_policy(be: str, dbl: bool, dstr: str) -> bool:
     """True when the MSST19 device route should use the softf64
-    wavefront.  Default: emulated-f64 backends only (true-f64 backends
-    are already bit-exact on the float chain and faster there);
+    wavefront — 3D f32 (f64 chains) AND 2D f32 (the reference's
+    single-precision chain quirk, predict_bits_2d).  Default:
+    emulated-f64 backends only (true-f64 backends are already
+    bit-exact on the float chain and faster there);
     SZ_TPU_MSST19_SOFT=1 forces it everywhere (parity tests), =0
-    disables (reverts to verify-and-fallback on emulated backends)."""
-    if dstr != "f4" or not dbl:
+    disables (reverts to verify-and-fallback on emulated backends).
+    f64 data rides the CPU backend and never reaches this."""
+    if dstr != "f4":
         return False
     env = eng._os.environ.get("SZ_TPU_MSST19_SOFT", "auto").lower()
     if env in ("0", "off", "false"):
@@ -923,14 +926,14 @@ def kernel_policy(be: str) -> bool:
 
 
 def _encode_device_soft(work_dev, vshape, cache, tbl_dev, req_length,
-                        be, stair_key):
+                        be, stair_key, dbl: bool = True):
     """Soft-wavefront encode driver -> (t_stream, hist, esc, iters).
     One Pallas dispatch when the kernel covers (shape, table); the
     chunked XLA scan otherwise — both softf64, both host-bit-exact."""
     from sz_tpu.tpu import msst19_soft as ms
 
     r1, r2, r3 = vshape
-    if kernel_policy(be):
+    if dbl and kernel_policy(be):
         from sz_tpu.tpu import msst19_kernel as mk
         if mk.supported(vshape, *stair_key):
             t_flat = mk.encode(work_dev, vshape, stair_key,
@@ -944,12 +947,27 @@ def _encode_device_soft(work_dev, vshape, cache, tbl_dev, req_length,
     bits_mag = (jax.lax.bitcast_convert_type(
         work_dev.reshape(vshape), jnp.uint32) & jnp.uint32(0x7FFFFFFF))
     ign = jnp.uint32(max(32 - int(req_length), 0))
-    er = ms.esc_recon_bits(bits_mag, ign)
-    d_sh = _shear3(bits_mag)
-    er_sh = _shear3(er)
     pte = jax.device_put(tabs.pt_e)
     pth = jax.device_put(tabs.pt_mh)
     ptl = jax.device_put(tabs.pt_ml)
+    if not dbl:
+        # 2D DATA (vshape (1, r2, r3)): the reference's single-
+        # precision chain over sheared k-lines.  (3D data with r1 == 1
+        # keeps the f64 chains and the 3D shear path below.)
+        p_sh = _shear0_by(bits_mag.reshape(r2, r3), 1)
+        er_sh = ms.esc_recon_bits(p_sh, ign)
+        st_lines = ms.wf2_soft_encode_fn(r2, r3, tabs.bits,
+                                         tabs.base_index,
+                                         tabs.top_index, be)(
+            p_sh, er_sh, tbl_dev, pte, pth, ptl)
+        t = _unshear0_by(st_lines, 1, r2)
+        n = r2 * r3
+        t_stream, hist, esc = _enc_epilogue_fn(n, be)(
+            t.reshape(-1), work_dev.reshape(-1))
+        return t_stream, hist, esc, [jnp.asarray(1)]
+    er = ms.esc_recon_bits(bits_mag, ign)
+    d_sh = _shear3(bits_mag)
+    er_sh = _shear3(er)
     G = max(1, WF_SOFT_STEP_BUDGET // max(r2 * r3, 1))
     c1 = c2 = c3 = jnp.zeros((r2, r3), jnp.uint32)
     chunks = []
@@ -994,14 +1012,14 @@ def _dec_stage_soft_fn(vshape: tuple, backend: str = "cpu"):
 
 
 def _decode_device_soft(t_dev, unpred_pad, ptable, vshape, be,
-                        stair_key=None):
+                        stair_key=None, dbl: bool = True):
     """Soft-wavefront decode driver -> flat f32 reconstruction
     (pre-restore), bit-exact with the host's true-f64 replay.  One
     Pallas dispatch when the kernel covers (shape, table)."""
     from sz_tpu.tpu import msst19_soft as ms
 
     r1, r2, r3 = vshape
-    if stair_key is not None and kernel_policy(be):
+    if dbl and stair_key is not None and kernel_policy(be):
         from sz_tpu.tpu import msst19_kernel as mk
         if mk.supported(vshape, *stair_key):
             unpred_bits = np.ascontiguousarray(
@@ -1019,6 +1037,13 @@ def _decode_device_soft(t_dev, unpred_pad, ptable, vshape, be,
         unpred_pad, np.float32).view(np.uint32)
     t_lat, kv_lat = _dec_stage_soft_fn(vshape, be)(
         t_dev, jax.device_put(unpred_bits))
+    if not dbl:
+        t_sh2 = _shear0_by(t_lat.reshape(r2, r3), 1)
+        kv_sh2 = _shear0_by(kv_lat.reshape(r2, r3), 1)
+        out_lines = ms.wf2_soft_decode_fn(r2, r3, be)(
+            t_sh2, kv_sh2, pte, pth, ptl)
+        out_bits = _unshear0_by(out_lines, 1, r2).reshape(r2 * r3)
+        return jax.lax.bitcast_convert_type(out_bits, jnp.float32)
     t_sh = _shear3(t_lat)
     kv_sh = _shear3(kv_lat)
     G = max(1, WF_SOFT_STEP_BUDGET // max(r2 * r3, 1))
@@ -1069,7 +1094,7 @@ def _encode_device(work_dev, vshape, dstr, dbl, cache, pt_dev, tbl_dev,
             and soft_policy(be, dbl, dstr)):
         t_stream, hist, esc, iters = _encode_device_soft(
             work_dev, vshape, cache, tbl_dev, req_length, be,
-            stair_key)
+            stair_key, dbl)
         return t_stream, hist, esc, iters, True
     if _wf_enabled():
         stair = (_stair_pack(stair_key[0], stair_key[1], stair_key[2])
@@ -1272,7 +1297,7 @@ def _decode_device(t_dev, unpred_pad, ptable, vshape, dstr, dbl, be,
     npl, r2, r3 = vshape
     if _wf_enabled() and soft_policy(be, dbl, dstr):
         return _decode_device_soft(t_dev, unpred_pad, ptable, vshape,
-                                   be, stair_key)
+                                   be, stair_key, dbl)
     if _wf_enabled():
         return _decode_device_wf(t_dev, unpred_pad, ptable, vshape,
                                  dstr, dbl, be)
@@ -1335,7 +1360,10 @@ def device_ok(engine: str, dtype, ndim: int, n: int,
     soft = soft_policy(backend, ndim == 3,
                        np.dtype(dtype).str.lstrip("<>="))
     if engine == "auto":
-        if backend == "cpu" or not soft or n < AUTO_MIN_SIZE:
+        # 3D only: that route has the Pallas wavefront kernel (the
+        # 2D soft path is a guaranteed-parity XLA scan — correct but
+        # dispatch-bound, so auto keeps 2D on the host codec)
+        if backend == "cpu" or not soft or ndim != 3 or n < AUTO_MIN_SIZE:
             return False
         if not device_out:
             from sz_tpu import api

@@ -190,6 +190,35 @@ def predict_bits(m1, m2, m3, m4, d1, d2, d3):
     return pred, any_nf | den_zero
 
 
+def predict_bits_2d(m1, m2, d1):
+    """2D float chain: pred = f32(f32(m1*m2) / d1) — the reference's
+    2D float MSST19 kernel chains in SINGLE precision (sz_float.c
+    quirk; the 3D kernel's `double temp` chains do not apply).  The
+    multiply is the exact RN24 product (soft, so TPU subnormal
+    flushing can never leak in), the divide is the correctly rounded
+    soft f32 division.  Unused factors are exactly 1.0."""
+    e1, q1, f1 = _up(m1)
+    e2, q2, f2 = _up(m2)
+    g1, p1, h1 = _up(d1)
+    prod = sf.pack_f32_rn(*sf.mul24_exact(e1, q1, e2, q2))
+    pe, pm, pnf = _up(prod)
+    pred = sf.div24_f32_rn(pe, pm, g1, p1)
+    force = f1 | f2 | h1 | pnf | (p1 == _u(0))
+    return pred, force
+
+
+def select_operands_2d(row0, col0, k1, A, Bv, A2k, Dg, one):
+    """Per-lane (m1, m2, d1) for the 2D chain.  Cases (j = d-k):
+    j0&k0 forced escape | j0&k1 -> A | j0 -> A*A/A2k | k0 -> Bv |
+    else A*Bv/Dg."""
+    j0r = row0 & ~col0 & ~k1
+    int2 = ~row0 & ~col0
+    m1 = jnp.where(row0 & col0, one, jnp.where(col0, Bv, A))
+    m2 = jnp.where(j0r, A, jnp.where(int2, Bv, one))
+    d1 = jnp.where(j0r, A2k, jnp.where(int2, Dg, one))
+    return m1, m2, d1
+
+
 def esc_recon_bits(cur_bits, ign):
     """Raw-mode escape reconstruction magnitude: binary truncation of
     the |cur| bits (MSST19 ExactEncoder, no median offset).  ign =
@@ -362,6 +391,118 @@ def wf3_soft_encode_fn(G: int, r1: int, r2: int, r3: int, bits_n: int,
         (c1, c2, c3, _s), st_sl = jax.lax.scan(
             step, (c1, c2, c3, base), (d_sl, er_sl))
         return st_sl, c1, c2, c3
+
+    return eng._strict_jit(f, backend)
+
+
+def _shift1(x):
+    return jnp.pad(x, (1, 0))[:-1]
+
+
+def _shift2(x):
+    return jnp.pad(x, (2, 0))[:-2]
+
+
+@functools.lru_cache(maxsize=32)
+def wf2_soft_encode_fn(r2: int, r3: int, bits_n: int, base_index: int,
+                       top_index: int, backend: str = "cpu"):
+    """2D softf64 wavefront over sheared k-LINES (r2+r3-1, r3): the
+    2D float chain (predict_bits_2d) with the row-0 escape/prev/lin
+    rules INLINE — no pinned first row.  (d lines |bits|, er lines,
+    table_flat, pte, pth, ptl) -> st lines i32.  Guaranteed host
+    parity by construction (the last empirical route closed)."""
+    from sz_tpu.tpu import engine as eng
+
+    S2 = r2 + r3 - 1
+    kk = jnp.arange(r3)
+    one = jnp.full((r3,), ONE_BITS, jnp.uint32)
+    col0m = kk == 0
+    k1m = kk == 1
+
+    def f(d_lines, er_lines, table_flat, pte, pth, ptl):
+        def st_key(ratio_bits):
+            return key_from_f32_bits(ratio_bits, base_index, top_index,
+                                     bits_n)
+
+        def st_search(key, okk):
+            idx = jnp.clip(key, 0, table_flat.shape[0] - 1)
+            return jnp.where(okk,
+                             jnp.take(table_flat, idx).astype(_I32),
+                             _i(0))
+
+        def pt_take(st):
+            return (jnp.take(pte, st), jnp.take(pth, st),
+                    jnp.take(ptl, st))
+
+        def step(carry, xs):
+            p1, p2l, d_idx = carry
+            dl, erl = xs
+            jrow = d_idx - kk
+            valid = (jrow >= 0) & (jrow < r2)
+            row0 = kk == d_idx
+            A = _shift1(p1)
+            Bv = p1
+            Dg = _shift1(p2l)
+            A2k = _shift2(p2l)
+            m1, m2, d1 = select_operands_2d(row0, col0m, k1m, A, Bv,
+                                            A2k, Dg, one)
+            pred, force = predict_bits_2d(m1, m2, d1)
+            first = row0 & col0m
+            st, rec = quant_bits(dl, pred, force | first, erl,
+                                 (st_key, st_search), pt_take)
+            st = jnp.where(valid, st, _i(0))
+            rec = jnp.where(valid, rec, _u(0))
+            return (rec, p1, d_idx + 1), st
+
+        z = jnp.zeros((r3,), jnp.uint32)
+        _, st_lines = jax.lax.scan(
+            step, (z, z, jnp.asarray(0, jnp.int32)),
+            (d_lines[:S2], er_lines[:S2]))
+        return st_lines
+
+    return eng._strict_jit(f, backend)
+
+
+@functools.lru_cache(maxsize=32)
+def wf2_soft_decode_fn(r2: int, r3: int, backend: str = "cpu"):
+    """2D softf64 decode wavefront: (t lines i32, kv lines u32 signed
+    bits, pte, pth, ptl) -> out lines u32 signed bits."""
+    from sz_tpu.tpu import engine as eng
+
+    S2 = r2 + r3 - 1
+    kk = jnp.arange(r3)
+    one = jnp.full((r3,), ONE_BITS, jnp.uint32)
+    col0m = kk == 0
+    k1m = kk == 1
+
+    def f(t_lines, kv_lines, pte, pth, ptl):
+        def step(carry, xs):
+            p1, p2l, d_idx = carry
+            tl, kvl = xs
+            jrow = d_idx - kk
+            valid = (jrow >= 0) & (jrow < r2)
+            row0 = kk == d_idx
+            A = _shift1(p1)
+            Bv = p1
+            Dg = _shift1(p2l)
+            A2k = _shift2(p2l)
+            m1, m2, d1 = select_operands_2d(row0, col0m, k1m, A, Bv,
+                                            A2k, Dg, one)
+            pred, _force = predict_bits_2d(m1, m2, d1)
+            val = recon_bits(pred, jnp.take(pte, tl),
+                             jnp.take(pth, tl), jnp.take(ptl, tl))
+            esc = tl == _i(0)
+            out = jnp.where(esc, kvl, val)
+            rec = jnp.where(esc, kvl & _u(0x7FFFFFFF), val)
+            out = jnp.where(valid, out, _u(0))
+            rec = jnp.where(valid, rec, _u(0))
+            return (rec, p1, d_idx + 1), out
+
+        z = jnp.zeros((r3,), jnp.uint32)
+        _, out_lines = jax.lax.scan(
+            step, (z, z, jnp.asarray(0, jnp.int32)),
+            (t_lines[:S2], kv_lines[:S2]))
+        return out_lines
 
     return eng._strict_jit(f, backend)
 

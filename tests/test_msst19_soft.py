@@ -28,6 +28,10 @@ def soft_forced(monkeypatch):
     ((33, 1, 17), 17, False),      # degenerate middle axis
     ((1, 40, 30), 19, False),      # single plane through the 3D path
     ((17, 7, 5), 23, False),
+    ((48, 37), 29, False),         # 2D: the single-precision chain
+    ((52, 44), 31, True),          # 2D signed
+    ((2, 2), 37, False),
+    ((1, 40), 41, False),
 ])
 def test_soft_encode_decode_parity(soft_forced, shape, seed, signed):
     from sz_tpu.tpu import msst19_engine as me

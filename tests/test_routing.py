@@ -70,11 +70,12 @@ def test_msst19_device_ok_policy():
 
 
 def test_msst19_device_size_envelope(monkeypatch):
-    """On accelerator backends the 3D f32 route (softf64 wavefront,
-    bit-exact by construction) covers the 512^3 flagship
-    (SOFT_MAX_POINTS); routes without the guaranteed-parity path —
-    e.g. 2D f32, whose C kernel chains in f32 — keep the old float
-    envelope (DEVICE_MAX_POINTS) with verify-and-fallback."""
+    """On accelerator backends the f32 routes (softf64 wavefronts —
+    f64 chains for 3D, the single-precision chain for 2D — bit-exact
+    by construction) cover the 512^3 flagship (SOFT_MAX_POINTS); with
+    the soft path disabled, the empirical float wavefront keeps its
+    smaller certified envelope (DEVICE_MAX_POINTS) with
+    verify-and-fallback."""
     import numpy as np
 
     from sz_tpu.tpu import msst19_engine as me
@@ -82,11 +83,12 @@ def test_msst19_device_size_envelope(monkeypatch):
     assert me.device_ok("jax", np.float32, 3, me.SOFT_MAX_POINTS)
     assert not me.device_ok("jax", np.float32, 3,
                             me.SOFT_MAX_POINTS + 1)
-    assert me.device_ok("jax", np.float32, 2, me.DEVICE_MAX_POINTS)
-    assert not me.device_ok("jax", np.float32, 2,
-                            me.DEVICE_MAX_POINTS + 1)
+    assert me.device_ok("jax", np.float32, 2, me.SOFT_MAX_POINTS)
     monkeypatch.setenv("SZ_TPU_MSST19_SOFT", "0")
+    assert me.device_ok("jax", np.float32, 3, me.DEVICE_MAX_POINTS)
     assert not me.device_ok("jax", np.float32, 3,
+                            me.DEVICE_MAX_POINTS + 1)
+    assert not me.device_ok("jax", np.float32, 2,
                             me.DEVICE_MAX_POINTS + 1)
 
 
