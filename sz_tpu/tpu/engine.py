@@ -89,6 +89,21 @@ def _pallas_mode() -> str:
 # run in slow interpret mode on XLA:CPU, so "auto" enables them only on
 # real accelerator backends; "force" opts CPU in (parity tests).
 
+def _quant_wf_mode() -> bool:
+    """SZ_TPU_QUANT_WF (0|1): rank-3 quantize/decode by the
+    anti-diagonal wavefront kernel (one pass, tpu/wf_quantize.py)
+    instead of the plane fixpoint (~15 sweeps).  DEFAULT OFF: the
+    clean A/B on v5e at 256^3 measured the wavefront chain at
+    78.9 ms encode / 41.2 ms decode vs the fixpoint's 62.4 / 28.4 —
+    the shear transposes of five lattice-sized arrays cost more than
+    the sweep savings for this cheap additive kernel (they pay off
+    for MSST19, whose per-point soft-f64 compute is ~20x heavier).
+    The kernel stays available (bit-exact, parity-tested) for
+    PCIe-class hosts or future fused-shear work."""
+    v = _os.environ.get("SZ_TPU_QUANT_WF", "0").lower()
+    return v in ("1", "on", "force", "auto-on")
+
+
 def pack2_policy(backend: str) -> bool:
     """Gather-free padded-stream epilogue + fully in-kernel Huffman
     pack (SZ_TPU_PACK2: auto|force|0)."""
@@ -870,10 +885,29 @@ def _quantize_fn(shape: tuple, dtype_str: str, block_size: int,
                      and (mode == "force"
                           or (mode == "auto"
                               and backend not in ("cpu", "raw"))))
-        use_pallas = pallas_ok and pad_plane <= plane_cap
-        use_strip = (pallas_ok and not use_pallas
+        # rank-3 f32: the anti-diagonal WAVEFRONT kernel computes every
+        # point ONCE in dependency order (tpu/wf_quantize.py) instead
+        # of ~15 fixpoint sweeps — bit-identical streams, ~1/5 the
+        # arithmetic.  Sheared buffers are ~3x the lattice (5 arrays),
+        # so very large fields keep the plane/strip kernels.
+        wf_cap = int(_os.environ.get("SZ_TPU_QUANT_WF_MAX",
+                                     96 * 1024 * 1024))
+        use_wf = (pallas_ok and rank == 3 and _quant_wf_mode()
+                  and (sum(shape) - 2) * nyp8 * nzp <= wf_cap)
+        if use_wf:
+            from sz_tpu.tpu import wf_quantize as _wfq
+            mm = mean_mask if use_mean else reg_pts
+            t, R, iters = _wfq.wavefront_quantize(
+                data, t_reg, rec_reg, reg_pts, mm, rp, recip, cap_szf,
+                radius, mean, use_mean=use_mean,
+                interpret=backend in ("cpu", "raw"),
+                want_R=False)   # compress never consumes R
+        use_pallas = (not use_wf) and pallas_ok and pad_plane <= plane_cap
+        use_strip = ((not use_wf) and pallas_ok and not use_pallas
                      and pad_plane <= strip_cap)
-        if use_pallas or use_strip:
+        if use_wf:
+            pass   # wavefront already produced (t, R, iters) above
+        elif use_pallas or use_strip:
             # ONE Pallas dispatch for the whole plane-fixpoint stage:
             # the XLA scan-of-while below issues ~(sweeps x nx) tiny
             # kernels, which is launch-overhead-bound on TPU; the Pallas
@@ -1582,6 +1616,25 @@ def _decode_fn(shape: tuple, dtype_str: str, block_size: int,
         known = jnp.where(esc, unpred_lat,
                           jnp.where(reg_pts, reg_val,
                                     jnp.asarray(mean, T)))
+
+        nyp8d = -(-shape[-2] // 8) * 8 if rank >= 2 else 0
+        nzpd = -(-shape[-1] // 128) * 128 if rank >= 2 else 0
+        wf_cap = int(_os.environ.get("SZ_TPU_QUANT_WF_MAX",
+                                     96 * 1024 * 1024))
+        dec_mode = _os.environ.get("SZ_TPU_PALLAS", "auto").lower()
+        if (rank == 3 and T == jnp.float32 and _quant_wf_mode()
+                and (dec_mode == "force"
+                     or (dec_mode == "auto"
+                         and backend not in ("cpu", "raw")))
+                and (sum(shape) - 2) * nyp8d * nzpd <= wf_cap):
+            # ONE wavefront dispatch (see the encode-side note): each
+            # point reconstructed once in dependency order, bit-equal
+            # to the fixpoint stable point
+            from sz_tpu.tpu import wf_quantize as _wfq
+            R = _wfq.wavefront_decode(
+                known_mask, known, q_lor,
+                interpret=backend in ("cpu", "raw"))
+            return R, jnp.asarray(1)
 
         if rank == 3:
             # plane-scan reconstruction: the x-recurrence is strictly

@@ -952,8 +952,19 @@ def _encode_device_soft(work_dev, vshape, cache, tbl_dev, req_length,
     ptl = jax.device_put(tabs.pt_ml)
     if not dbl:
         # 2D DATA (vshape (1, r2, r3)): the reference's single-
-        # precision chain over sheared k-lines.  (3D data with r1 == 1
-        # keeps the f64 chains and the 3D shear path below.)
+        # precision chain over sheared k-lines — the Pallas line
+        # kernel when it covers the config, else the XLA line scan
+        # (both host-bit-exact by construction).  3D data with r1 == 1
+        # keeps the f64 chains and the 3D shear path below.
+        if kernel_policy(be):
+            from sz_tpu.tpu import msst19_kernel as mk
+            if mk.supported2d((r2, r3), *stair_key):
+                t_flat = mk.encode2d(work_dev, (r2, r3), stair_key,
+                                     int(req_length), be)
+                n = r2 * r3
+                t_stream, hist, esc = _enc_epilogue_fn(n, be)(
+                    t_flat, work_dev.reshape(-1))
+                return t_stream, hist, esc, [jnp.asarray(1)]
         p_sh = _shear0_by(bits_mag.reshape(r2, r3), 1)
         er_sh = ms.esc_recon_bits(p_sh, ign)
         st_lines = ms.wf2_soft_encode_fn(r2, r3, tabs.bits,
@@ -1038,6 +1049,13 @@ def _decode_device_soft(t_dev, unpred_pad, ptable, vshape, be,
     t_lat, kv_lat = _dec_stage_soft_fn(vshape, be)(
         t_dev, jax.device_put(unpred_bits))
     if not dbl:
+        if stair_key is not None and kernel_policy(be):
+            from sz_tpu.tpu import msst19_kernel as mk
+            if mk.supported2d((r2, r3), *stair_key):
+                out_bits = mk.decode2d(t_lat, kv_lat, (r2, r3),
+                                       stair_key, be)
+                return jax.lax.bitcast_convert_type(out_bits,
+                                                    jnp.float32)
         t_sh2 = _shear0_by(t_lat.reshape(r2, r3), 1)
         kv_sh2 = _shear0_by(kv_lat.reshape(r2, r3), 1)
         out_lines = ms.wf2_soft_decode_fn(r2, r3, be)(

@@ -457,3 +457,208 @@ def ms_shear3(x):
 def ms_unshear3(y, r1, r2, r3):
     from sz_tpu.tpu import msst19_engine as me
     return me._unshear3(y, r1, r2, r3)
+
+
+# ---------------------------------------------------------------------------
+# 2D LINE wavefront kernel.  2D float data uses the reference's
+# single-precision chain (predict_bits_2d) over anti-diagonal k-LINES
+# (d = j+k); a line is at most min(r2, r3) points, so the (1, r3) line
+# shape would waste 7/8 sublanes — each line is instead laid out as an
+# (8, W) tile with k = sub*W + lane (W = r3p/8, lane-dim padded to a
+# 128 multiple), giving full-tile VPU occupancy.  k-shifts then roll
+# lanes with a sublane-boundary fix.  Carries (lines d-1, d-2) live in
+# a rotating (3, 8, W) VMEM scratch.
+# ---------------------------------------------------------------------------
+
+def _kshift1_2d(x, W: int):
+    """y[k] = x[k-1] in the (8, W) k = sub*W + lane layout (k=0 -> 0)."""
+    rolled = pltpu.roll(x, jnp.int32(1), 1)
+    down = pltpu.roll(x, jnp.int32(1), 0)        # row s-1 -> row s
+    lane = jax.lax.broadcasted_iota(_I32, x.shape, 1)
+    row = jax.lax.broadcasted_iota(_I32, x.shape, 0)
+    borrow = jnp.broadcast_to(down[:, W - 1:W], x.shape)
+    y = jnp.where(lane == _i(0), borrow, rolled)
+    return jnp.where((lane == _i(0)) & (row == _i(0)),
+                     jnp.zeros_like(x), y)
+
+
+def _kshift2_2d(x, W: int):
+    return _kshift1_2d(_kshift1_2d(x, W), W)
+
+
+def _make_wf2_kernel(r2: int, r3: int, W: int, R_b: int, Kp: int,
+                     nf_pad: int, bits_n: int, base_index: int,
+                     top_index: int, lo_key: int, hi_key: int,
+                     ign: int, decode: bool):
+    one = np.uint32(ms.ONE_BITS)
+
+    def kernel(blast_ref, b8t_ref, bft_ref, ptp_ref, ptl_ref,
+               in1_ref, in2_ref, out_ref, scr):
+        d_idx = pl.program_id(0)
+
+        @pl.when(d_idx == jnp.int32(0))
+        def _():
+            scr[...] = jnp.zeros_like(scr)
+
+        i1 = (d_idx + _i(3)) & _i(3)
+        i2 = (d_idx + _i(2)) & _i(3)
+        iw = d_idx & _i(3)
+        p1 = scr[i1]
+        p2l = scr[i2]
+
+        A = _kshift1_2d(p1, W)
+        Bv = p1
+        Dg = _kshift1_2d(p2l, W)
+        A2k = _kshift2_2d(p2l, W)
+
+        row = jax.lax.broadcasted_iota(_I32, (8, W), 0)
+        lane = jax.lax.broadcasted_iota(_I32, (8, W), 1)
+        kc = row * _i(W) + lane
+        jrow = d_idx - kc
+        valid = (jrow >= _i(0)) & (jrow < _i(r2)) & (kc < _i(r3))
+        row0 = kc == d_idx
+        col0 = kc == _i(0)
+        k1 = kc == _i(1)
+        onev = jnp.full((8, W), one, _U32)
+        m1, m2, d1 = ms.select_operands_2d(row0, col0, k1, A, Bv,
+                                           A2k, Dg, onev)
+        pred, force = ms.predict_bits_2d(m1, m2, d1)
+
+        if not decode:
+            dl = in1_ref[0]
+            er = ms.esc_recon_bits(dl, _u(ign))
+            first = row0 & col0
+
+            def st_key(ratio_bits):
+                return ms.key_from_f32_bits(ratio_bits, base_index,
+                                            top_index, bits_n)
+
+            def st_search(key, okk):
+                return _stair_state_kernel(key, okk, blast_ref,
+                                           b8t_ref, bft_ref, R_b,
+                                           nf_pad, lo_key, hi_key)
+
+            def pt_take(st):
+                return _pt_lookup_kernel(st, ptp_ref, ptl_ref, Kp)
+
+            st, rec = ms.quant_bits(dl, pred, force | first, er,
+                                    (st_key, st_search), pt_take)
+            st = jnp.where(valid, st, _i(0))
+            rec = jnp.where(valid, rec, _u(0))
+            out_ref[0] = st
+        else:
+            tl = in1_ref[0]
+            kvl = in2_ref[0]
+            pt = _pt_lookup_kernel(tl, ptp_ref, ptl_ref, Kp)
+            val = ms.recon_bits(pred, *pt)
+            esc = tl == _i(0)
+            outv = jnp.where(esc, kvl, val)
+            rec = jnp.where(esc, kvl & _u(0x7FFFFFFF), val)
+            outv = jnp.where(valid, outv, _u(0))
+            rec = jnp.where(valid, rec, _u(0))
+            out_ref[0] = outv
+        scr[iw] = rec
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _wf2_call(r2: int, r3: int, W: int, R_b: int, Kp: int,
+              nf_pad: int, bits_n: int, base_index: int,
+              top_index: int, lo_key: int, hi_key: int, ign: int,
+              decode: bool, interpret: bool):
+    S2 = r2 + r3 - 1
+    kernel = _make_wf2_kernel(r2, r3, W, R_b, Kp, nf_pad, bits_n,
+                              base_index, top_index, lo_key, hi_key,
+                              ign, decode)
+    z = np.int32(0)
+    sl = lambda s: (s, z, z)
+    full = lambda s: (z, z)
+    in_specs = [
+        pl.BlockSpec((R_b,), lambda s: (z,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((16, 128), full),
+        pl.BlockSpec((8, nf_pad), full),
+        pl.BlockSpec((Kp, 128), full),
+        pl.BlockSpec((Kp, 128), full),
+        pl.BlockSpec((1, 8, W), sl),
+        pl.BlockSpec((1, 8, W), sl),
+    ]
+    out_dtype = jnp.uint32 if decode else jnp.int32
+    return pl.pallas_call(
+        kernel,
+        grid=(S2,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 8, W), sl),
+        out_shape=jax.ShapeDtypeStruct((S2, 8, W), out_dtype),
+        scratch_shapes=[pltpu.VMEM((4, 8, W), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def supported2d(shape, intervals: int, ratio: float,
+                plus_bits: int) -> bool:
+    """True when the 2D line kernel covers this (shape, table)."""
+    r2, r3 = shape
+    if r2 < 2 or r3 < 2:
+        return False
+    return kernel_tables(intervals, ratio, plus_bits) is not None
+
+
+def _line_layout(r3: int):
+    """(W, r3p) with r3p = 8*W, W a 128 multiple."""
+    W = max(128, -(-r3 // 8 // 128) * 128)
+    return W, 8 * W
+
+
+def encode2d(work_dev, shape, stair_key, req_length: int, be: str):
+    """2D f32 field (r2, r3) on device -> type lattice i32 flat, via
+    the single-precision soft chain in ONE Pallas dispatch."""
+    from sz_tpu.tpu import msst19_engine as me
+
+    kt = kernel_tables(*stair_key)
+    tabs = kt["tabs"]
+    r2, r3 = shape
+    W, r3p = _line_layout(r3)
+    bits_mag = (jax.lax.bitcast_convert_type(
+        work_dev.reshape(shape), jnp.uint32) & _u(0x7FFFFFFF))
+    p_sh = me._shear0_by(bits_mag, 1)            # (S2, r3)
+    S2 = r2 + r3 - 1
+    p_sh = jnp.pad(p_sh, ((0, 0), (0, r3p - r3))).reshape(S2, 8, W)
+    ign = max(32 - int(req_length), 0)
+    interp = be not in ("tpu",)
+    f = _wf2_call(r2, r3, W, kt["R_b"], kt["Kp"], kt["nf_pad"],
+                  tabs.bits, tabs.base_index, tabs.top_index,
+                  tabs.lo_key, tabs.hi_key, ign, False, interp)
+    st_sh = f(jnp.asarray(kt["blast"]), jnp.asarray(kt["b8t"]),
+              jnp.asarray(kt["bft"]), jnp.asarray(kt["ptp"]),
+              jnp.asarray(kt["ptl"]), p_sh, p_sh)
+    st_lines = st_sh.reshape(S2, r3p)[:, :r3]
+    return me._unshear0_by(st_lines, 1, r2).reshape(r2 * r3)
+
+
+def decode2d(t_lat, kv_lat, shape, stair_key, be: str):
+    """(t lattice i32 (r2,r3), kv u32 signed bits) -> signed f32-bit
+    lattice u32 (pre-restore) via the 2D line kernel."""
+    from sz_tpu.tpu import msst19_engine as me
+
+    kt = kernel_tables(*stair_key)
+    tabs = kt["tabs"]
+    r2, r3 = shape
+    W, r3p = _line_layout(r3)
+    S2 = r2 + r3 - 1
+    t_sh = jnp.pad(me._shear0_by(t_lat.reshape(shape), 1),
+                   ((0, 0), (0, r3p - r3))).reshape(S2, 8, W)
+    kv_sh = jnp.pad(me._shear0_by(kv_lat.reshape(shape), 1),
+                    ((0, 0), (0, r3p - r3))).reshape(S2, 8, W)
+    interp = be not in ("tpu",)
+    f = _wf2_call(r2, r3, W, kt["R_b"], kt["Kp"], kt["nf_pad"],
+                  tabs.bits, tabs.base_index, tabs.top_index,
+                  tabs.lo_key, tabs.hi_key, 0, True, interp)
+    o_sh = f(jnp.asarray(kt["blast"]), jnp.asarray(kt["b8t"]),
+             jnp.asarray(kt["bft"]), jnp.asarray(kt["ptp"]),
+             jnp.asarray(kt["ptl"]), t_sh, kv_sh)
+    o_lines = o_sh.reshape(S2, r3p)[:, :r3]
+    return me._unshear0_by(o_lines, 1, r2).reshape(r2 * r3)

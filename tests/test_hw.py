@@ -142,3 +142,56 @@ def test_hw_msst19_wavefront(tpu):
     o_d = me.decompress(t_h, (n, n, n), np.float32)
     np.testing.assert_array_equal(np.asarray(o_h).view(np.uint32),
                                   np.asarray(o_d).view(np.uint32))
+
+
+def test_hw_msst19_2d(tpu):
+    """2D MSST19 on the chip (single-precision soft chain + line
+    kernel): byte/bit parity with the host — GUARANTEED by
+    construction, so any mismatch is a Mosaic lowering regression."""
+    from sz_tpu.core import pwr
+    from sz_tpu.format import tdps as tdps_mod
+    from sz_tpu.tpu import msst19_engine as me
+
+    KW = dict(max_range_radius=32768, sample_distance=100,
+              pred_threshold=0.99, plus_bits=3)
+    rng = np.random.default_rng(13)
+    x = np.linspace(0.1, 9.3, 300)[:, None]
+    y = np.linspace(0.2, 7.1, 420)[None, :]
+    data = (np.abs(np.exp(np.sin(x) * np.cos(y))
+                   * (1 + 0.05 * rng.standard_normal((300, 420))))
+            + 0.01).astype(np.float32)
+    fmax = data.max()
+    nz = np.abs(data[data != 0]).min()
+    t_h = pwr.compress_msst19(data, 1e-3, fmax, nz, **KW)
+    t_d = me.compress(data, 1e-3, fmax, nz, **KW)
+    assert getattr(t_d, "_device_exact", False)
+    assert tdps_mod.to_bytes(t_h) == tdps_mod.to_bytes(t_d)
+    o_h = pwr.decompress_pwrel(t_h, (300, 420), np.float32)
+    o_d = me.decompress(t_h, (300, 420), np.float32)
+    np.testing.assert_array_equal(np.asarray(o_h).view(np.uint32),
+                                  np.asarray(o_d).view(np.uint32))
+
+
+def test_hw_wavefront_quantize(tpu):
+    """Rank-3 classic/regression wavefront quantize + decode on the
+    chip: byte parity with the numpy oracle through the full engine
+    (the bench's hw_parity gate covers 256^3; this is the suite-level
+    gate at 96^3 with use_mean)."""
+    from sz_tpu.core import regnd
+    from sz_tpu.tpu import engine
+
+    KW = dict(max_range_radius=32768, sample_distance=100,
+              pred_threshold=np.float32(0.99))
+    n = 96
+    rng = np.random.default_rng(17)
+    ax = np.linspace(0, 8 * np.pi, n)
+    xx, yy, zz = np.meshgrid(ax, ax, ax, indexing="ij")
+    data = (np.sin(xx) * np.cos(yy) * np.sin(zz)
+            + 0.1 * rng.standard_normal((n, n, n))).astype(np.float32)
+    res = regnd.compress(data, 1e-3, **KW)
+    blob = engine.compress(data, 1e-3, **KW)
+    assert res.body == blob.body
+    oracle = regnd.decompress(res.body, data.shape, np.float32)
+    out = engine.decompress(res.body, data.shape, np.float32)
+    np.testing.assert_array_equal(np.asarray(out).view(np.uint32),
+                                  oracle.view(np.uint32))

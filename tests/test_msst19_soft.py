@@ -90,6 +90,8 @@ def test_soft_skips_verify(soft_forced, monkeypatch):
     ((9, 11, 13), 5, False),
     ((14, 10, 12), 7, True),
     ((4, 3, 3), 9, False),
+    ((26, 31), 11, False),         # 2D line kernel
+    ((18, 23), 13, True),          # 2D signed
 ])
 def test_kernel_forced_parity(monkeypatch, shape, seed, signed):
     """The Pallas wavefront kernel (interpret mode on this CPU

@@ -403,6 +403,32 @@ def test_fsm_decode_bits():
     np.testing.assert_array_equal(np.asarray(syms)[:n], types)
 
 
+def test_wavefront_quantize_roundtrip(monkeypatch):
+    """The opt-in rank-3 anti-diagonal wavefront (tpu/wf_quantize.py —
+    one pass instead of ~15 fixpoint sweeps; default-off on v5e where
+    the shear transposes outweigh the sweep savings) must keep byte
+    parity on encode and bit parity on decode vs the numpy oracle."""
+    from sz_tpu.core import regnd
+
+    data = np.fromfile(GOLDEN / "synth_f32_64.dat",
+                       dtype="<f4").reshape(64, 64, 64)
+    res = regnd.compress(data, 1e-3, **KW)
+    monkeypatch.setenv("SZ_TPU_QUANT_WF", "1")
+    engine._quantize_fn.cache_clear()
+    engine._decode_fn.cache_clear()
+    try:
+        blob = _compress_with_mode("force", data, 1e-3)
+        assert res.body == blob.body
+        monkeypatch.setenv("SZ_TPU_PALLAS", "force")
+        oracle = regnd.decompress(res.body, data.shape, np.float32)
+        out = engine.decompress(res.body, data.shape, np.float32)
+        np.testing.assert_array_equal(np.asarray(out).view(np.uint32),
+                                      oracle.view(np.uint32))
+    finally:
+        engine._quantize_fn.cache_clear()
+        engine._decode_fn.cache_clear()
+
+
 def test_fsm_decode_segmented():
     """decode_bits_segmented (the past-2^30-bit pipeline: per-segment
     record buffers, chunk-entry state carried across segments) must
