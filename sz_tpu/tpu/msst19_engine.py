@@ -1378,10 +1378,11 @@ def device_ok(engine: str, dtype, ndim: int, n: int,
     soft = soft_policy(backend, ndim == 3,
                        np.dtype(dtype).str.lstrip("<>="))
     if engine == "auto":
-        # 3D only: that route has the Pallas wavefront kernel (the
-        # 2D soft path is a guaranteed-parity XLA scan — correct but
-        # dispatch-bound, so auto keeps 2D on the host codec)
-        if backend == "cpu" or not soft or ndim != 3 or n < AUTO_MIN_SIZE:
+        # both ranks have Pallas wavefront kernels now: 3D slices at
+        # 951-2800 MB/s/chip, the 2D line kernel at ~960 MB/s/chip on
+        # an 1800x3600 field vs the ~260 MB/s host codec (BASELINE.md
+        # round 5) — auto routes like the other engines
+        if backend == "cpu" or not soft or n < AUTO_MIN_SIZE:
             return False
         if not device_out:
             from sz_tpu import api

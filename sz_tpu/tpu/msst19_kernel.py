@@ -142,8 +142,17 @@ def kernel_tables(intervals: int, ratio: float, plus_bits: int):
 # in-kernel lookups
 # ---------------------------------------------------------------------------
 
-def _bcast_row(row128, rows: int):
-    return jnp.broadcast_to(row128.reshape(1, 128), (rows, 128))
+def _bcast_row(row128, shape):
+    """Broadcast a 128-entry table row to a gather operand of the
+    POINT-TILE's shape: Mosaic's gather lowering requires idx.shape ==
+    operand.shape, so rows pad with zeros past lane 127 (indices are
+    always < 128)."""
+    rows, width = shape
+    r = row128.reshape(1, 128)
+    if width > 128:
+        r = jnp.concatenate(
+            [r, jnp.zeros((1, width - 128), row128.dtype)], axis=1)
+    return jnp.broadcast_to(r, (rows, width))
 
 
 def _stair_state_kernel(key, okk, blast_ref, b8t_ref, bft_ref,
@@ -152,14 +161,14 @@ def _stair_state_kernel(key, okk, blast_ref, b8t_ref, bft_ref,
     """state = count(bounds <= key): 3-level counting search.  The
     bounds rows are padded with INT32_MAX, so partially-filled rows and
     groups count correctly without edge cases (keys < 2^24 < pad)."""
-    rows = key.shape[0]
+    shp = key.shape
     w = jnp.zeros_like(key)
     for r in range(R_b):
         w = w + (key >= blast_ref[r]).astype(_I32)
     wc = jnp.minimum(w, _i(R_b - 1))
     g = jnp.zeros_like(key)
     for gi in range(16):
-        bg = _pk._lane_gather(_bcast_row(b8t_ref[gi], rows), wc)
+        bg = _pk._lane_gather(_bcast_row(b8t_ref[gi], shp), wc)
         g = g + (key >= bg).astype(_I32)
     gc = jnp.minimum(g, _i(15))
     wg = wc * _i(16) + gc
@@ -168,13 +177,13 @@ def _stair_state_kernel(key, okk, blast_ref, b8t_ref, bft_ref,
     cnt = jnp.zeros_like(key)
     for t in range(8):
         if nf_pad == 128:
-            bt = _pk._lane_gather(_bcast_row(bft_ref[t], rows), wlo)
+            bt = _pk._lane_gather(_bcast_row(bft_ref[t], shp), wlo)
         else:
             bt = jnp.zeros_like(key)
             for k in range(nf_pad // 128):
                 gk = _pk._lane_gather(
                     _bcast_row(bft_ref[t, k * 128:(k + 1) * 128],
-                               rows), wlo)
+                               shp), wlo)
                 bt = jnp.where(whi == _i(k), gk, bt)
         cnt = cnt + (key >= bt).astype(_I32)
     st = w * _i(128) + g * _i(8) + cnt
@@ -185,15 +194,15 @@ def _stair_state_kernel(key, okk, blast_ref, b8t_ref, bft_ref,
 def _pt_lookup_kernel(st, ptp_ref, ptl_ref, Kp: int):
     """(e, mh, ml) softf64 triple for each state via the packed-pt
     K-way windowed lane gather."""
-    rows = st.shape[0]
+    shp = st.shape
     wrow = st >> _i(7)
     wlane = st & _i(127)
     p = jnp.zeros(st.shape, _U32)
     l = jnp.zeros(st.shape, _U32)
     for k in range(Kp):
         hit = wrow == _i(k)
-        gp = _pk._lane_gather(_bcast_row(ptp_ref[k], rows), wlane)
-        gl = _pk._lane_gather(_bcast_row(ptl_ref[k], rows), wlane)
+        gp = _pk._lane_gather(_bcast_row(ptp_ref[k], shp), wlane)
+        gl = _pk._lane_gather(_bcast_row(ptl_ref[k], shp), wlane)
         p = jnp.where(hit, gp, p)
         l = jnp.where(hit, gl, l)
     ef = (p >> _u(20)).astype(_I32)
@@ -470,20 +479,39 @@ def ms_unshear3(y, r1, r2, r3):
 # a rotating (3, 8, W) VMEM scratch.
 # ---------------------------------------------------------------------------
 
-def _kshift1_2d(x, W: int):
-    """y[k] = x[k-1] in the (8, W) k = sub*W + lane layout (k=0 -> 0)."""
-    rolled = pltpu.roll(x, jnp.int32(1), 1)
-    down = pltpu.roll(x, jnp.int32(1), 0)        # row s-1 -> row s
-    lane = jax.lax.broadcasted_iota(_I32, x.shape, 1)
-    row = jax.lax.broadcasted_iota(_I32, x.shape, 0)
-    borrow = jnp.broadcast_to(down[:, W - 1:W], x.shape)
-    y = jnp.where(lane == _i(0), borrow, rolled)
-    return jnp.where((lane == _i(0)) & (row == _i(0)),
-                     jnp.zeros_like(x), y)
+def _kshift1_2d_chunk(chunk, scr_ref, islot, cb: int, W: int):
+    """k-1 neighbor of a (8,128) column chunk of the (8, W) line
+    layout (k = sub*W + lane): lane 0 pulls the previous chunk's last
+    column (same row), or — for chunk 0 — the PREVIOUS ROW's last
+    column (k = sub*W - 1), with k=0 -> 0."""
+    rolled = pltpu.roll(chunk, jnp.int32(1), 1)
+    lane = jax.lax.broadcasted_iota(_I32, chunk.shape, 1)
+    if cb == 0:
+        last = scr_ref[islot, :, W - 1:W]            # (8,1)
+        down = pltpu.roll(last, jnp.int32(1), 0)
+        row = jax.lax.broadcasted_iota(_I32, last.shape, 0)
+        prev = jnp.where(row == _i(0), jnp.zeros_like(down), down)
+    else:
+        prev = scr_ref[islot, :, cb * 128 - 1:cb * 128]
+    return jnp.where(lane == _i(0),
+                     jnp.broadcast_to(prev, chunk.shape), rolled)
 
 
-def _kshift2_2d(x, W: int):
-    return _kshift1_2d(_kshift1_2d(x, W), W)
+def _kshift2_2d_chunk(chunk, scr_ref, islot, cb: int, W: int):
+    """k-2 neighbor of a column chunk (lanes 0,1 from the boundary)."""
+    rolled = pltpu.roll(chunk, jnp.int32(2), 1)
+    lane = jax.lax.broadcasted_iota(_I32, chunk.shape, 1)
+    if cb == 0:
+        last2 = scr_ref[islot, :, W - 2:W]            # (8,2)
+        down = pltpu.roll(last2, jnp.int32(1), 0)
+        row = jax.lax.broadcasted_iota(_I32, last2.shape, 0)
+        prev2 = jnp.where(row == _i(0), jnp.zeros_like(down), down)
+    else:
+        prev2 = scr_ref[islot, :, cb * 128 - 2:cb * 128]
+    c0 = jnp.broadcast_to(prev2[:, 0:1], chunk.shape)
+    c1 = jnp.broadcast_to(prev2[:, 1:2], chunk.shape)
+    return jnp.where(lane == _i(0), c0,
+                     jnp.where(lane == _i(1), c1, rolled))
 
 
 def _make_wf2_kernel(r2: int, r3: int, W: int, R_b: int, Kp: int,
@@ -491,6 +519,8 @@ def _make_wf2_kernel(r2: int, r3: int, W: int, R_b: int, Kp: int,
                      top_index: int, lo_key: int, hi_key: int,
                      ign: int, decode: bool):
     one = np.uint32(ms.ONE_BITS)
+    ncb = W // 128          # Mosaic dynamic_gather legalizes only at
+                            # 128 lanes: process the line in chunks
 
     def kernel(blast_ref, b8t_ref, bft_ref, ptp_ref, ptl_ref,
                in1_ref, in2_ref, out_ref, scr):
@@ -503,61 +533,63 @@ def _make_wf2_kernel(r2: int, r3: int, W: int, R_b: int, Kp: int,
         i1 = (d_idx + _i(3)) & _i(3)
         i2 = (d_idx + _i(2)) & _i(3)
         iw = d_idx & _i(3)
-        p1 = scr[i1]
-        p2l = scr[i2]
 
-        A = _kshift1_2d(p1, W)
-        Bv = p1
-        Dg = _kshift1_2d(p2l, W)
-        A2k = _kshift2_2d(p2l, W)
+        for cb in range(ncb):
+            csl = slice(cb * 128, (cb + 1) * 128)
+            p1c = scr[i1, :, csl]
+            p2c = scr[i2, :, csl]
+            A = _kshift1_2d_chunk(p1c, scr, i1, cb, W)
+            Bv = p1c
+            Dg = _kshift1_2d_chunk(p2c, scr, i2, cb, W)
+            A2k = _kshift2_2d_chunk(p2c, scr, i2, cb, W)
 
-        row = jax.lax.broadcasted_iota(_I32, (8, W), 0)
-        lane = jax.lax.broadcasted_iota(_I32, (8, W), 1)
-        kc = row * _i(W) + lane
-        jrow = d_idx - kc
-        valid = (jrow >= _i(0)) & (jrow < _i(r2)) & (kc < _i(r3))
-        row0 = kc == d_idx
-        col0 = kc == _i(0)
-        k1 = kc == _i(1)
-        onev = jnp.full((8, W), one, _U32)
-        m1, m2, d1 = ms.select_operands_2d(row0, col0, k1, A, Bv,
-                                           A2k, Dg, onev)
-        pred, force = ms.predict_bits_2d(m1, m2, d1)
+            row = jax.lax.broadcasted_iota(_I32, (8, 128), 0)
+            lane = jax.lax.broadcasted_iota(_I32, (8, 128), 1)
+            kc = row * _i(W) + lane + _i(cb * 128)
+            jrow = d_idx - kc
+            valid = (jrow >= _i(0)) & (jrow < _i(r2)) & (kc < _i(r3))
+            row0 = kc == d_idx
+            col0 = kc == _i(0)
+            k1 = kc == _i(1)
+            onev = jnp.full((8, 128), one, _U32)
+            m1, m2, d1 = ms.select_operands_2d(row0, col0, k1, A, Bv,
+                                               A2k, Dg, onev)
+            pred, force = ms.predict_bits_2d(m1, m2, d1)
 
-        if not decode:
-            dl = in1_ref[0]
-            er = ms.esc_recon_bits(dl, _u(ign))
-            first = row0 & col0
+            if not decode:
+                dl = in1_ref[0, :, csl]
+                er = ms.esc_recon_bits(dl, _u(ign))
+                first = row0 & col0
 
-            def st_key(ratio_bits):
-                return ms.key_from_f32_bits(ratio_bits, base_index,
-                                            top_index, bits_n)
+                def st_key(ratio_bits):
+                    return ms.key_from_f32_bits(ratio_bits, base_index,
+                                                top_index, bits_n)
 
-            def st_search(key, okk):
-                return _stair_state_kernel(key, okk, blast_ref,
-                                           b8t_ref, bft_ref, R_b,
-                                           nf_pad, lo_key, hi_key)
+                def st_search(key, okk):
+                    return _stair_state_kernel(key, okk, blast_ref,
+                                               b8t_ref, bft_ref, R_b,
+                                               nf_pad, lo_key, hi_key)
 
-            def pt_take(st):
-                return _pt_lookup_kernel(st, ptp_ref, ptl_ref, Kp)
+                def pt_take(st):
+                    return _pt_lookup_kernel(st, ptp_ref, ptl_ref, Kp)
 
-            st, rec = ms.quant_bits(dl, pred, force | first, er,
-                                    (st_key, st_search), pt_take)
-            st = jnp.where(valid, st, _i(0))
-            rec = jnp.where(valid, rec, _u(0))
-            out_ref[0] = st
-        else:
-            tl = in1_ref[0]
-            kvl = in2_ref[0]
-            pt = _pt_lookup_kernel(tl, ptp_ref, ptl_ref, Kp)
-            val = ms.recon_bits(pred, *pt)
-            esc = tl == _i(0)
-            outv = jnp.where(esc, kvl, val)
-            rec = jnp.where(esc, kvl & _u(0x7FFFFFFF), val)
-            outv = jnp.where(valid, outv, _u(0))
-            rec = jnp.where(valid, rec, _u(0))
-            out_ref[0] = outv
-        scr[iw] = rec
+                st, rec = ms.quant_bits(dl, pred, force | first, er,
+                                        (st_key, st_search), pt_take)
+                st = jnp.where(valid, st, _i(0))
+                rec = jnp.where(valid, rec, _u(0))
+                out_ref[0, :, csl] = st
+            else:
+                tl = in1_ref[0, :, csl]
+                kvl = in2_ref[0, :, csl]
+                pt = _pt_lookup_kernel(tl, ptp_ref, ptl_ref, Kp)
+                val = ms.recon_bits(pred, *pt)
+                esc = tl == _i(0)
+                outv = jnp.where(esc, kvl, val)
+                rec = jnp.where(esc, kvl & _u(0x7FFFFFFF), val)
+                outv = jnp.where(valid, outv, _u(0))
+                rec = jnp.where(valid, rec, _u(0))
+                out_ref[0, :, csl] = outv
+            scr[iw, :, csl] = rec
 
     return kernel
 
