@@ -448,6 +448,22 @@ SEG_ROWS = 64     # 64*128 chunks * F_BITS = 2^27 bits/segment:
                   # record buffer + transpose stay ~0.5 GB each
 
 
+@functools.lru_cache(maxsize=16)
+def _seg_core_jit(K: int, R: int, out_cap_rows: int, interpret: bool,
+                  p_bits: int):
+    """Jitted _seg_core for a (K, R, cap) bucket: one compiled program
+    serves every segment (the eager form paid per-op dispatch for the
+    0.5 GB record-buffer transposes on every segment)."""
+    import jax as _jax
+
+    def f(words_seg, trans, tb_local, carry_entry):
+        return _seg_core(words_seg, trans, tb_local, carry_entry, R,
+                         out_cap_rows, interpret=interpret,
+                         p_bits=p_bits)
+
+    return _jax.jit(f)
+
+
 def _seg_core(words_seg, trans, tb_local, carry_entry, R: int,
               out_cap_rows: int, *, interpret: bool, p_bits: int):
     """One segment's A/reconcile/B/compact over LOCAL bit indices.
@@ -517,9 +533,9 @@ def decode_bits_segmented(words, trans, total_bits: int, n_sym: int,
             break
         tb_local = np.int32(min(total_bits - start_bits, seg_bits))
         wseg = jnp.asarray(w[s * seg_words:(s + 1) * seg_words])
-        syms_s, cnt_s, exit_s, ok_s = _seg_core(
-            wseg, trans_d, jnp.asarray([tb_local], jnp.int32), carry,
-            seg_rows, R8, interpret=interpret, p_bits=p_bits)
+        syms_s, cnt_s, exit_s, ok_s = _seg_core_jit(
+            trans.shape[0], seg_rows, R8, interpret, p_bits)(
+            wseg, trans_d, jnp.asarray([tb_local], jnp.int32), carry)
         out = jax.lax.dynamic_update_slice(out, syms_s, (offset,))
         offset = offset + cnt_s
         total_cnt = total_cnt + cnt_s
