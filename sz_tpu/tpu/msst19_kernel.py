@@ -411,51 +411,79 @@ def supported(vshape, intervals: int, ratio: float,
     return kernel_tables(intervals, ratio, plus_bits) is not None
 
 
-def encode(work_dev, vshape, stair_key, req_length: int, be: str):
-    """work_dev f32 (n,) on device -> type lattice i32 (r1,r2,r3
-    flattened) via the Pallas wavefront.  Caller guarantees
-    supported(...)."""
+@functools.lru_cache(maxsize=8)
+def _encode3_jit(vshape: tuple, stair_key: tuple, req_length: int,
+                 be: str):
+    """One jit for shear + kernel + unshear: the eager XLA glue
+    between them paid ~100 ms of per-op dispatch at 512^3.  The table
+    arrays close over the jit as constants (uploaded once per cache
+    entry)."""
     kt = kernel_tables(*stair_key)
     tabs = kt["tabs"]
     r1, r2, r3 = vshape
     r2p = -(-r2 // 8) * 8
     r3p = -(-r3 // 128) * 128
-    bits_mag = (jax.lax.bitcast_convert_type(
-        work_dev.reshape(vshape), jnp.uint32) & _u(0x7FFFFFFF))
-    d_sh = _pad23(ms_shear3(bits_mag), r2p, r3p)
     ign = max(32 - int(req_length), 0)
     interp = be not in ("tpu",)
     f = _wf_call(r1, r2, r3, r2p, r3p, kt["R_b"], kt["Kp"],
                  kt["nf_pad"], tabs.bits, tabs.base_index,
                  tabs.top_index, tabs.lo_key, tabs.hi_key, ign,
                  False, interp)
-    st_sh = f(jnp.asarray(kt["blast"]), jnp.asarray(kt["b8t"]),
+    tables = (jnp.asarray(kt["blast"]), jnp.asarray(kt["b8t"]),
               jnp.asarray(kt["bft"]), jnp.asarray(kt["ptp"]),
-              jnp.asarray(kt["ptl"]), d_sh, d_sh)
-    st = ms_unshear3(st_sh[:, :r2, :r3], r1, r2, r3)
-    return st.reshape(r1 * r2 * r3)
+              jnp.asarray(kt["ptl"]))
+
+    def g(work_dev):
+        bits_mag = (jax.lax.bitcast_convert_type(
+            work_dev.reshape(vshape), jnp.uint32) & _u(0x7FFFFFFF))
+        d_sh = _pad23(ms_shear3(bits_mag), r2p, r3p)
+        st_sh = f(*tables, d_sh, d_sh)
+        st = ms_unshear3(st_sh[:, :r2, :r3], r1, r2, r3)
+        return st.reshape(r1 * r2 * r3)
+
+    return jax.jit(g)
 
 
-def decode(t_lat, kv_lat, vshape, stair_key, be: str):
-    """(t lattice i32, kv lattice u32 signed escape bits) -> signed
-    f32-bit lattice u32 (pre-restore) via the Pallas wavefront."""
+def encode(work_dev, vshape, stair_key, req_length: int, be: str):
+    """work_dev f32 (n,) on device -> type lattice i32 (r1,r2,r3
+    flattened) via the Pallas wavefront.  Caller guarantees
+    supported(...)."""
+    return _encode3_jit(tuple(vshape), tuple(stair_key),
+                        int(req_length), be)(work_dev)
+
+
+@functools.lru_cache(maxsize=8)
+def _decode3_jit(vshape: tuple, stair_key: tuple, be: str):
     kt = kernel_tables(*stair_key)
     tabs = kt["tabs"]
     r1, r2, r3 = vshape
     r2p = -(-r2 // 8) * 8
     r3p = -(-r3 // 128) * 128
-    t_sh = _pad23(ms_shear3(t_lat), r2p, r3p)
-    kv_sh = _pad23(ms_shear3(kv_lat), r2p, r3p)
     interp = be not in ("tpu",)
     f = _wf_call(r1, r2, r3, r2p, r3p, kt["R_b"], kt["Kp"],
                  kt["nf_pad"], tabs.bits, tabs.base_index,
                  tabs.top_index, tabs.lo_key, tabs.hi_key, 0,
                  True, interp)
-    o_sh = f(jnp.asarray(kt["blast"]), jnp.asarray(kt["b8t"]),
-             jnp.asarray(kt["bft"]), jnp.asarray(kt["ptp"]),
-             jnp.asarray(kt["ptl"]), t_sh, kv_sh)
-    out = ms_unshear3(o_sh[:, :r2, :r3], r1, r2, r3)
-    return out.reshape(r1 * r2 * r3)
+    tables = (jnp.asarray(kt["blast"]), jnp.asarray(kt["b8t"]),
+              jnp.asarray(kt["bft"]), jnp.asarray(kt["ptp"]),
+              jnp.asarray(kt["ptl"]))
+
+    def g(t_lat, kv_lat):
+        t_sh = _pad23(ms_shear3(t_lat.reshape(vshape)
+                                .astype(jnp.int32)), r2p, r3p)
+        kv_sh = _pad23(ms_shear3(kv_lat.reshape(vshape)), r2p, r3p)
+        o_sh = f(*tables, t_sh, kv_sh)
+        out = ms_unshear3(o_sh[:, :r2, :r3], r1, r2, r3)
+        return out.reshape(r1 * r2 * r3)
+
+    return jax.jit(g)
+
+
+def decode(t_lat, kv_lat, vshape, stair_key, be: str):
+    """(t lattice i32, kv lattice u32 signed escape bits) -> signed
+    f32-bit lattice u32 (pre-restore) via the Pallas wavefront."""
+    return _decode3_jit(tuple(vshape), tuple(stair_key), be)(
+        t_lat, kv_lat)
 
 
 def ms_shear3(x):
@@ -645,35 +673,46 @@ def _line_layout(r3: int):
     return W, 8 * W
 
 
-def encode2d(work_dev, shape, stair_key, req_length: int, be: str):
-    """2D f32 field (r2, r3) on device -> type lattice i32 flat, via
-    the single-precision soft chain in ONE Pallas dispatch."""
+@functools.lru_cache(maxsize=8)
+def _encode2_jit(shape: tuple, stair_key: tuple, req_length: int,
+                 be: str):
     from sz_tpu.tpu import msst19_engine as me
 
     kt = kernel_tables(*stair_key)
     tabs = kt["tabs"]
     r2, r3 = shape
     W, r3p = _line_layout(r3)
-    bits_mag = (jax.lax.bitcast_convert_type(
-        work_dev.reshape(shape), jnp.uint32) & _u(0x7FFFFFFF))
-    p_sh = me._shear0_by(bits_mag, 1)            # (S2, r3)
     S2 = r2 + r3 - 1
-    p_sh = jnp.pad(p_sh, ((0, 0), (0, r3p - r3))).reshape(S2, 8, W)
     ign = max(32 - int(req_length), 0)
     interp = be not in ("tpu",)
     f = _wf2_call(r2, r3, W, kt["R_b"], kt["Kp"], kt["nf_pad"],
                   tabs.bits, tabs.base_index, tabs.top_index,
                   tabs.lo_key, tabs.hi_key, ign, False, interp)
-    st_sh = f(jnp.asarray(kt["blast"]), jnp.asarray(kt["b8t"]),
+    tables = (jnp.asarray(kt["blast"]), jnp.asarray(kt["b8t"]),
               jnp.asarray(kt["bft"]), jnp.asarray(kt["ptp"]),
-              jnp.asarray(kt["ptl"]), p_sh, p_sh)
-    st_lines = st_sh.reshape(S2, r3p)[:, :r3]
-    return me._unshear0_by(st_lines, 1, r2).reshape(r2 * r3)
+              jnp.asarray(kt["ptl"]))
+
+    def g(work_dev):
+        bits_mag = (jax.lax.bitcast_convert_type(
+            work_dev.reshape(shape), jnp.uint32) & _u(0x7FFFFFFF))
+        p_sh = me._shear0_by(bits_mag, 1)
+        p_sh = jnp.pad(p_sh, ((0, 0), (0, r3p - r3))).reshape(S2, 8, W)
+        st_sh = f(*tables, p_sh, p_sh)
+        st_lines = st_sh.reshape(S2, r3p)[:, :r3]
+        return me._unshear0_by(st_lines, 1, r2).reshape(r2 * r3)
+
+    return jax.jit(g)
 
 
-def decode2d(t_lat, kv_lat, shape, stair_key, be: str):
-    """(t lattice i32 (r2,r3), kv u32 signed bits) -> signed f32-bit
-    lattice u32 (pre-restore) via the 2D line kernel."""
+def encode2d(work_dev, shape, stair_key, req_length: int, be: str):
+    """2D f32 field (r2, r3) on device -> type lattice i32 flat, via
+    the single-precision soft chain in ONE jitted dispatch chain."""
+    return _encode2_jit(tuple(shape), tuple(stair_key),
+                        int(req_length), be)(work_dev)
+
+
+@functools.lru_cache(maxsize=8)
+def _decode2_jit(shape: tuple, stair_key: tuple, be: str):
     from sz_tpu.tpu import msst19_engine as me
 
     kt = kernel_tables(*stair_key)
@@ -681,16 +720,29 @@ def decode2d(t_lat, kv_lat, shape, stair_key, be: str):
     r2, r3 = shape
     W, r3p = _line_layout(r3)
     S2 = r2 + r3 - 1
-    t_sh = jnp.pad(me._shear0_by(t_lat.reshape(shape), 1),
-                   ((0, 0), (0, r3p - r3))).reshape(S2, 8, W)
-    kv_sh = jnp.pad(me._shear0_by(kv_lat.reshape(shape), 1),
-                    ((0, 0), (0, r3p - r3))).reshape(S2, 8, W)
     interp = be not in ("tpu",)
     f = _wf2_call(r2, r3, W, kt["R_b"], kt["Kp"], kt["nf_pad"],
                   tabs.bits, tabs.base_index, tabs.top_index,
                   tabs.lo_key, tabs.hi_key, 0, True, interp)
-    o_sh = f(jnp.asarray(kt["blast"]), jnp.asarray(kt["b8t"]),
-             jnp.asarray(kt["bft"]), jnp.asarray(kt["ptp"]),
-             jnp.asarray(kt["ptl"]), t_sh, kv_sh)
-    o_lines = o_sh.reshape(S2, r3p)[:, :r3]
-    return me._unshear0_by(o_lines, 1, r2).reshape(r2 * r3)
+    tables = (jnp.asarray(kt["blast"]), jnp.asarray(kt["b8t"]),
+              jnp.asarray(kt["bft"]), jnp.asarray(kt["ptp"]),
+              jnp.asarray(kt["ptl"]))
+
+    def g(t_lat, kv_lat):
+        t_sh = jnp.pad(me._shear0_by(t_lat.reshape(shape)
+                                     .astype(jnp.int32), 1),
+                       ((0, 0), (0, r3p - r3))).reshape(S2, 8, W)
+        kv_sh = jnp.pad(me._shear0_by(kv_lat.reshape(shape), 1),
+                        ((0, 0), (0, r3p - r3))).reshape(S2, 8, W)
+        o_sh = f(*tables, t_sh, kv_sh)
+        o_lines = o_sh.reshape(S2, r3p)[:, :r3]
+        return me._unshear0_by(o_lines, 1, r2).reshape(r2 * r3)
+
+    return jax.jit(g)
+
+
+def decode2d(t_lat, kv_lat, shape, stair_key, be: str):
+    """(t lattice i32 (r2,r3), kv u32 signed bits) -> signed f32-bit
+    lattice u32 (pre-restore) via the 2D line kernel."""
+    return _decode2_jit(tuple(shape), tuple(stair_key), be)(
+        t_lat, kv_lat)

@@ -106,10 +106,13 @@ def _make_kernel(ny: int, nz: int, use_mean: bool, plane_iter: int):
         def pred2d(P):
             # identical op sequence to the XLA plane-scan (bit-exact):
             # (x,y,z-1)+(x,y-1,z) +(x-1,y,z) -(x,y-1,z-1) -(x-1,y,z-1)
-            # -(x-1,y-1,z) +(x-1,y-1,z-1)
-            p = _shift_zero(P, 0, 1) + _shift_zero(P, 1, 0)
+            # -(x-1,y-1,z) +(x-1,y-1,z-1).  The diagonal (1,1) shift
+            # derives from the (0,1) shift with one extra roll instead
+            # of two (zero fills commute, so the VALUES are identical).
+            s01P = _shift_zero(P, 0, 1)
+            p = s01P + _shift_zero(P, 1, 0)
             p = p + prev
-            p = p - _shift_zero(P, 1, 1)
+            p = p - _shift_zero(s01P, 1, 0)
             p = p - sp01
             p = p - sp10
             p = p + sp11

@@ -160,6 +160,48 @@ def test_div53_directed():
     assert np.array_equal(got, want)
 
 
+def test_div53_chunk_boundaries():
+    """Adversarial long-division stress: quotients whose 18-bit chunk
+    digits sit at their extremes (0, 1, 0x3FFFF) with remainders at
+    {0, 1, D-1} — the cases where the f32 digit estimate's error could
+    cross a floor boundary if the _N_FIX correction budget were ever
+    insufficient."""
+    rng = np.random.default_rng(8)
+    qs = []
+    for d0 in (0, 1, 0x3FFFF, 0x20000):
+        for d1 in (0, 1, 0x3FFFF, 0x1FFFF):
+            for d2 in (0, 1, 0x3FFFF):
+                q = (1 << 54) | (d0 << 36) | (d1 << 18) | d2
+                qs.append(q >> 2)          # 53-bit quotient mantissas
+    qs = np.array(qs, np.uint64)
+    Ds = np.concatenate([
+        rng.integers(1 << 52, 1 << 53, 64, dtype=np.int64),
+        np.array([1 << 52, (1 << 53) - 1, (1 << 52) + 1], np.int64),
+    ]).astype(np.uint64)
+    # N = round(q_mant * D * 2^-52) +- {0, 1}: quotients land just
+    # above/below representable boundaries
+    pairs_n = []
+    pairs_d = []
+    for D in Ds:
+        vd = np.ldexp(D.astype(np.float64), -52)
+        for q in qs:
+            vq = np.ldexp(q.astype(np.float64), -52)
+            for eps in (0.0, 2.0 ** -52, -(2.0 ** -52)):
+                pairs_n.append(vq * vd * (1.0 + eps))
+                pairs_d.append(vd)
+    n_np = np.array(pairs_n)
+    d_np = np.array(pairs_d)
+    fin = np.isfinite(n_np) & (n_np > 0)
+    n_np = n_np[fin]
+    d_np = d_np[fin]
+    ne, nh, nl = (jnp.asarray(x) for x in _canon64(n_np))
+    de, dh, dl = (jnp.asarray(x) for x in _canon64(d_np))
+    eo, mho, mlo = sf.div53_rn(ne, nh, nl, de, dh, dl)
+    want = n_np / d_np
+    got = _from_triple(np.asarray(eo), np.asarray(mho), np.asarray(mlo))
+    assert np.array_equal(got, want)
+
+
 def test_pack_f32_rn():
     rng = np.random.default_rng(4)
     # spread across the f32 range including subnormal/overflow bands
