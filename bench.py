@@ -93,7 +93,7 @@ def time_reference(data: np.ndarray) -> float:
         return data.nbytes / 1e6 / best
 
 
-def pwrel_probe(dpw: np.ndarray) -> dict:
+def pwrel_probe(dpw: np.ndarray, two_d: bool = False) -> dict:
     """PW_REL / MSST19 device-engine probe (BASELINE target #3): byte
     parity with the host kernels plus SLOPE-TIMED device kernel-chain
     throughput.  The softf64 Pallas wavefront is bit-exact with the
@@ -126,9 +126,16 @@ def pwrel_probe(dpw: np.ndarray) -> dict:
     intervals = pwr._optimize_intervals_msst19(dpw, 1e-3, 32768, 100,
                                                0.99)
     sk = (int(intervals), 1e-3, 3)
-    if not mk.supported(dpw.shape, *sk):
+    sup = (mk.supported2d(dpw.shape, *sk) if two_d
+           else mk.supported(dpw.shape, *sk))
+    if not sup:
         return out
-    req = 9 - classic.get_exponent(np.float32(1e-3), np.float32)
+    kenc = mk.encode2d if two_d else mk.encode
+    kdec = mk.decode2d if two_d else mk.decode
+    if two_d:
+        req = 12 - classic.get_exponent(np.float64(1e-3), np.float64)
+    else:
+        req = 9 - classic.get_exponent(np.float32(1e-3), np.float32)
     dev = jax.device_put(dpw)
     dev.block_until_ready()
     mag = jnp.uint32(0x7FFFFFFF)
@@ -138,7 +145,7 @@ def pwrel_probe(dpw: np.ndarray) -> dict:
         d = dev
         st = None
         for _ in range(iters):
-            st = mk.encode(d, dpw.shape, sk, req, "tpu")
+            st = kenc(d, dpw.shape, sk, req, "tpu")
             d = jax.lax.bitcast_convert_type(
                 ((jax.lax.bitcast_convert_type(d.reshape(-1),
                                                jnp.uint32)
@@ -161,7 +168,7 @@ def pwrel_probe(dpw: np.ndarray) -> dict:
         t = t_lat
         o = None
         for _ in range(iters):
-            o = mk.decode(t, kv, dpw.shape, sk, "tpu")
+            o = kdec(t, kv, dpw.shape, sk, "tpu")
             t = jnp.abs(t + o.reshape(dpw.shape).astype(jnp.int32)
                         % jnp.int32(2)) % jnp.int32(max(intervals, 2))
         np.asarray(o[:8])
@@ -185,6 +192,22 @@ def attempt_pwrel512() -> None:
     del base
     detail = pwrel_probe(dpw)
     print(json.dumps({"metric": "pwrel_512", "value":
+                      detail.get("device_chain_mbps_encode", 0),
+                      "unit": "MB/s", "detail": detail}))
+
+
+def attempt_pwrel2d() -> None:
+    """CESM-ATM-shaped 2D PW_REL probe (1800x3600, the BASELINE CI
+    scoreboard's 2D regime): byte parity + the 2D line kernel's
+    slope-timed chain."""
+    rng = np.random.default_rng(42)
+    x = np.linspace(0.1, 9.3, 1800)[:, None]
+    y = np.linspace(0.2, 7.1, 3600)[None, :]
+    dpw = (np.abs(np.exp(np.sin(x) * np.cos(y))
+                  * (1 + 0.05 * rng.standard_normal((1800, 3600))))
+           + np.float32(0.01)).astype(np.float32)
+    detail = pwrel_probe(dpw, two_d=True)
+    print(json.dumps({"metric": "pwrel_2d", "value":
                       detail.get("device_chain_mbps_encode", 0),
                       "unit": "MB/s", "detail": detail}))
 
@@ -336,6 +359,8 @@ def main():
     if len(sys.argv) == 4 and sys.argv[1] == "--attempt":
         if sys.argv[3] == "pwrel512":
             attempt_pwrel512()
+        elif sys.argv[3] == "pwrel2d":
+            attempt_pwrel2d()
         else:
             attempt(int(sys.argv[2]), sys.argv[3])
         return
@@ -392,6 +417,9 @@ def main():
         p512 = run_attempt(512, "pwrel512", 900)
         if p512 is not None:
             device["detail"]["pwrel_512"] = p512["detail"]
+        p2d = run_attempt(1800, "pwrel2d", 600)
+        if p2d is not None:
+            device["detail"]["pwrel_2d"] = p2d["detail"]
     if primary is None and device is not None:
         primary = device
     elif primary is not None and device is not None:
@@ -406,7 +434,7 @@ def main():
                 "device_gbps_decode", "device_chain_encode_ms",
                 "device_gbps_encode_amortized", "decode_chain_ms",
                 "device_gbps_decode_amortized", "hw_parity",
-                "pwrel_msst19", "pwrel_512", "compress_spans_ms",
+                "pwrel_msst19", "pwrel_512", "pwrel_2d", "compress_spans_ms",
                 "decompress_spans_ms") if k in dd},
         }
     if primary is not None:
