@@ -283,7 +283,7 @@ def _make_wf_kernel(r1: int, r2: int, r3: int, r2p: int, r3p: int,
         i3 = (s + _i(1)) & _i(3)
         iw = s & _i(3)
 
-        for kb in range(nkb):
+        def _wf_block(kb):
             ksl = slice(kb * 128, (kb + 1) * 128)
             c1b = scr[i1, :, ksl]
             c2b = scr[i2, :, ksl]
@@ -351,6 +351,22 @@ def _make_wf_kernel(r1: int, r2: int, r3: int, r2p: int, r3p: int,
                 rec = jnp.where(valid, rec, _u(0))
                 out_ref[0, :, ksl] = outv
             scr[iw, :, ksl] = rec
+
+
+        for kb in range(nkb):
+            # block kb (k in [kb*128, kb*128+127]) holds a valid cell
+            # only for s in [kb*128, kb*128+127 + r2+r1-2]: outside
+            # that interval every cell is masked, every later read of
+            # its carry slot is a masked out-of-lattice neighbor (all
+            # neighbors a valid cell's case-formula touches are valid
+            # lattice cells themselves), and the unshear drops its
+            # output slots — so the whole block SKIPS.  The diagonal
+            # band covers ~1/3 of the (s, k) rectangle: this recovers
+            # the shear's slot waste.
+            @pl.when((s >= jnp.int32(kb * 128))
+                     & (s <= jnp.int32(kb * 128 + 127 + r2 + r1 - 2)))
+            def _(kb=kb):
+                _wf_block(kb)
 
     return kernel
 
