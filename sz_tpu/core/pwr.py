@@ -442,7 +442,10 @@ def compress_msst19(data: np.ndarray, pw_ratio: float, fmax, near_zero, *,
                 sample_distance=sample_distance,
                 pred_threshold=pred_threshold, plus_bits=plus_bits,
                 opt_quant_mode=opt_quant_mode,
-                fixed_intervals=fixed_intervals)
+                fixed_intervals=fixed_intervals, engine=engine)
+            # t_dev is None when engine="auto" and the Pallas kernels
+            # do not cover this interval count: the host codec is
+            # faster than the XLA scan — fall through to the host
             # On emulated-f64 backends the FLOAT wavefront chain can
             # diverge from the true-f64 host chain near f32 rounding
             # ties (msst19_engine module docstring), and a diverged
@@ -454,11 +457,12 @@ def compress_msst19(data: np.ndarray, pw_ratio: float, fmax, near_zero, *,
             # the CPU backend (native f64, CI-gated).  Anything else
             # is decode-verified on the host and re-encoded on
             # failure — returned streams are always conformant.
-            if (me.jax.default_backend() == "cpu"
+            if t_dev is not None and (
+                    me.jax.default_backend() == "cpu"
                     or getattr(t_dev, "_device_exact", False)
                     or me.verify_conformant(t_dev, data, pw_ratio)):
                 return t_dev
-            # fall through: host re-encode (guaranteed-conformant)
+            # fall through: host encode (auto declined / re-encode)
     T = np.float32 if data.dtype == np.float32 else np.float64
     dt = DataType.FLOAT if T is np.float32 else DataType.DOUBLE
     data = np.ascontiguousarray(data, dtype=T)

@@ -1427,9 +1427,17 @@ def verify_conformant(tdps: TDPS, work: np.ndarray,
 def compress(work: np.ndarray, pw_ratio: float, fmax, near_zero, *,
              max_range_radius: int, sample_distance: int,
              pred_threshold: float, plus_bits: int = 3,
-             opt_quant_mode: int = 1, fixed_intervals: int = 0) -> TDPS:
+             opt_quant_mode: int = 1, fixed_intervals: int = 0,
+             engine: str = "jax"):
     """Device analog of pwr.compress_msst19 — identical byte output.
-    `work` must already have zeros replaced (the caller's copy)."""
+    `work` must already have zeros replaced (the caller's copy).
+
+    Returns None when engine="auto" and the Pallas kernels do not
+    cover the optimizer's interval count (e.g. pw <= 1e-4 yields
+    65536 intervals, past the counting-search envelope): the XLA soft
+    scan is guaranteed-parity but dispatch-bound, so auto hands such
+    configs back to the (faster) host codec; explicit engine="jax"
+    still runs the device scan."""
     from sz_tpu.core import pwr
 
     T = np.float32 if work.dtype == np.float32 else np.float64
@@ -1448,6 +1456,16 @@ def compress(work: np.ndarray, pw_ratio: float, fmax, near_zero, *,
                 pred_threshold)
     else:
         intervals = fixed_intervals
+
+    if engine == "auto" and work.ndim in (2, 3) and be == "tpu":
+        from sz_tpu.tpu import msst19_kernel as mk
+        sk = (int(intervals), ratio, int(plus_bits))
+        if work.ndim == 2:
+            covered = mk.supported2d(shape, *sk)
+        else:
+            covered = mk.supported(shape, *sk)
+        if not (covered and kernel_policy(be)):
+            return None          # auto: host codec beats the XLA scan
 
     ptable = pwr._precision_table(intervals, ratio, plus_bits)
     cache = pwr._cache_table(int(intervals), ratio, int(plus_bits))

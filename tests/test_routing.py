@@ -118,3 +118,30 @@ def test_msst19_auto_routing(monkeypatch):
     assert not me.device_ok("auto", np.float32, 3, 1 << 24)
     assert me.device_ok("auto", np.float32, 3, 1 << 24,
                         device_out=True)
+
+
+def test_msst19_auto_interval_envelope_bail(monkeypatch):
+    """Tight PW bounds (<= ~1e-4) drive the optimizer to 65536
+    intervals — past the Pallas counting-search envelope, where only
+    the dispatch-bound XLA scan could serve.  auto must hand those
+    configs BACK to the host codec (me.compress returns None before
+    touching the device); explicit engine="jax" keeps the device scan."""
+    import numpy as np
+
+    from sz_tpu.tpu import msst19_engine as me
+
+    monkeypatch.setattr(me.jax, "default_backend", lambda: "tpu")
+    rng = np.random.default_rng(0)
+    data = np.abs(rng.standard_normal((8, 9, 10))
+                  ).astype(np.float32) + np.float32(0.01)
+    out = me.compress(data, 1e-4, data.max(), np.abs(data).min(),
+                      max_range_radius=32768, sample_distance=100,
+                      pred_threshold=0.99, plus_bits=3,
+                      opt_quant_mode=0, fixed_intervals=65536,
+                      engine="auto")
+    assert out is None
+    # a covered interval count proceeds past the bail (backend is
+    # really CPU here, so stop at the policy decision only)
+    from sz_tpu.tpu import msst19_kernel as mk
+    assert mk.kernel_tables(65536, 1e-4, 3) is None
+    assert mk.kernel_tables(2048, 1e-3, 3) is not None
