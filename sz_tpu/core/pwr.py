@@ -976,8 +976,11 @@ def decompress_pwrel(tdps: TDPS, shape, dtype, engine: str = "numpy",
                 me = None
                 if engine == "jax":
                     raise
-            if me is not None and me.device_ok(engine, T, len(shape), n,
-                                               device_out=as_jax):
+            if me is not None and me.device_ok(
+                    engine, T, len(shape), n, device_out=as_jax,
+                    stair_key=(int(tdps.intervals),
+                               float(tdps.real_precision),
+                               int(tdps.plus_bits))):
                 return me.decompress(tdps, shape, dtype, as_jax=as_jax)
         out = decompress_msst19(tdps, shape, dtype).reshape(-1)
         if len(tdps.pwr_err_bound_bytes):

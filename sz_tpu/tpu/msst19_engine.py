@@ -1357,7 +1357,7 @@ AUTO_MIN_SIZE = 1 << 18         # same floor as api._AUTO_JAX_MIN_SIZE
 
 
 def device_ok(engine: str, dtype, ndim: int, n: int,
-              device_out: bool = False) -> bool:
+              device_out: bool = False, stair_key=None) -> bool:
     """Route MSST19 to the device engine?  Explicit engine="jax"
     always (float64 only on the CPU backend).  "auto" now selects the
     device too — the Pallas softf64 wavefront measured 1.5-2.8 GB/s
@@ -1384,6 +1384,15 @@ def device_ok(engine: str, dtype, ndim: int, n: int,
         # round 5) — auto routes like the other engines
         if backend == "cpu" or not soft or n < AUTO_MIN_SIZE:
             return False
+        if stair_key is not None:
+            # decode knows the stream's interval count up front: auto
+            # declines configs past the kernel envelope (the XLA scan
+            # loses to the host decoder; encode-side makes the same
+            # call after its optimizer, msst19_engine.compress)
+            from sz_tpu.tpu import msst19_kernel as mk
+            if mk.kernel_tables(int(stair_key[0]), float(stair_key[1]),
+                                int(stair_key[2])) is None:
+                return False
         if not device_out:
             from sz_tpu import api
             if api._link_bound_accelerator():

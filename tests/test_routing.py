@@ -145,3 +145,13 @@ def test_msst19_auto_interval_envelope_bail(monkeypatch):
     from sz_tpu.tpu import msst19_kernel as mk
     assert mk.kernel_tables(65536, 1e-4, 3) is None
     assert mk.kernel_tables(2048, 1e-3, 3) is not None
+    # decode-side: device_ok with the stream's stair_key declines
+    # oversized-interval streams for auto (and only for auto)
+    from sz_tpu import api
+    monkeypatch.setattr(api, "_link_bound_accelerator", lambda: False)
+    assert not me.device_ok("auto", np.float32, 3, 1 << 24,
+                            stair_key=(65536, 1e-4, 3))
+    assert me.device_ok("auto", np.float32, 3, 1 << 24,
+                        stair_key=(2048, 1e-3, 3))
+    assert me.device_ok("jax", np.float32, 3, 1 << 24,
+                        stair_key=(65536, 1e-4, 3))
