@@ -248,10 +248,15 @@ def _approx_scaled(w0, w1, w2):
     return hi * _f(4294967296.0) + mid * _f(512.0)
 
 
-_N_FIX = 2   # conditional correction rounds per chunk each way; the
-             # f32-estimate error budget is well under 1 (see
-             # _approx_scaled / the refined reciprocal), two rounds is
-             # margin — verified by the exhaustive tests
+_N_FIX = 1   # conditional correction rounds per chunk each way.
+             # Provably sufficient: the chunk estimate's error is
+             # |delta| <= ~0.15 before truncation (approx value drops
+             # <= 2^9 absolute against a >= 2^52-scale operand, the
+             # Newton-refined reciprocal is f32-accurate, products are
+             # exactly rounded), so floor(true + delta) is within ONE
+             # of the true digit in each direction — verified by the
+             # exhaustive random + adversarial boundary tests
+             # (tests/test_softf64.py) and the hardware parity gates.
 
 
 def _div_chunk(r0, r1, r2, dh, dl, rcp):
